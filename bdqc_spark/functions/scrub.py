@@ -1,0 +1,90 @@
+"""PII/toxicity scrub chain (SURVEY.md §2.B D4/F2).
+
+Rules are *data*, not code (bdqc's plugin registry reimagined,
+SURVEY.md A15): an ordered list of (rule_id, pattern, replacement).
+Order is semantics — emails before generic ids, phones before bare
+digit runs — and is frozen here; the single-node oracle
+(bdqc_spark/synth/oracle.py) applies the same list in the same
+order, which is what makes scrubbed-transcript *exact match*
+achievable (SURVEY.md §7 hardest-risk 1).
+
+Execution: one chained `regexp_replace` pipeline — pure Catalyst,
+JVM-side, whole-stage-codegen'd; zero Python in the hot path.
+Patterns use explicit ASCII classes only, so Java regex (Spark),
+RE2 (DuckDB oracle) and Python `re` (numpy oracle) all agree.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class ScrubRule:
+    rule_id: str
+    pattern: str
+    replacement: str
+
+
+# Frozen rule chain — ORDER MATTERS.
+SCRUB_RULES: tuple[ScrubRule, ...] = (
+    ScrubRule("pii.email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ScrubRule(
+        "pii.phone",
+        r"(\+?[0-9]{1,3}[-. ])?\(?[0-9]{3}\)?[-. ][0-9]{3}[-. ][0-9]{4}\b",
+        "<PHONE>",
+    ),
+    ScrubRule("pii.ssn", r"[0-9]{3}-[0-9]{2}-[0-9]{4}", "<SSN>"),
+    ScrubRule("pii.ip", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+    ScrubRule("pii.id16", r"\b[0-9]{16}\b", "<ID>"),
+    # Toxicity lexicon — small fixed list for the synthetic corpus;
+    # real deployments swap in a larger lexicon (rules are data).
+    ScrubRule("tox.lexicon", r"(?i)\b(frak|gorram|smeg|belgium)\b", "<TOX>"),
+)
+
+
+def scrub_column(c: Column, rules: tuple[ScrubRule, ...] = SCRUB_RULES) -> Column:
+    """Apply the ordered rule chain → scrubbed text column."""
+    out = c
+    for r in rules:
+        out = F.regexp_replace(out, r.pattern, r.replacement)
+    return out
+
+
+def scrub_hits_column(c: Column, rules: tuple[ScrubRule, ...] = SCRUB_RULES) -> Column:
+    """array<string> of rule_ids that fired on this row (sorted)."""
+    hits = [
+        F.when(c.rlike(r.pattern), F.lit(r.rule_id)).otherwise(F.lit(None)) for r in rules
+    ]
+    return F.array_sort(F.filter(F.array(*hits), lambda x: x.isNotNull()))
+
+
+def n_edits_column(c: Column, rules: tuple[ScrubRule, ...] = SCRUB_RULES) -> Column:
+    """Total number of replacements across the chain (metrics table
+    'scrub edits'). Counted per rule on the progressively scrubbed
+    text, mirroring the sequential chain exactly."""
+    total = F.lit(0)
+    cur = c
+    for r in rules:
+        total = total + F.regexp_count(cur, F.lit(r.pattern))
+        cur = F.regexp_replace(cur, r.pattern, r.replacement)
+    return total
+
+
+def scrub_python(text: str, rules: tuple[ScrubRule, ...] = SCRUB_RULES) -> tuple[str, int, list[str]]:
+    """Single-node reference implementation (the oracle's scrubber).
+    Must stay semantically identical to scrub_column/n_edits_column."""
+    edits = 0
+    hits = []
+    out = text
+    for r in rules:
+        new, n = re.subn(r.pattern, r.replacement, out)
+        if re.search(r.pattern, out):
+            hits.append(r.rule_id)
+        edits += n
+        out = new
+    return out, edits, sorted(hits)

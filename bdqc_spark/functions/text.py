@@ -1,0 +1,135 @@
+"""Text signature functions (SURVEY.md §2.A A4 — bdqc
+lib/BDQC/FileSignature/Text.pm computes per-file line counts, length
+stats, and character-class composition; here the same statistics per
+*transcript/document row*, as pure Catalyst column expressions so
+they run JVM-side inside whole-stage codegen, never in Python).
+
+Every expression uses explicit ASCII character classes ([A-Za-z],
+[0-9]) rather than \\w / \\d so the DuckDB (RE2) oracle and Spark
+(Java regex) agree byte-for-byte.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+PUNCT_CLASS = r"[.,;:!?'\"()\[\]{}<>@#$%^&*+=/\\|~`_-]"
+
+
+def n_chars(c: Column) -> Column:
+    return F.length(c)
+
+
+def n_tokens(c: Column) -> Column:
+    """Whitespace-delimited token count (token = maximal non-space run)."""
+    return F.size(F.regexp_extract_all(c, F.lit(r"[^ \t\n\r]+"), F.lit(0)))
+
+
+def n_alpha(c: Column) -> Column:
+    return F.length(F.regexp_replace(c, r"[^A-Za-z]", ""))
+
+
+def n_digit(c: Column) -> Column:
+    return F.length(F.regexp_replace(c, r"[^0-9]", ""))
+
+
+def n_space(c: Column) -> Column:
+    return F.length(F.regexp_replace(c, r"[^ \t\n\r]", ""))
+
+
+def n_punct(c: Column) -> Column:
+    return F.length(c) - F.length(F.regexp_replace(c, PUNCT_CLASS, ""))
+
+
+def frac(numer: Column, c: Column) -> Column:
+    """Fraction of total chars; 0.0 for empty strings (not null)."""
+    return F.when(F.length(c) > 0, numer.cast("double") / F.length(c)).otherwise(F.lit(0.0))
+
+
+def max_run_len(c: Column) -> Column:
+    """Longest run of a single repeated character — gibberish signal.
+
+    aggregate over the char array: carry (prev_char, run, best).
+    JVM-side higher-order function — no UDF.
+    """
+    chars = F.split(c, "")
+    init = F.struct(F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best"))
+    step = lambda acc, ch: F.struct(  # noqa: E731
+        ch.alias("prev"),
+        F.when(ch == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+        F.greatest(
+            acc["best"], F.when(ch == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        ).alias("best"),
+    )
+    return F.aggregate(chars, init, step, lambda acc: acc["best"])
+
+
+def token_count_bpe_ish(c: Column) -> Column:
+    """BPE-ish token estimate: words + digits + punctuation marks each
+    count as tokens; long words count extra per 4 chars (a crude but
+    deterministic proxy for subword splits). Training-data budgeting
+    signal (tokens-per-doc histograms at corpus scale)."""
+    words = F.regexp_extract_all(c, F.lit(r"[A-Za-z]+"), F.lit(0))
+    word_tokens = F.aggregate(
+        words,
+        F.lit(0),
+        lambda acc, w: acc + F.greatest(F.lit(1), F.ceil(F.length(w) / F.lit(4)).cast("int")),
+    )
+    other = F.size(F.regexp_extract_all(c, F.lit(r"[0-9]+|" + PUNCT_CLASS), F.lit(0)))
+    return word_tokens + other
+
+
+def quality_score(c: Column) -> Column:
+    """Heuristic doc-quality score in [0,1] (Gopher/C4-style signals,
+    SQL-expressible so the DuckDB oracle can verify it):
+    penalize too-short/too-long, low alpha fraction, high digit or
+    punct fraction, and word-repetition (low distinct-token ratio).
+    """
+    nt = n_tokens(c)
+    fa = frac(n_alpha(c), c)
+    fd = frac(n_digit(c), c)
+    fp = frac(n_punct(c), c)
+    toks = F.regexp_extract_all(F.lower(c), F.lit(r"[a-z]+"), F.lit(0))
+    distinct_ratio = F.when(
+        F.size(toks) > 0, F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
+    ).otherwise(F.lit(0.0))
+    len_ok = F.when((nt >= 5) & (nt <= 100000), F.lit(1.0)).otherwise(F.lit(0.0))
+    score = (
+        F.lit(0.25) * len_ok
+        + F.lit(0.25) * F.least(F.lit(1.0), fa / F.lit(0.6))
+        + F.lit(0.2) * (F.lit(1.0) - F.least(F.lit(1.0), fd / F.lit(0.3)))
+        + F.lit(0.1) * (F.lit(1.0) - F.least(F.lit(1.0), fp / F.lit(0.3)))
+        + F.lit(0.2) * distinct_ratio
+    )
+    return F.round(score, 6)
+
+
+def normalized(c: Column) -> Column:
+    """Canonical text form for exact dedup: lowercase, collapse
+    whitespace, strip punctuation."""
+    x = F.lower(c)
+    x = F.regexp_replace(x, PUNCT_CLASS, "")
+    x = F.trim(F.regexp_replace(x, r"[ \t\n\r]+", " "))
+    return x
+
+
+def fingerprint(c: Column) -> Column:
+    """64-bit content fingerprint of the normalized text. At corpus
+    scale, dedup shuffles this 8-byte key instead of full documents."""
+    return F.xxhash64(normalized(c))
+
+
+def profile_struct(c: Column) -> Column:
+    """The full per-row text signature as one struct column —
+    the engine's analogue of bdqc's per-file Text signature map."""
+    return F.struct(
+        n_chars(c).alias("n_chars"),
+        n_tokens(c).alias("n_tokens"),
+        frac(n_alpha(c), c).alias("frac_alpha"),
+        frac(n_digit(c), c).alias("frac_digit"),
+        frac(n_punct(c), c).alias("frac_punct"),
+        frac(n_space(c), c).alias("frac_space"),
+        max_run_len(c).alias("max_run"),
+        quality_score(c).alias("quality"),
+    )

@@ -1,0 +1,199 @@
+"""Robust statistical modeling operators — the bdqc semantic core.
+
+Reference parity (reconstructed, SURVEY.md §2.A — /root/reference is an
+empty mount, so citations are repo paths without line numbers):
+
+- ``fit_numeric_models``    ≙ bdqc DataModel fit for numeric attributes
+  (lib/BDQC/DataModel/Scalar.pm: robust center+spread per
+  (fileType, attribute)); here one shuffle-aggregated pass per cohort
+  plus a second pass for MAD (median absolute deviation), since MAD
+  needs the median first.
+- ``fit_categorical_models``≙ value-histogram fit for string attributes
+  (same module) — rare values are outlier suspects.
+- ``score_deviations``      ≙ KB.pm getOutliers: robust z per
+  (row, attribute) via a *broadcast* join of the tiny model table back
+  onto the big table — map-side only, no shuffle of the fact table.
+- ``infer_column_types``    ≙ FileSignature/Tabular.pm per-column type
+  inference (int/real/string/empty fractions) that drives model choice.
+
+Scale notes: model fitting shuffles once on the cohort keys with
+map-side partial aggregation (Catalyst does partial+final
+automatically). The MAD pass joins the per-cohort median back
+(broadcast — the model side is |cohorts|×|attrs| rows, KBs) and
+re-aggregates; this is the unavoidable second pass of any exact-ish
+robust spread. At 100 TB the fact table is never shuffled more than
+these two aggregation passes, and scoring is shuffle-free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Consistency constant making MAD comparable to a stddev for
+# normally distributed data (1/Phi^-1(3/4)).
+MAD_TO_SIGMA = 1.4826
+
+
+def fit_numeric_models(
+    df: DataFrame,
+    cohort_cols: list[str],
+    attr_cols: list[str],
+    exact: bool = False,
+    accuracy: int = 50000,
+) -> DataFrame:
+    """Per (cohort, attribute): n, median, MAD, p01/p25/p75/p99, mean, std.
+
+    Long-form output: one row per (cohort, attribute) — the shape of
+    bdqc's collated models, and what `score_deviations` broadcasts.
+
+    `exact=True` uses `median`/`percentile` (exact, for oracle-checked
+    tests); default uses `percentile_approx` (mergeable sketch, the
+    100 TB path).
+    """
+    # Melt attr columns to long form: stack(n, 'a1', a1, 'a2', a2, ...)
+    stack_args = ", ".join(f"'{c}', cast(`{c}` as double)" for c in attr_cols)
+    melted = df.selectExpr(
+        *cohort_cols,
+        f"stack({len(attr_cols)}, {stack_args}) as (attribute, value)",
+    ).where(F.col("value").isNotNull())
+
+    if exact:
+        pct = lambda p: F.expr(f"percentile(value, {p})")  # noqa: E731
+    else:
+        pct = lambda p: F.percentile_approx("value", p, accuracy)  # noqa: E731
+
+    keys = [*cohort_cols, "attribute"]
+    base = melted.groupBy(*keys).agg(
+        F.count("value").alias("n"),
+        pct(0.5).alias("median"),
+        pct(0.01).alias("p01"),
+        pct(0.25).alias("p25"),
+        pct(0.75).alias("p75"),
+        pct(0.99).alias("p99"),
+        F.avg("value").alias("mean"),
+        F.stddev_samp("value").alias("std"),
+    )
+    # Second pass: MAD = median(|x - median|) per (cohort, attribute).
+    mad = (
+        melted.join(F.broadcast(base.select(*keys, "median")), on=keys)
+        .withColumn("absdev", F.abs(F.col("value") - F.col("median")))
+        .groupBy(*keys)
+        .agg(
+            (F.expr("percentile(absdev, 0.5)") if exact else F.percentile_approx("absdev", 0.5, accuracy)).alias(
+                "mad"
+            )
+        )
+    )
+    return base.join(mad, on=keys)
+
+
+def fit_categorical_models(
+    df: DataFrame,
+    cohort_cols: list[str],
+    attr_col: str,
+    rare_frac: float = 0.01,
+) -> DataFrame:
+    """Per cohort: value histogram of `attr_col` + rare-value flags.
+
+    One row per (cohort, value) with count, frac, is_rare — bdqc's
+    categorical DataModel (rare/unique values are deviation suspects).
+    """
+    counts = df.groupBy(*cohort_cols, attr_col).agg(F.count(F.lit(1)).alias("cnt"))
+    totals = counts.groupBy(*cohort_cols).agg(F.sum("cnt").alias("total"))
+    return (
+        counts.join(F.broadcast(totals), on=list(cohort_cols))
+        .withColumn("frac", F.col("cnt") / F.col("total"))
+        .withColumn("is_rare", F.col("frac") < F.lit(rare_frac))
+    )
+
+
+def score_deviations(
+    df: DataFrame,
+    models: DataFrame,
+    cohort_cols: list[str],
+    attr_cols: list[str],
+    z_threshold: float = 4.0,
+    id_cols: list[str] | None = None,
+) -> DataFrame:
+    """Robust z-score every attribute against its cohort model.
+
+    Output: df's id/cohort cols + per-attr `<attr>_z` columns +
+    `rule_hits: array<string>` (sorted, deterministic) +
+    `keep = (no hits)` — bdqc's per-file deviation list + flag
+    (KB.pm getOutliers/showOutliers), expressed as one broadcast
+    join + pure column arithmetic (zero shuffles on `df`).
+    """
+    id_cols = id_cols or []
+    # Pivot the long model table to wide (median_<a>, mad_<a>) — tiny.
+    wide = models.groupBy(*cohort_cols).pivot("attribute", attr_cols).agg(
+        F.first("median").alias("median"), F.first("mad").alias("mad")
+    )
+    scored = df.join(F.broadcast(wide), on=list(cohort_cols), how="left")
+    hit_exprs = []
+    for a in attr_cols:
+        med, mad = F.col(f"{a}_median"), F.col(f"{a}_mad")
+        # Degenerate spread (mad=0): fall back to exact-match test —
+        # any deviation from the median is a hit (bdqc flags any
+        # deviation when the cohort is constant).
+        z = F.when(mad > 0, F.abs(F.col(a) - med) / (F.lit(MAD_TO_SIGMA) * mad)).otherwise(
+            F.when(F.col(a) == med, F.lit(0.0)).otherwise(F.lit(float("inf")))
+        )
+        scored = scored.withColumn(f"{a}_z", z)
+        hit_exprs.append(
+            F.when(F.col(f"{a}_z") > F.lit(z_threshold), F.lit(f"robust_z:{a}")).otherwise(F.lit(None))
+        )
+    scored = scored.withColumn(
+        "rule_hits", F.array_sort(F.filter(F.array(*hit_exprs), lambda x: x.isNotNull()))
+    ).withColumn("keep", F.size("rule_hits") == 0)
+    keep_cols = [*id_cols, *cohort_cols, *[f"{a}_z" for a in attr_cols], "rule_hits", "keep"]
+    return scored.select(*keep_cols)
+
+
+def infer_column_types(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """Per-column observed type profile (bdqc Tabular.pm inference).
+
+    For every column: n, n_null, n_empty, frac_int_like, frac_num_like,
+    n_distinct (approx), inferred ∈ {empty,int,real,categorical,text}.
+    Single aggregation pass over the table (all columns at once).
+    """
+    columns = columns or df.columns
+    aggs = []
+    for c in columns:
+        s = F.col(c).cast("string")
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__n"),
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}__n_null"),
+            F.sum(F.when(F.trim(s) == "", 1).otherwise(0)).alias(f"{c}__n_empty"),
+            F.sum(F.when(s.rlike(r"^-?\d+$"), 1).otherwise(0)).alias(f"{c}__n_int"),
+            F.sum(F.when(s.rlike(r"^-?\d+(\.\d+)?([eE][+-]?\d+)?$"), 1).otherwise(0)).alias(f"{c}__n_num"),
+            F.approx_count_distinct(c).alias(f"{c}__n_distinct"),
+            F.avg(F.length(s)).alias(f"{c}__avg_len"),
+        ]
+    row = df.agg(*aggs).collect()[0].asDict()
+    spark = df.sparkSession
+    out = []
+    for c in columns:
+        n = row[f"{c}__n"]
+        n_null, n_empty = row[f"{c}__n_null"], row[f"{c}__n_empty"]
+        n_val = max(n - n_null, 1)
+        fi, fn = row[f"{c}__n_int"] / n_val, row[f"{c}__n_num"] / n_val
+        nd = row[f"{c}__n_distinct"]
+        if n_null + n_empty == n:
+            inferred = "empty"
+        elif fi > 0.99:
+            inferred = "int"
+        elif fn > 0.99:
+            inferred = "real"
+        elif nd <= max(20, 0.02 * n):
+            inferred = "categorical"
+        else:
+            inferred = "text"
+        out.append(
+            (c, n, n_null, n_empty, float(fi), float(fn), nd, float(row[f"{c}__avg_len"] or 0.0), inferred)
+        )
+    return spark.createDataFrame(
+        out,
+        "column string, n long, n_null long, n_empty long, frac_int_like double, "
+        "frac_num_like double, n_distinct long, avg_len double, inferred string",
+    )

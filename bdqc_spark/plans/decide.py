@@ -1,0 +1,97 @@
+"""Stage 4 — decisions: rules + scrub (SURVEY.md §3.2 stage 4).
+
+bdqc analogue: getOutliers/showOutliers (lib/BDQC/KB.pm,
+reconstructed) — per-file deviation list + flag. Here: broadcast the
+KB-sized cohort_models table onto the profiled rows (map-side only,
+the big table is NOT shuffled), evaluate the compiled rule
+expressions, and emit the `decisions` state table with the scrubbed
+transcript. Everything below is Catalyst expressions — zero Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from bdqc_spark.functions.scrub import n_edits_column, scrub_column
+from bdqc_spark.plans.models import COHORT_COLS
+from bdqc_spark.plans.rules import DEVIATION_RULES, STATIC_RULES, DeviationRule, StaticRule
+
+
+def flatten_profiles(profiles: DataFrame) -> DataFrame:
+    """Explode the nested signature structs into the flat namespace
+    the rule expressions reference."""
+    extra = [c for c in ("bucket",) if c in profiles.columns]
+    return profiles.select(
+        "clip_id",
+        *extra,
+        "codec",
+        "sr_hz",
+        "dur_ms",
+        "transcript",
+        F.col("lang.pred").alias("lang_pred"),
+        F.col("lang.conf").alias("conf"),
+        F.col("lang.ppl").alias("ppl"),
+        F.col("audio.pcm_ok").alias("pcm_ok"),
+        F.col("audio.dur_ms_decoded").alias("dur_ms_decoded"),
+        F.col("audio.rms").alias("rms"),
+        F.col("audio.clip_rate").alias("clip_rate"),
+        F.col("text.n_tokens").alias("n_tokens"),
+        F.col("text.max_run").alias("max_run"),
+    )
+
+
+def decide(
+    profiles: DataFrame,
+    cohort_models: DataFrame,
+    static_rules: tuple[StaticRule, ...] = STATIC_RULES,
+    deviation_rules: tuple[DeviationRule, ...] = DEVIATION_RULES,
+) -> DataFrame:
+    """profiles + models → decisions(clip_id[, bucket], keep,
+    rule_hits, scrubbed_transcript, n_scrub_edits)."""
+    flat = flatten_profiles(profiles)
+
+    hit_exprs = [
+        F.when(F.expr(r.expr), F.lit(r.rule_id)).otherwise(F.lit(None)) for r in static_rules
+    ]
+
+    if deviation_rules:
+        attrs = sorted({r.attribute for r in deviation_rules})
+        wide = (
+            cohort_models.where(F.col("attribute").isin(attrs))
+            .groupBy(*COHORT_COLS)
+            .pivot("attribute", attrs)
+            .agg(F.first("median").alias("median"), F.first("mad").alias("mad"))
+        )
+        flat = flat.join(F.broadcast(wide), on=COHORT_COLS, how="left")
+        for r in deviation_rules:
+            med, mad = F.col(f"{r.attribute}_median"), F.col(f"{r.attribute}_mad")
+            x = F.col(r.attribute).cast("double")
+            z = F.when(
+                mad > 0, F.abs(x - med) / (F.lit(1.4826) * mad)
+            ).otherwise(F.when(x == med, F.lit(0.0)).otherwise(F.lit(float("inf"))))
+            # A clip in a cohort too small to model (mad null) is not
+            # flagged by deviation rules — matches bdqc, which skips
+            # models for tiny cohorts.
+            hit_exprs.append(
+                F.when(med.isNotNull() & (z > F.lit(r.z_threshold)), F.lit(r.rule_id)).otherwise(
+                    F.lit(None)
+                )
+            )
+
+    extra = [c for c in ("bucket",) if c in flat.columns]
+    return (
+        flat.withColumn(
+            "rule_hits", F.array_sort(F.filter(F.array(*hit_exprs), lambda x: x.isNotNull()))
+        )
+        .withColumn("keep", F.size("rule_hits") == 0)
+        .withColumn(
+            "scrubbed_transcript",
+            F.when(F.col("keep"), scrub_column(F.col("transcript"))).otherwise(F.lit(None)),
+        )
+        .withColumn(
+            "n_scrub_edits",
+            F.when(F.col("keep"), n_edits_column(F.col("transcript"))).otherwise(F.lit(0)).cast("int"),
+        )
+        .select("clip_id", *extra, "keep", "rule_hits", "scrubbed_transcript", "n_scrub_edits")
+    )

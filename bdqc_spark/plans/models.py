@@ -1,0 +1,37 @@
+"""Stage 2/3 — cohort model fitting (SURVEY.md §3.2 stages 2-3).
+
+bdqc analogue: collateSignatures + calcModels (lib/BDQC/KB.pm →
+DataModel/Scalar.pm, reconstructed): per (fileType, attribute)
+robust center+spread. Here the cohort is (codec, lang_pred) and the
+fit is two shuffle-aggregated passes (quantiles, then MAD) via
+operators.stats.fit_numeric_models. Output is the `cohort_models`
+state table (FIXTURES.md §3) — a few hundred rows regardless of
+input scale, which is why scoring can broadcast it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from bdqc_spark.operators.stats import fit_numeric_models
+
+COHORT_COLS = ["codec", "lang_pred"]
+
+# Attributes modeled per cohort (robust-z rules read these).
+MODEL_ATTRS = ["dur_ms", "ppl", "rms", "n_tokens"]
+
+
+def fit_cohort_models(profiles: DataFrame, exact: bool = False) -> DataFrame:
+    """profiles → cohort_models(codec, lang_pred, attribute, n, median,
+    mad, p01, p25, p75, p99, mean, std)."""
+    flat = profiles.select(
+        F.col("codec"),
+        F.col("lang.pred").alias("lang_pred"),
+        F.col("dur_ms").cast("double").alias("dur_ms"),
+        # +inf perplexities (empty transcripts) would poison quantiles.
+        F.when(F.col("lang.ppl") < float("inf"), F.col("lang.ppl")).alias("ppl"),
+        F.col("audio.rms").alias("rms"),
+        F.col("text.n_tokens").cast("double").alias("n_tokens"),
+    )
+    return fit_numeric_models(flat, COHORT_COLS, MODEL_ATTRS, exact=exact)

@@ -1,0 +1,60 @@
+"""Keep/drop rules as *data* (SURVEY.md §2.A A15, §2.B D3).
+
+bdqc's extension point is plugins discovered by name; the engine's
+equivalent is declarative rule specs — (rule_id, SQL boolean
+expression) for static heuristics, (rule_id, attribute, z-threshold)
+for robust-deviation rules fit from cohort models. The rule compiler
+turns both into Catalyst expressions; adding a rule is adding a row
+here (or loading a JSON list), not writing code.
+
+Threshold constants are FROZEN — the single-node oracle
+(bdqc_spark/synth/oracle.py) imports them so engine and oracle can
+never drift.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+# Frozen thresholds (shared with the oracle).
+DUR_MISMATCH_MS = 50  # |dur_ms - decoded| tolerance, plus 10% relative
+RMS_SILENT = 1e-3
+CLIP_RATE_MAX = 0.2
+PPL_MAX = 50_000.0
+CONF_MIN = 0.5
+MAX_RUN = 20
+VALID_SR = (8000, 16000, 22050, 44100)
+ROBUST_Z = 6.0
+
+
+@dataclass(frozen=True)
+class StaticRule:
+    rule_id: str
+    expr: str  # Spark SQL boolean expression over the flat profile
+
+
+@dataclass(frozen=True)
+class DeviationRule:
+    rule_id: str
+    attribute: str  # must exist in cohort_models
+    z_threshold: float
+
+
+STATIC_RULES: tuple[StaticRule, ...] = (
+    StaticRule("audio.decode_failed", "NOT pcm_ok"),
+    StaticRule(
+        "audio.dur_mismatch",
+        f"pcm_ok AND abs(dur_ms - dur_ms_decoded) > greatest({DUR_MISMATCH_MS}, 0.1 * dur_ms)",
+    ),
+    StaticRule("audio.silent", f"pcm_ok AND rms < {RMS_SILENT}"),
+    StaticRule("audio.clipping", f"pcm_ok AND clip_rate > {CLIP_RATE_MAX}"),
+    StaticRule("meta.sr_invalid", f"sr_hz NOT IN {VALID_SR}"),
+    StaticRule("text.empty", "n_tokens = 0"),
+    StaticRule("text.high_ppl", f"ppl > {PPL_MAX}"),
+    StaticRule("text.lang_conf_low", f"n_tokens > 0 AND conf < {CONF_MIN}"),
+    StaticRule("text.max_run", f"max_run >= {MAX_RUN}"),
+)
+
+DEVIATION_RULES: tuple[DeviationRule, ...] = (
+    DeviationRule("robust_z.dur_ms", "dur_ms", ROBUST_Z),
+)

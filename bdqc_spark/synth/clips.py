@@ -1,0 +1,160 @@
+"""Deterministic synthetic `clips` corpus (FIXTURES.md §1).
+
+Every clip is generated from rng = default_rng([seed, i]) — a pure
+function of (seed, clip index) — so generation is order-independent
+and can run distributed (mapInPandas over a range) or single-node
+(the oracle's pandas path) and produce IDENTICAL bytes. This is the
+sandbox stand-in for the 10^12-clip Iceberg corpus sample
+(BASELINE.json:2); skews (codec 80/10/5/5, lang 60/15/10/10/5)
+deliberately exercise the salted-repartition path.
+
+Anomaly classes (FIXTURES.md §1 A-F), disjoint by construction —
+class drawn first, one per clip:
+  A corrupt bytes        → audio.decode_failed
+  B dur_ms cohort outlier→ robust_z.dur_ms
+  C gibberish/empty text → text.high_ppl / text.empty
+  D metadata mismatch    → audio.dur_mismatch / meta.sr_invalid
+  E mixed-language text  → text.lang_conf_low (same scorer both sides)
+  F = clean rows with PII/toxicity injected (keep=True, scrub edits>0)
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from bdqc_spark.functions.audio import encode
+from bdqc_spark.functions.langid import LANGS, LEXICONS, synth_sentence
+
+CODECS_P = (("pcm_s16le", 0.80), ("pcm_f32le", 0.10), ("ulaw", 0.05), ("alaw", 0.05))
+LANGS_P = (("en", 0.60), ("es", 0.15), ("de", 0.10), ("fr", 0.10), ("zh", 0.05))
+SR_P = ((8000, 0.10), (16000, 0.70), (22050, 0.10), (44100, 0.10))
+
+ANOMALY_P = 0.015  # per class A..E
+PII_P = 0.06
+TOX_P = 0.04
+
+CLIPS_SCHEMA = (
+    "clip_id string, bytes binary, sr_hz int, dur_ms int, codec string, "
+    "transcript string, lang_true string, anomaly string"
+)
+
+
+def _choice(rng: np.random.Generator, pairs) -> object:
+    vals, ps = zip(*pairs)
+    return vals[int(rng.choice(len(vals), p=np.array(ps) / sum(ps)))]
+
+
+def _synth_pcm(rng: np.random.Generator, sr: int, dur_ms: int) -> np.ndarray:
+    n = max(int(sr * dur_ms / 1000), 1)
+    t = np.arange(n) / sr
+    k = int(rng.integers(1, 4))
+    pcm = np.zeros(n)
+    for _ in range(k):
+        f = float(rng.uniform(100, min(3000, sr / 2 - 100)))
+        a = float(rng.uniform(0.1, 0.8 / k))
+        pcm += a * np.sin(2 * np.pi * f * t + float(rng.uniform(0, 2 * np.pi)))
+    pcm += rng.normal(0, float(rng.uniform(0.005, 0.03)), size=n)
+    return np.clip(pcm, -1.0, 1.0)
+
+
+def _gen_one(seed: int, i: int) -> dict:
+    rng = np.random.default_rng([seed, i])
+    lang = _choice(rng, LANGS_P)
+    codec = _choice(rng, CODECS_P)
+    sr = int(_choice(rng, SR_P))
+    dur_ms = int(np.clip(rng.lognormal(7.4, 0.4), 300, 6000))
+
+    u = rng.random()
+    anomaly = ""
+    for cls, lo in (("A", 0.0), ("B", 1.0), ("C", 2.0), ("D", 3.0), ("E", 4.0)):
+        if lo * ANOMALY_P <= u < (lo + 1) * ANOMALY_P:
+            anomaly = cls
+    if anomaly == "B":
+        # Cohort outlier duration; keep sr low to bound payload size.
+        sr = 8000
+        dur_ms = int(rng.uniform(25000, 40000))
+
+    # transcript
+    n_sent = int(rng.integers(1, 4))
+    transcript = " ".join(synth_sentence(rng, lang) for _ in range(n_sent))
+    if anomaly == "C":
+        if rng.random() < 0.3:
+            transcript = "   " if rng.random() < 0.5 else ""
+        else:
+            transcript = "".join(
+                chr(int(c)) for c in rng.integers(33, 126, size=int(rng.integers(40, 120)))
+            )
+    elif anomaly == "E":
+        other = LANGS[(LANGS.index(lang) + 1 + int(rng.integers(0, 4))) % len(LANGS)]
+        w1 = synth_sentence(rng, lang, 8).split()
+        w2 = synth_sentence(rng, other, 8).split()
+        mixed = [w for pair in zip(w1, w2) for w in pair]
+        transcript = " ".join(mixed)
+    else:
+        if rng.random() < PII_P:
+            kind = int(rng.integers(0, 4))
+            name = LEXICONS["en"][int(rng.integers(0, 40))]
+            pii = (
+                f"contact {name}{int(rng.integers(10,99))}@example.com",
+                f"call {int(rng.integers(200,999))}-{int(rng.integers(200,999))}-{int(rng.integers(1000,9999))}",
+                f"ssn {int(rng.integers(100,999))}-{int(rng.integers(10,99))}-{int(rng.integers(1000,9999))}",
+                f"ip {int(rng.integers(1,255))}.{int(rng.integers(0,255))}.{int(rng.integers(0,255))}.{int(rng.integers(1,255))}",
+            )[kind]
+            transcript = f"{transcript} {pii}"
+        if rng.random() < TOX_P:
+            tox = ("frak", "gorram", "smeg", "belgium")[int(rng.integers(0, 4))]
+            words = transcript.split()
+            pos = int(rng.integers(0, max(len(words), 1)))
+            words.insert(pos, tox)
+            transcript = " ".join(words)
+
+    pcm = _synth_pcm(rng, sr, dur_ms)
+    raw = encode(pcm, codec)
+
+    if anomaly == "A":
+        # Corrupt payload: empty or odd-length truncation.
+        # odd-length prefix → fails the %2 (s16) and %4 (f32) checks
+        raw = b"" if rng.random() < 0.5 else raw[: (max(len(raw) // 3, 2) | 1)]
+        if codec in ("ulaw", "alaw"):
+            raw = b""  # any byte string decodes under G.711 → force failure
+    elif anomaly == "D":
+        if rng.random() < 0.5:
+            dur_ms = int(dur_ms * 2 + 500)  # lies about duration
+        else:
+            sr = 12345  # implausible sample rate
+
+    return {
+        "clip_id": f"clip-{i:012d}",
+        "bytes": raw,
+        "sr_hz": sr,
+        "dur_ms": dur_ms,
+        "codec": codec,
+        "transcript": transcript,
+        "lang_true": lang,
+        "anomaly": anomaly,
+    }
+
+
+def generate_clips_pandas(n: int, seed: int = 42, start: int = 0) -> pd.DataFrame:
+    rows = [_gen_one(seed, i) for i in range(start, start + n)]
+    return pd.DataFrame(rows)
+
+
+def generate_clips_df(spark, n: int, seed: int = 42, include_labels: bool = False):
+    """Distributed generation: spark.range(n) → mapInPandas(_gen_one).
+    Deterministic regardless of partitioning (per-index rng)."""
+    from pyspark.sql import functions as F
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            yield pd.DataFrame([_gen_one(seed, int(i)) for i in b["id"]])
+
+    df = spark.range(n).repartition(max(spark.sparkContext.defaultParallelism, 8)).mapInPandas(
+        gen, CLIPS_SCHEMA
+    )
+    if not include_labels:
+        df = df.drop("lang_true", "anomaly")
+    return df

@@ -1,0 +1,148 @@
+"""Single-node oracle — the executable spec of the reference
+semantics (SURVEY.md §5.2 ring 3).
+
+Pure numpy/pandas, no Spark: decodes every clip, profiles it, fits
+EXACT per-cohort median/MAD, applies the same frozen rule thresholds
+(bdqc_spark.plans.rules) and the same frozen scrub chain, and emits
+`clips_golden` (FIXTURES.md §2). The Spark pipeline must match its
+keep/drop at F1≥0.99 and its scrubbed transcript exactly
+(BASELINE.json:2). Shared leaf functions (codecs, langid, ppl,
+scrub) are imported from the same modules the Spark UDFs use — the
+leaf math IS the spec; what this oracle independently re-derives is
+the *dataflow* (profile → exact robust stats → rules), which is what
+the distributed engine could get wrong.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import itertools
+import re
+
+import numpy as np
+import pandas as pd
+
+from bdqc_spark.functions import audio
+from bdqc_spark.functions.langid import predict_batch
+from bdqc_spark.functions.lm import perplexity_batch
+from bdqc_spark.functions.scrub import scrub_python
+from bdqc_spark.plans import rules as R
+
+
+def _text_stats(t: str) -> tuple[int, int]:
+    """(n_tokens, max_run) — mirrors functions/text.py expressions."""
+    toks = re.findall(r"[^ \t\n\r]+", t)
+    max_run = 0
+    for _, g in itertools.groupby(t):
+        max_run = max(max_run, sum(1 for _ in g))
+    return len(toks), max_run
+
+
+def oracle_labels(clips: pd.DataFrame) -> pd.DataFrame:
+    """clips (pandas, incl. bytes) → clips_golden."""
+    n = len(clips)
+    pcm_ok = np.zeros(n, dtype=bool)
+    dur_dec = np.zeros(n, dtype=np.int64)
+    rms = np.zeros(n)
+    clip_rate = np.zeros(n)
+    pcm_sha = np.empty(n, dtype=object)
+    for i, (raw, codec, sr) in enumerate(
+        zip(clips["bytes"].to_numpy(object), clips["codec"], clips["sr_hz"])
+    ):
+        pcm_sha[i] = ""
+        if raw is None or codec not in audio.CODECS or not sr or sr <= 0:
+            continue
+        try:
+            pcm = audio.decode(bytes(raw), codec)
+        except (ValueError, TypeError):
+            continue
+        pcm_ok[i] = True
+        dur_dec[i] = int(round(len(pcm) * 1000.0 / sr))
+        rms[i] = float(np.sqrt(np.mean(pcm**2))) if len(pcm) else 0.0
+        clip_rate[i] = float(np.mean(np.abs(pcm) >= 0.999)) if len(pcm) else 0.0
+        pcm_sha[i] = hashlib.sha256(np.ascontiguousarray(pcm).tobytes()).hexdigest()
+
+    lang = predict_batch(clips["transcript"])
+    ppl = perplexity_batch(clips["transcript"])
+    stats = [_text_stats(t if isinstance(t, str) else "") for t in clips["transcript"]]
+    n_tokens = np.array([s[0] for s in stats])
+    max_run = np.array([s[1] for s in stats])
+
+    df = pd.DataFrame(
+        {
+            "clip_id": clips["clip_id"].to_numpy(),
+            "codec": clips["codec"].to_numpy(),
+            "sr_hz": clips["sr_hz"].to_numpy(),
+            "dur_ms": clips["dur_ms"].to_numpy(),
+            "transcript": clips["transcript"].to_numpy(),
+            "lang_pred": lang["pred"].to_numpy(),
+            "conf": lang["conf"].to_numpy(),
+            "ppl": ppl,
+            "pcm_ok": pcm_ok,
+            "dur_ms_decoded": dur_dec,
+            "rms": rms,
+            "clip_rate": clip_rate,
+            "n_tokens": n_tokens,
+            "max_run": max_run,
+            "pcm_sha256": pcm_sha,
+        }
+    )
+
+    # Exact per-cohort robust stats for the deviation rule(s).
+    g = df.groupby(["codec", "lang_pred"])["dur_ms"]
+    med = g.transform("median").astype(float)
+    mad = (df["dur_ms"].astype(float) - med).abs().groupby(
+        [df["codec"], df["lang_pred"]]
+    ).transform("median")
+    with np.errstate(divide="ignore", invalid="ignore"):
+        z = np.where(
+            mad > 0,
+            (df["dur_ms"].astype(float) - med).abs() / (1.4826 * mad),
+            np.where(df["dur_ms"].astype(float) == med, 0.0, np.inf),
+        )
+
+    hits: list[list[str]] = [[] for _ in range(n)]
+
+    def add(mask: np.ndarray, rule_id: str) -> None:
+        for i in np.flatnonzero(np.asarray(mask)):
+            hits[i].append(rule_id)
+
+    add(~df["pcm_ok"], "audio.decode_failed")
+    add(
+        df["pcm_ok"]
+        & (
+            (df["dur_ms"] - df["dur_ms_decoded"]).abs()
+            > np.maximum(R.DUR_MISMATCH_MS, 0.1 * df["dur_ms"])
+        ),
+        "audio.dur_mismatch",
+    )
+    add(df["pcm_ok"] & (df["rms"] < R.RMS_SILENT), "audio.silent")
+    add(df["pcm_ok"] & (df["clip_rate"] > R.CLIP_RATE_MAX), "audio.clipping")
+    add(~df["sr_hz"].isin(R.VALID_SR), "meta.sr_invalid")
+    add(df["n_tokens"] == 0, "text.empty")
+    add(df["ppl"] > R.PPL_MAX, "text.high_ppl")
+    add((df["n_tokens"] > 0) & (df["conf"] < R.CONF_MIN), "text.lang_conf_low")
+    add(df["max_run"] >= R.MAX_RUN, "text.max_run")
+    add(z > R.ROBUST_Z, "robust_z.dur_ms")
+
+    keep = np.array([len(h) == 0 for h in hits])
+    scrubbed = np.empty(n, dtype=object)
+    for i in range(n):
+        if keep[i]:
+            t = df["transcript"].iloc[i]
+            scrubbed[i], _, _ = scrub_python(t if isinstance(t, str) else "")
+        else:
+            scrubbed[i] = None
+
+    out = pd.DataFrame(
+        {
+            "clip_id": df["clip_id"],
+            "keep": keep,
+            "rule_hits": [sorted(h) for h in hits],
+            "scrubbed_transcript": scrubbed,
+            "pcm_sha256": df["pcm_sha256"],
+        }
+    )
+    if "lang_true" in clips.columns:
+        out["lang_true"] = clips["lang_true"].to_numpy()
+    return out
