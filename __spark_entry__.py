@@ -1,38 +1,1104 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`queries()` exposes one named query per implemented operator from
+SURVEY.md §2.B (+ the training-data ops: dedup, similarity search,
+text analysis); `oracle_sql()` gives the DuckDB-equivalent ANSI SQL
+for every SQL-expressible one. Precision discipline (so the driver's
+order-insensitive value-hash matches): money aggregates go through
+DECIMAL(18,2) (exact, order-independent) then cast to double;
+float-valued expressions are rounded on BOTH sides; timestamps are
+emitted as formatted strings.
+
+Non-SQL-expressible entries (audio decode, langid, minhash, the full
+clips pipeline) have no oracle entry → driver records rows-only;
+their semantics are pytest-verified against the single-node oracle
+(tests/, bdqc_spark/synth/oracle.py).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+import pandas as pd  # noqa: F401  (resolves UDF type hints)
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from bdqc_spark.functions import text as TX  # noqa: E402
+from bdqc_spark.functions.scrub import SCRUB_RULES  # noqa: E402
+from bdqc_spark.operators.joins import salted_join  # noqa: E402
+from bdqc_spark.operators.topk import top_k_per_group  # noqa: E402
+from bdqc_spark.shipping import ensure_shipped  # noqa: E402
+
+SF0001 = "/root/testdata/sf0.001"
 
 
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _dec(c, scale=2):
+    return F.col(c).cast(f"decimal(18,{scale})")
+
+
+# ===========================================================================
+# entry — flagship query (the bdqc semantic loop in miniature):
+# profile documents → per-cohort robust models → deviation flags.
+# ===========================================================================
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q_qc_documents_keepdrop(spark, SF0001)
 
 
+# ===========================================================================
+# Query implementations. Each: (spark, sf_dir) -> DataFrame
+# ===========================================================================
+
+# ---- flagship: profile → model → flag over documents (A3/A8/A10/A11) -----
+def q_qc_documents_keepdrop(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    prof = docs.select(
+        "doc_id",
+        "lang",
+        F.length("text").cast("double").alias("n_chars_obs"),
+        TX.n_tokens(F.col("text")).alias("n_tokens"),
+    )
+    med = prof.groupBy("lang").agg(F.expr("percentile(n_chars_obs, 0.5)").alias("med"))
+    mad = (
+        prof.join(F.broadcast(med), "lang")
+        .withColumn("absdev", F.abs(F.col("n_chars_obs") - F.col("med")))
+        .groupBy("lang")
+        .agg(F.expr("percentile(absdev, 0.5)").alias("mad"))
+    )
+    models = med.join(mad, "lang")
+    z = F.when(
+        F.col("mad") > 0, F.abs(F.col("n_chars_obs") - F.col("med")) / (F.lit(1.4826) * F.col("mad"))
+    ).otherwise(F.lit(0.0))
+    return (
+        prof.join(F.broadcast(models), "lang")
+        .withColumn("z_chars", F.round(z, 4))
+        .withColumn("keep", (z <= 4.0) & (F.col("n_tokens") > 0))
+        .select("doc_id", "lang", "z_chars", "keep")
+    )
+
+
+ORACLE_QC_DOCUMENTS = """
+WITH prof AS (
+  SELECT doc_id, lang, CAST(length(text) AS DOUBLE) AS n_chars_obs,
+         len(regexp_extract_all(text, '[^ \t\n\r]+')) AS n_tokens
+  FROM documents
+), med AS (
+  SELECT lang, quantile_cont(n_chars_obs, 0.5) AS med FROM prof GROUP BY lang
+), mad AS (
+  SELECT p.lang, quantile_cont(abs(p.n_chars_obs - m.med), 0.5) AS mad
+  FROM prof p JOIN med m USING (lang) GROUP BY p.lang
+)
+SELECT p.doc_id, p.lang,
+       round(CASE WHEN d.mad > 0
+             THEN abs(p.n_chars_obs - m.med) / (1.4826 * d.mad) ELSE 0.0 END, 4) AS z_chars,
+       (CASE WHEN d.mad > 0
+             THEN abs(p.n_chars_obs - m.med) / (1.4826 * d.mad) ELSE 0.0 END) <= 4.0
+        AND p.n_tokens > 0 AS keep
+FROM prof p JOIN med m USING (lang) JOIN mad d ON p.lang = d.lang
+"""
+
+
+# ---- S1/P1/P2: scan + project + filter (pushdown-friendly) ----------------
+def q_scan_project_filter(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where((F.col("l_quantity") > 45) & (F.col("l_returnflag") == "R"))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_quantity",
+            F.round((_dec("l_extendedprice") * (1 - _dec("l_discount"))).cast("double"), 4).alias(
+                "net_price"
+            ),
+        )
+    )
+
+
+ORACLE_SCAN = """
+SELECT l_orderkey, l_linenumber, l_quantity,
+       round(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE), 4) AS net_price
+FROM lineitem WHERE l_quantity > 45 AND l_returnflag = 'R'
+"""
+
+
+# ---- P3: regex predicate ---------------------------------------------------
+def q_regex_filter(spark, sf_dir):
+    part = _t(spark, sf_dir, "part")
+    return part.where(
+        F.col("p_type").rlike("^(PROMO|ECONOMY)") & F.col("p_name").rlike("[aeiou]{2}")
+    ).select("p_partkey", "p_name", "p_type")
+
+
+ORACLE_REGEX = """
+SELECT p_partkey, p_name, p_type FROM part
+WHERE regexp_matches(p_type, '^(PROMO|ECONOMY)')
+  AND regexp_matches(p_name, '[aeiou]{2}')
+"""
+
+
+# ---- P4: dedup hygiene (distinct projection) -------------------------------
+def q_distinct_projection(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.select("o_custkey", "o_orderstatus").distinct()
+
+
+ORACLE_DISTINCT = "SELECT DISTINCT o_custkey, o_orderstatus FROM orders"
+
+
+# ---- G1: hash aggregate (TPC-H Q1 pricing summary) -------------------------
+def q_agg_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(
+                (_dec("l_extendedprice") * (1 - _dec("l_discount"))).cast("decimal(28,4)")
+            ).cast("double").alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+            F.round(
+                F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_qty"),
+        )
+    )
+
+
+ORACLE_Q1 = """
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,4))) AS DOUBLE) AS sum_disc_price,
+  COUNT(*) AS count_order,
+  round(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_qty
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# ---- J1: broadcast hash join ------------------------------------------------
+def q_join_broadcast(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(_dec("l_quantity")).cast("double").alias("total_qty"),
+        )
+    )
+
+
+ORACLE_JOIN_BC = """
+SELECT p_brand, COUNT(*) AS n_items,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+"""
+
+
+# ---- J2: shuffle join (large-large) -----------------------------------------
+def q_join_shuffle(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("revenue"),
+        )
+    )
+
+
+ORACLE_JOIN_SHUFFLE = """
+SELECT c_mktsegment, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+# ---- J3: left outer join ----------------------------------------------------
+def q_join_left(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+ORACLE_JOIN_LEFT = """
+SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey
+"""
+
+
+# ---- J4: left semi ----------------------------------------------------------
+def q_join_semi(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 300000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+ORACLE_JOIN_SEMI = """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+"""
+
+
+# ---- J5: left anti (incremental not-yet-processed semantics) ----------------
+def q_join_anti(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 250000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_nationkey")
+
+
+ORACLE_JOIN_ANTI = """
+SELECT c_custkey, c_nationkey FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 250000)
+"""
+
+
+# ---- J6: theta/range join ----------------------------------------------------
+def q_join_theta(spark, sf_dir):
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        n.join(r, n.n_regionkey < r.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.count(F.lit(1)).alias("n_nations_below"))
+    )
+
+
+ORACLE_JOIN_THETA = """
+SELECT r_name, COUNT(*) AS n_nations_below
+FROM nation JOIN region ON n_regionkey < r_regionkey
+GROUP BY r_name
+"""
+
+
+# ---- J7: salted skew join == plain join --------------------------------------
+def q_join_salted(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    dim = (
+        li.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("flag_total"))
+    )  # small dim keyed on the skewed column
+    joined = salted_join(li.select("l_orderkey", "l_returnflag", "l_quantity"), dim, ["l_returnflag"], num_salts=8)
+    return joined.groupBy("l_returnflag", "flag_total").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+    )
+
+
+ORACLE_JOIN_SALTED = """
+WITH dim AS (SELECT l_returnflag, COUNT(*) AS flag_total FROM lineitem GROUP BY l_returnflag)
+SELECT l.l_returnflag, d.flag_total, COUNT(*) AS n_rows,
+       CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM lineitem l JOIN dim d USING (l_returnflag)
+GROUP BY l.l_returnflag, d.flag_total
+"""
+
+
+# ---- G2: distinct counts ------------------------------------------------------
+def q_distinct_counts(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+ORACLE_DISTINCT_COUNTS = """
+SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_customers, COUNT(*) AS n_orders
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+# ---- G3/G4: quantiles + MAD (robust stats, the bdqc model fit) ---------------
+def q_quantiles_mad(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    med = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.5)").alias("median_price"),
+        F.expr("percentile(l_extendedprice, 0.25)").alias("p25"),
+        F.expr("percentile(l_extendedprice, 0.75)").alias("p75"),
+    )
+    mad = (
+        li.join(F.broadcast(med), "l_returnflag")
+        .withColumn("absdev", F.abs(F.col("l_extendedprice") - F.col("median_price")))
+        .groupBy("l_returnflag")
+        .agg(F.expr("percentile(absdev, 0.5)").alias("mad"))
+    )
+    return (
+        med.join(mad, "l_returnflag")
+        .select(
+            "l_returnflag",
+            F.round("median_price", 4).alias("median_price"),
+            F.round("p25", 4).alias("p25"),
+            F.round("p75", 4).alias("p75"),
+            F.round("mad", 4).alias("mad"),
+        )
+    )
+
+
+ORACLE_QUANTILES = """
+WITH med AS (
+  SELECT l_returnflag,
+         quantile_cont(l_extendedprice, 0.5) AS median_price,
+         quantile_cont(l_extendedprice, 0.25) AS p25,
+         quantile_cont(l_extendedprice, 0.75) AS p75
+  FROM lineitem GROUP BY l_returnflag
+), mad AS (
+  SELECT l.l_returnflag, quantile_cont(abs(l.l_extendedprice - m.median_price), 0.5) AS mad
+  FROM lineitem l JOIN med m USING (l_returnflag) GROUP BY l.l_returnflag
+)
+SELECT l_returnflag, round(median_price,4) AS median_price, round(p25,4) AS p25,
+       round(p75,4) AS p75, round(mad,4) AS mad
+FROM med JOIN mad USING (l_returnflag)
+"""
+
+
+# ---- G5 + W1/W4: histogram top-k per group ------------------------------------
+def q_topk_per_group(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    counts = p.groupBy("p_brand", "p_type").agg(F.count(F.lit(1)).alias("n"))
+    top = top_k_per_group(counts, ["p_brand"], [F.desc("n"), F.asc("p_type")], k=2)
+    return top.select("p_brand", "p_type", "n", "rn")
+
+
+ORACLE_TOPK = """
+WITH counts AS (SELECT p_brand, p_type, COUNT(*) AS n FROM part GROUP BY p_brand, p_type),
+ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY p_brand ORDER BY n DESC, p_type ASC) AS rn FROM counts)
+SELECT p_brand, p_type, n, rn FROM ranked WHERE rn <= 2
+"""
+
+
+# ---- G6: rollup ------------------------------------------------------------------
+def q_rollup_metrics(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n",
+        )
+    )
+
+
+ORACLE_ROLLUP = """
+SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+       COALESCE(o_orderpriority, 'ALL') AS priority, COUNT(*) AS n
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
+# ---- G7: collect to nested (sorted, emitted as string for stable hashing) -------
+def q_collect_nested(spark, sf_dir):
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("s_name")), ",").alias("suppliers"),
+            F.count(F.lit(1)).alias("n_suppliers"),
+        )
+    )
+
+
+ORACLE_COLLECT = """
+SELECT n_name, string_agg(s_name, ',' ORDER BY s_name) AS suppliers, COUNT(*) AS n_suppliers
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+# ---- W2: lag/lead analytics --------------------------------------------------------
+def q_window_lag(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.withColumn("prev_value", F.lag("value").over(w))
+        .where(F.col("prev_value").isNotNull())
+        .select(
+            "event_id",
+            "user_id",
+            F.round(F.col("value") - F.col("prev_value"), 6).alias("value_delta"),
+        )
+    )
+
+
+ORACLE_WINDOW_LAG = """
+WITH w AS (
+  SELECT event_id, user_id, value,
+         lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value
+  FROM events
+)
+SELECT event_id, user_id, round(value - prev_value, 6) AS value_delta
+FROM w WHERE prev_value IS NOT NULL
+"""
+
+
+# ---- W3: framed running aggregate ---------------------------------------------------
+def q_window_running(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum(_dec("value", 6)).over(w).cast("double"), 6).alias("running_value"),
+    )
+
+
+ORACLE_WINDOW_RUNNING = """
+SELECT event_id, user_id,
+       round(CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER
+         (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 6) AS running_value
+FROM events
+"""
+
+
+# ---- O1/O2: global sort + limit ------------------------------------------------------
+def q_orderby_limit(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+ORACLE_ORDERBY = """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+"""
+
+
+# ---- U1: union by name ----------------------------------------------------------------
+def q_union_by_name(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey"), F.col("c_acctbal").alias("acctbal"),
+        F.lit("customer").alias("side"),
+    )
+    s = _t(spark, sf_dir, "supplier").select(
+        F.lit("supplier").alias("side"), F.col("s_acctbal").alias("acctbal"),
+        F.col("s_nationkey").alias("nationkey"),
+    )
+    return (
+        c.unionByName(s)
+        .groupBy("side", "nationkey")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(_dec("acctbal")).cast("double").alias("total_bal"))
+    )
+
+
+ORACLE_UNION = """
+WITH u AS (
+  SELECT c_nationkey AS nationkey, c_acctbal AS acctbal, 'customer' AS side FROM customer
+  UNION ALL
+  SELECT s_nationkey, s_acctbal, 'supplier' FROM supplier
+)
+SELECT side, nationkey, COUNT(*) AS n,
+       CAST(SUM(CAST(acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+FROM u GROUP BY side, nationkey
+"""
+
+
+# ---- U2: intersect / except -------------------------------------------------------------
+def q_intersect_except(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    both = c.intersect(s).withColumn("which", F.lit("both"))
+    only_c = c.distinct().exceptAll(s.distinct()).withColumn("which", F.lit("customer_only"))
+    return both.unionByName(only_c)
+
+
+ORACLE_INTERSECT = """
+SELECT nationkey, 'both' AS which FROM
+  (SELECT c_nationkey AS nationkey FROM customer INTERSECT SELECT s_nationkey FROM supplier)
+UNION ALL
+SELECT nationkey, 'customer_only' AS which FROM
+  (SELECT DISTINCT c_nationkey AS nationkey FROM customer
+   EXCEPT SELECT DISTINCT s_nationkey FROM supplier)
+"""
+
+
+# ---- F1: string functions -----------------------------------------------------------------
+def q_string_funcs(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.length("c_name").alias("name_len"),
+        F.upper(F.substring("c_name", 1, 8)).alias("prefix"),
+        F.concat_ws("-", F.lit("cust"), F.col("c_custkey").cast("string")).alias("tag"),
+        F.levenshtein(F.lit("Customer"), F.substring("c_name", 1, 8)).alias("lev"),
+    )
+
+
+ORACLE_STRING = """
+SELECT c_custkey, length(c_name) AS name_len, upper(substr(c_name, 1, 8)) AS prefix,
+       concat('cust', '-', CAST(c_custkey AS VARCHAR)) AS tag,
+       levenshtein('Customer', substr(c_name, 1, 8)) AS lev
+FROM customer
+"""
+
+
+# ---- F3: date/time ---------------------------------------------------------------------------
+def q_datetime_funcs(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias("month"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+ORACLE_DATETIME = """
+SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month, COUNT(*) AS n_orders
+FROM orders GROUP BY 1
+"""
+
+
+# ---- F4: math --------------------------------------------------------------------------------
+def q_math_funcs(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.log(F.col("l_extendedprice") + 1), 6).alias("log_price"),
+        F.round(F.sqrt(F.abs(F.col("l_discount") - 0.05)), 6).alias("sqrt_disc"),
+        F.round(F.pow(F.col("l_tax") + 1, 2), 6).alias("tax_sq"),
+    )
+
+
+ORACLE_MATH = """
+SELECT l_orderkey, l_linenumber,
+       round(ln(l_extendedprice + 1), 6) AS log_price,
+       round(sqrt(abs(l_discount - 0.05)), 6) AS sqrt_disc,
+       round(pow(l_tax + 1, 2), 6) AS tax_sq
+FROM lineitem
+"""
+
+
+# ---- F5: array functions (embeddings) ----------------------------------------------------------
+def q_array_funcs(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    sq_sum = F.aggregate(
+        "embedding", F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+    )
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.sqrt(sq_sum), 5).alias("l2_norm"),
+        F.round(F.element_at("embedding", 1).cast("double"), 5).alias("first_val"),
+    )
+
+
+ORACLE_ARRAY = """
+SELECT vec_id, len(embedding) AS dim,
+       round(sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 5) AS l2_norm,
+       round(CAST(embedding[1] AS DOUBLE), 5) AS first_val
+FROM embeddings
+"""
+
+
+# ---- F6/F7: map + JSON --------------------------------------------------------------------------
+def q_json_funcs(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.withColumn("k", F.get_json_object("props", "$.k").cast("int"))
+        .groupBy("event_type")
+        .agg(F.sum("k").alias("sum_k"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+ORACLE_JSON = """
+SELECT event_type, SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k, COUNT(*) AS n
+FROM events GROUP BY event_type
+"""
+
+
+# ---- F9: conditional dispatch --------------------------------------------------------------------
+def q_conditional(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.withColumn(
+            "weight",
+            F.when(F.col("event_type") == "purchase", 5)
+            .when(F.col("event_type") == "signup", 3)
+            .when(F.col("event_type") == "error", -1)
+            .otherwise(1),
+        )
+        .groupBy("user_id")
+        .agg(F.sum("weight").alias("engagement"))
+    )
+
+
+ORACLE_CONDITIONAL = """
+SELECT user_id,
+       SUM(CASE event_type WHEN 'purchase' THEN 5 WHEN 'signup' THEN 3
+           WHEN 'error' THEN -1 ELSE 1 END) AS engagement
+FROM events GROUP BY user_id
+"""
+
+
+# ---- T1 batch-equiv: tumbling window counts -------------------------------------------------------
+def q_tumbling_window(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+        )
+    )
+
+
+ORACLE_TUMBLING = """
+SELECT strftime(time_bucket(INTERVAL '5 minutes', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type, COUNT(*) AS n
+FROM events GROUP BY 1, 2
+"""
+
+
+# ===========================================================================
+# Training-data pipeline ops (documents / embeddings)
+# ===========================================================================
+
+# ---- text analysis: per-doc stats ------------------------------------------
+def q_doc_text_stats(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        TX.n_chars(t).alias("n_chars_obs"),
+        TX.n_tokens(t).alias("n_tokens"),
+        F.round(TX.frac(TX.n_alpha(t), t), 6).alias("frac_alpha"),
+        F.round(TX.frac(TX.n_digit(t), t), 6).alias("frac_digit"),
+        TX.token_count_bpe_ish(t).alias("bpe_tokens"),
+    )
+
+
+ORACLE_DOC_STATS = """
+SELECT doc_id, length(text) AS n_chars_obs,
+  len(regexp_extract_all(text, '[^ \t\n\r]+')) AS n_tokens,
+  round(CASE WHEN length(text) > 0
+        THEN CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(text)
+        ELSE 0.0 END, 6) AS frac_alpha,
+  round(CASE WHEN length(text) > 0
+        THEN CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / length(text)
+        ELSE 0.0 END, 6) AS frac_digit,
+  list_sum(list_transform(regexp_extract_all(text, '[A-Za-z]+'),
+           w -> greatest(1, CAST(ceil(length(w) / 4.0) AS INT))))
+    + len(regexp_extract_all(text, '[0-9]+|[.,;:!?''"()\\[\\]{}<>@#$%^&*+=/\\\\|~`_-]')) AS bpe_tokens
+FROM documents
+"""
+
+
+# ---- quality filter --------------------------------------------------------
+def q_doc_quality_filter(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", "lang", TX.quality_score(F.col("text")).alias("quality")
+    ).where(F.col("quality") >= 0.7)
+
+
+ORACLE_DOC_QUALITY = """
+WITH q AS (
+  SELECT doc_id, lang,
+    round(
+      0.25 * (CASE WHEN len(regexp_extract_all(text, '[^ \t\n\r]+')) BETWEEN 5 AND 100000 THEN 1.0 ELSE 0.0 END)
+      + 0.25 * least(1.0, (CASE WHEN length(text) > 0 THEN CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(text) ELSE 0.0 END) / 0.6)
+      + 0.2 * (1.0 - least(1.0, (CASE WHEN length(text) > 0 THEN CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / length(text) ELSE 0.0 END) / 0.3))
+      + 0.1 * (1.0 - least(1.0, (CASE WHEN length(text) > 0 THEN CAST(length(text) - length(regexp_replace(text, '[.,;:!?''"()\\[\\]{}<>@#$%^&*+=/\\\\|~`_-]', '', 'g')) AS DOUBLE) / length(text) ELSE 0.0 END) / 0.3))
+      + 0.2 * (CASE WHEN len(regexp_extract_all(lower(text), '[a-z]+')) > 0
+               THEN CAST(len(list_distinct(regexp_extract_all(lower(text), '[a-z]+'))) AS DOUBLE) / len(regexp_extract_all(lower(text), '[a-z]+'))
+               ELSE 0.0 END)
+    , 6) AS quality
+  FROM documents
+)
+SELECT doc_id, lang, quality FROM q WHERE quality >= 0.7
+"""
+
+
+# ---- exact dedup on normalized text -----------------------------------------
+def q_dedup_exact(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    norm = TX.normalized(F.col("text"))
+    return (
+        d.withColumn("norm", norm)
+        .groupBy("norm")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_dupes"))
+        .select("keep_doc_id", "n_dupes")
+    )
+
+
+_NORM_SQL = (
+    "trim(regexp_replace(regexp_replace(lower(text), "
+    "'[.,;:!?''\"()\\[\\]{}<>@#$%^&*+=/\\\\|~`_-]', '', 'g'), '[ \t\n\r]+', ' ', 'g'))"
+)
+
+ORACLE_DEDUP_EXACT = f"""
+SELECT MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_dupes
+FROM documents GROUP BY {_NORM_SQL}
+"""
+
+
+# ---- dedup via 64-bit fingerprint (hash path == exact path) -------------------
+def q_dedup_fingerprint(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.withColumn("fp", TX.fingerprint(F.col("text")))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_dupes"))
+        .select("keep_doc_id", "n_dupes")
+    )
+
+
+# Oracle = the exact-dedup SQL: the xxhash64 fingerprint must induce the
+# same grouping as the normalized text itself (collision-free here).
+ORACLE_DEDUP_FP = ORACLE_DEDUP_EXACT
+
+
+# ---- n-gram Jaccard near-dup pairs -------------------------------------------
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").select("doc_id", TX.normalized(F.col("text")).alias("t"))
+    sh = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.greatest(F.length("t") - F.lit(4), F.lit(1))),
+                    lambda i: F.col("t").substr(i, F.lit(5)),
+                )
+            )
+        ).alias("sh"),
+    ).where(F.length("sh") == 5)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    return (
+        common.join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common")), 6),
+        )
+        .where(F.col("jaccard") >= 0.5)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+ORACLE_DEDUP_NGRAM = f"""
+WITH norm AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, substr(t, CAST(i AS INT), 5) AS sh
+  FROM norm, generate_series(1, 2048) g(i)
+  WHERE i <= greatest(length(t) - 4, 1)
+    AND length(substr(t, CAST(i AS INT), 5)) = 5
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(CAST(common AS DOUBLE) / (sa.sz + sb.sz - common), 6) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) >= 0.5
+"""
+
+
+# ---- brute-force cosine top-k (similarity-search baseline) ---------------------
+def q_similarity_topk(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    dot = F.aggregate(
+        F.zip_with("q_emb", "c_emb", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda col: F.sqrt(  # noqa: E731
+        F.aggregate(col, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
+    )
+    q = e.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    c = e.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb"))
+    scored = (
+        q.join(c, F.col("q_id") != F.col("c_id"))
+        .withColumn("cosine", F.round(dot / (norm(F.col("q_emb")) * norm(F.col("c_emb"))), 6))
+        .select("q_id", "c_id", "cosine")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))
+    return scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= 3)
+
+
+ORACLE_SIMILARITY = """
+WITH pairs AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+    round(
+      list_sum(list_transform(list_zip(q.embedding, c.embedding),
+               p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+      / (sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+       * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+    , 6) AS cosine
+  FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+  WHERE q.vec_id < 10
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id ASC) AS rk
+  FROM pairs
+)
+SELECT q_id, c_id, cosine, rk FROM ranked WHERE rk <= 3
+"""
+
+
+# ---- scrub chain over documents --------------------------------------------------
+def q_scrub_documents(spark, sf_dir):
+    from bdqc_spark.functions.scrub import n_edits_column, scrub_column
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        scrub_column(F.col("text")).alias("scrubbed"),
+        n_edits_column(F.col("text")).cast("int").alias("n_edits"),
+    )
+
+
+def _scrub_sql_chain(col: str) -> str:
+    out = col
+    for r in SCRUB_RULES:
+        pat = r.pattern.replace("'", "''")
+        out = f"regexp_replace({out}, '{pat}', '{r.replacement}', 'g')"
+    return out
+
+
+def _edits_sql_chain(col: str) -> str:
+    terms = []
+    cur = col
+    for r in SCRUB_RULES:
+        pat = r.pattern.replace("'", "''")
+        terms.append(f"len(regexp_extract_all({cur}, '{pat}'))")
+        cur = f"regexp_replace({cur}, '{pat}', '{r.replacement}', 'g')"
+    return " + ".join(terms)
+
+
+ORACLE_SCRUB = f"""
+SELECT doc_id, {_scrub_sql_chain('text')} AS scrubbed,
+       CAST({_edits_sql_chain('text')} AS INT) AS n_edits
+FROM documents
+"""
+
+
+# ===========================================================================
+# Non-SQL-expressible (rows-only) — domain UDF surface over synthesized clips
+# ===========================================================================
+def _clips_df(spark, n=600, seed=42):
+    ensure_shipped(spark)
+    from bdqc_spark.sources.iceberg import IcebergishTable
+    from bdqc_spark.synth.clips import generate_clips_df
+
+    return IcebergishTable("/tmp/_entry_clips", num_buckets=8).with_bucket(
+        generate_clips_df(spark, n, seed=seed)
+    )
+
+
+def q_clips_audio_profile(spark, sf_dir):
+    from bdqc_spark.plans.profile import profile_clips
+
+    prof = profile_clips(_clips_df(spark))
+    return prof.select(
+        "clip_id",
+        "codec",
+        F.col("audio.pcm_ok").alias("pcm_ok"),
+        F.col("audio.dur_ms_decoded").alias("dur_ms_decoded"),
+        F.round(F.col("audio.rms"), 6).alias("rms"),
+        F.col("lang.pred").alias("lang_pred"),
+        F.round(F.col("lang.ppl"), 2).alias("ppl"),
+    )
+
+
+def q_clips_pipeline_decisions(spark, sf_dir):
+    import shutil
+    import tempfile
+
+    from bdqc_spark.plans.pipeline import run_pipeline
+
+    out = tempfile.mkdtemp(prefix="entry_pipeline_")
+    shutil.rmtree(out, ignore_errors=True)
+    clips = _clips_df(spark)
+    run_pipeline(spark, clips, out)
+    return spark.read.parquet(f"{out}/decisions").select(
+        "clip_id", "keep", "rule_hits", "scrubbed_transcript", "n_scrub_edits"
+    )
+
+
+def q_doc_langid(spark, sf_dir):
+    ensure_shipped(spark)
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import DoubleType, StringType, StructField, StructType
+
+    @pandas_udf(
+        StructType([StructField("pred", StringType()), StructField("conf", DoubleType())])
+    )
+    def _lid(texts: pd.Series) -> pd.DataFrame:
+        from bdqc_spark.functions.langid import predict_batch
+
+        return predict_batch(texts)
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", _lid(F.col("text")).alias("l")).select(
+        "doc_id", F.col("l.pred").alias("lang_pred"), F.round("l.conf", 4).alias("conf")
+    )
+
+
+def q_minhash_lsh_pairs(spark, sf_dir):
+    ensure_shipped(spark)
+    from bdqc_spark.operators.dedup import minhash_lsh_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(d, "doc_id", "text", num_hashes=64, bands=16, jaccard_threshold=0.5)
+
+
+def q_simhash_buckets(spark, sf_dir):
+    ensure_shipped(spark)
+    from bdqc_spark.operators.dedup import simhash_fingerprints
+
+    d = _t(spark, sf_dir, "documents")
+    return simhash_fingerprints(d, "doc_id", "text")
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    ensure_shipped(spark)
+    from bdqc_spark.operators.similarity import ann_lsh_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    return ann_lsh_topk(e, "vec_id", "embedding", k=3, n_planes=8, query_filter="vec_id < 10")
+
+
+def q_type_inference(spark, sf_dir):
+    ensure_shipped(spark)
+    from bdqc_spark.operators.stats import infer_column_types
+
+    return infer_column_types(_t(spark, sf_dir, "documents"))
+
+
+# ===========================================================================
+# Registry
+# ===========================================================================
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "qc_documents_keepdrop": q_qc_documents_keepdrop,
+        "scan_project_filter": q_scan_project_filter,
+        "regex_filter": q_regex_filter,
+        "distinct_projection": q_distinct_projection,
+        "agg_pricing_summary": q_agg_pricing_summary,
+        "join_broadcast": q_join_broadcast,
+        "join_shuffle": q_join_shuffle,
+        "join_left": q_join_left,
+        "join_semi": q_join_semi,
+        "join_anti": q_join_anti,
+        "join_theta": q_join_theta,
+        "join_salted": q_join_salted,
+        "distinct_counts": q_distinct_counts,
+        "quantiles_mad": q_quantiles_mad,
+        "topk_per_group": q_topk_per_group,
+        "rollup_metrics": q_rollup_metrics,
+        "collect_nested": q_collect_nested,
+        "window_lag": q_window_lag,
+        "window_running": q_window_running,
+        "orderby_limit": q_orderby_limit,
+        "union_by_name": q_union_by_name,
+        "intersect_except": q_intersect_except,
+        "string_funcs": q_string_funcs,
+        "datetime_funcs": q_datetime_funcs,
+        "math_funcs": q_math_funcs,
+        "array_funcs": q_array_funcs,
+        "json_funcs": q_json_funcs,
+        "conditional": q_conditional,
+        "tumbling_window": q_tumbling_window,
+        "doc_text_stats": q_doc_text_stats,
+        "doc_quality_filter": q_doc_quality_filter,
+        "dedup_exact": q_dedup_exact,
+        "dedup_fingerprint": q_dedup_fingerprint,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "similarity_topk": q_similarity_topk,
+        "scrub_documents": q_scrub_documents,
+        # rows-only (no SQL oracle): domain UDFs / sketch-based ops
+        "clips_audio_profile": q_clips_audio_profile,
+        "clips_pipeline_decisions": q_clips_pipeline_decisions,
+        "doc_langid": q_doc_langid,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "simhash_buckets": q_simhash_buckets,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "type_inference": q_type_inference,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "qc_documents_keepdrop": ORACLE_QC_DOCUMENTS,
+        "scan_project_filter": ORACLE_SCAN,
+        "regex_filter": ORACLE_REGEX,
+        "distinct_projection": ORACLE_DISTINCT,
+        "agg_pricing_summary": ORACLE_Q1,
+        "join_broadcast": ORACLE_JOIN_BC,
+        "join_shuffle": ORACLE_JOIN_SHUFFLE,
+        "join_left": ORACLE_JOIN_LEFT,
+        "join_semi": ORACLE_JOIN_SEMI,
+        "join_anti": ORACLE_JOIN_ANTI,
+        "join_theta": ORACLE_JOIN_THETA,
+        "join_salted": ORACLE_JOIN_SALTED,
+        "distinct_counts": ORACLE_DISTINCT_COUNTS,
+        "quantiles_mad": ORACLE_QUANTILES,
+        "topk_per_group": ORACLE_TOPK,
+        "rollup_metrics": ORACLE_ROLLUP,
+        "collect_nested": ORACLE_COLLECT,
+        "window_lag": ORACLE_WINDOW_LAG,
+        "window_running": ORACLE_WINDOW_RUNNING,
+        "orderby_limit": ORACLE_ORDERBY,
+        "union_by_name": ORACLE_UNION,
+        "intersect_except": ORACLE_INTERSECT,
+        "string_funcs": ORACLE_STRING,
+        "datetime_funcs": ORACLE_DATETIME,
+        "math_funcs": ORACLE_MATH,
+        "array_funcs": ORACLE_ARRAY,
+        "json_funcs": ORACLE_JSON,
+        "conditional": ORACLE_CONDITIONAL,
+        "tumbling_window": ORACLE_TUMBLING,
+        "doc_text_stats": ORACLE_DOC_STATS,
+        "doc_quality_filter": ORACLE_DOC_QUALITY,
+        "dedup_exact": ORACLE_DEDUP_EXACT,
+        "dedup_fingerprint": ORACLE_DEDUP_FP,
+        "dedup_ngram_jaccard": ORACLE_DEDUP_NGRAM,
+        "similarity_topk": ORACLE_SIMILARITY,
+        "scrub_documents": ORACLE_SCRUB,
+    }

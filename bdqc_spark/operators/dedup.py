@@ -1,0 +1,147 @@
+"""Deduplication operators for training-data pipelines.
+
+Exact dedup is a hash-groupBy (see __spark_entry__.q_dedup_exact);
+this module adds the *near*-dup family, built to scale:
+
+- MinHash + LSH banding: shingle → 64 minhashes → band keys →
+  bucket self-join on band key → estimate Jaccard from signature
+  agreement. The only all-pairs work happens *within LSH buckets*,
+  which is the standard way to keep near-dup detection sub-quadratic
+  at corpus scale (the full cross-join never exists in the plan).
+- SimHash: 64-bit sign-of-weighted-sum fingerprint; near-dups have
+  small Hamming distance, exact dups collide.
+
+Everything is Catalyst expressions (xxhash64, explode, groupBy,
+bitwise ops) — zero Python UDFs; whole-stage codegen end to end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from bdqc_spark.functions.text import normalized
+
+
+def _shingles(df: DataFrame, id_col: str, text_col: str, k: int = 5) -> DataFrame:
+    """Distinct character k-shingles of the normalized text."""
+    t = normalized(F.col(text_col))
+    return (
+        df.select(F.col(id_col).alias("_id"), t.alias("_t"))
+        .select(
+            "_id",
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(1), F.greatest(F.length("_t") - F.lit(k - 1), F.lit(1))),
+                        lambda i: F.col("_t").substr(i, F.lit(k)),
+                    )
+                )
+            ).alias("sh"),
+        )
+        .where(F.length("sh") == k)
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, num_hashes: int = 64, k: int = 5
+) -> DataFrame:
+    """(_id, mh: array<bigint>) — num_hashes MinHash values per doc.
+
+    Each hash family member is xxhash64(shingle, seed_i); the min over
+    a doc's shingles is a standard MinHash. One shuffle (groupBy id).
+    """
+    sh = _shingles(df, id_col, text_col, k)
+    aggs = [F.min(F.xxhash64("sh", F.lit(i))).alias(f"mh{i}") for i in range(num_hashes)]
+    sig = sh.groupBy("_id").agg(*aggs)
+    return sig.select("_id", F.array(*[F.col(f"mh{i}") for i in range(num_hashes)]).alias("mh"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    jaccard_threshold: float = 0.5,
+    k: int = 5,
+) -> DataFrame:
+    """Candidate near-dup pairs via LSH banding, scored by signature
+    agreement (an unbiased Jaccard estimate).
+
+    Returns (id_a, id_b, jaccard_est) with id_a < id_b.
+    """
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, k).cache()
+
+    band_keys = sig.select(
+        "_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[F.element_at("mh", b * rows_per_band + r + 1) for r in range(rows_per_band)]
+                        ).alias("key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+    a, b = band_keys.alias("a"), band_keys.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .distinct()
+    )
+
+    sa = sig.select(F.col("_id").alias("id_a"), F.col("mh").alias("mh_a"))
+    sb = sig.select(F.col("_id").alias("id_b"), F.col("mh").alias("mh_b"))
+    est = F.aggregate(
+        F.zip_with("mh_a", "mh_b", lambda x, y: F.when(x == y, 1).otherwise(0)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    ) / F.lit(num_hashes)
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("jaccard_est", F.round(est, 6))
+        .where(F.col("jaccard_est") >= jaccard_threshold)
+        .select("id_a", "id_b", "jaccard_est")
+    )
+
+
+def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFrame:
+    """(id, simhash bigint, prefix16 int) — 64-bit SimHash over
+    whitespace tokens. prefix16 (top 16 bits) is a ready-made
+    blocking key for Hamming-neighbor search."""
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.regexp_extract_all(normalized(F.col(text_col)), F.lit(r"[^ ]+"), F.lit(0))).alias("tok"),
+    ).withColumn("h", F.xxhash64("tok"))
+    bit_sums = toks.groupBy("_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(bits)
+        ]
+    )
+    fp = None
+    for i in range(bits):
+        term = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        shifted = F.shiftleft(term, i)
+        fp = shifted if fp is None else fp.bitwiseOR(shifted)
+    return bit_sums.select(
+        F.col("_id").alias(id_col),
+        fp.alias("simhash"),
+    ).withColumn("prefix16", F.shiftrightunsigned("simhash", 48).cast("int"))

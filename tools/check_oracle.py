@@ -1,0 +1,106 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every __spark_entry__.queries() entry at sf0.01 and compares it
+against oracle_sql() via DuckDB: row count, column-name set, and an
+order-insensitive exact value comparison (rows sorted after
+stringifying). Usage:
+
+    python tools/check_oracle.py [query ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+import traceback
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb  # noqa: E402
+import pandas as pd  # noqa: E402
+
+import __spark_entry__ as entrymod  # noqa: E402
+from bdqc_spark.session import build_session  # noqa: E402
+from bdqc_spark.sources.tables import TABLE_NAMES  # noqa: E402
+
+SF_DIR = os.environ.get("SF_DIR", "/root/testdata/sf0.01")
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+
+    def cell(v):
+        if isinstance(v, float):
+            return f"{v:.9g}"
+        if v is None or v != v:  # NaN/None
+            return "<NULL>"
+        if isinstance(v, (list, tuple)):
+            return "[" + ",".join(str(x) for x in v) + "]"
+        return str(v)
+
+    out = df.map(cell)
+    return out.sort_values(list(out.columns)).reset_index(drop=True)
+
+
+def main() -> int:
+    only = set(sys.argv[1:])
+    spark = build_session(app_name="oracle-check")
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    n_pass = n_fail = n_rows_only = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, SF_DIR)
+            spark_pd = sdf.toPandas()
+        except Exception:
+            print(f"FAIL {name}: spark query raised")
+            traceback.print_exc()
+            n_fail += 1
+            continue
+        if name not in oracles:
+            print(f"rows-only {name}: {len(spark_pd)} rows  ({time.time()-t0:.1f}s)")
+            n_rows_only += 1
+            continue
+        try:
+            duck_pd = con.execute(oracles[name]).fetchdf()
+        except Exception:
+            print(f"FAIL {name}: oracle SQL raised")
+            traceback.print_exc()
+            n_fail += 1
+            continue
+        problems = []
+        if len(spark_pd) != len(duck_pd):
+            problems.append(f"rowcount {len(spark_pd)} vs {len(duck_pd)}")
+        if sorted(spark_pd.columns) != sorted(duck_pd.columns):
+            problems.append(f"columns {sorted(spark_pd.columns)} vs {sorted(duck_pd.columns)}")
+        if not problems:
+            a, b = canon(spark_pd), canon(duck_pd)
+            if not a.equals(b):
+                neq = (a != b).any(axis=1)
+                problems.append(f"values differ in {int(neq.sum())}/{len(a)} rows")
+                ex = a[neq].head(3).to_dict("records"), b[neq].head(3).to_dict("records")
+                problems.append(f"spark={ex[0]}\n  duck={ex[1]}")
+        if problems:
+            print(f"FAIL {name}: " + "; ".join(problems[:1]))
+            for p in problems[1:]:
+                print("  " + p)
+            n_fail += 1
+        else:
+            print(f"PASS {name}: {len(spark_pd)} rows  ({time.time()-t0:.1f}s)")
+            n_pass += 1
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only")
+    spark.stop()
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
