@@ -61,7 +61,11 @@ def decide(
             cohort_models.where(F.col("attribute").isin(attrs))
             .groupBy(*COHORT_COLS)
             .pivot("attribute", attrs)
-            .agg(F.first("median").alias("median"), F.first("mad").alias("mad"))
+            .agg(
+                F.first("median").alias("median"),
+                F.first("mad").alias("mad"),
+                F.first("n").alias("n"),
+            )
         )
         flat = flat.join(F.broadcast(wide), on=COHORT_COLS, how="left")
         for r in deviation_rules:
@@ -70,13 +74,19 @@ def decide(
             z = F.when(
                 mad > 0, F.abs(x - med) / (F.lit(1.4826) * mad)
             ).otherwise(F.when(x == med, F.lit(0.0)).otherwise(F.lit(float("inf"))))
-            # A clip in a cohort too small to model (mad null) is not
-            # flagged by deviation rules — matches bdqc, which skips
-            # models for tiny cohorts.
+            # Cohorts below minimum support (or unmodeled: mad null)
+            # are not flagged by deviation rules — matches bdqc, which
+            # skips models for tiny cohorts (MIN_COHORT_N in rules.py).
+            from bdqc_spark.plans.rules import MIN_COHORT_N
+
+            n_col = F.col(f"{r.attribute}_n")
             hit_exprs.append(
-                F.when(med.isNotNull() & (z > F.lit(r.z_threshold)), F.lit(r.rule_id)).otherwise(
-                    F.lit(None)
-                )
+                F.when(
+                    med.isNotNull()
+                    & (n_col >= MIN_COHORT_N)
+                    & (z > F.lit(r.z_threshold)),
+                    F.lit(r.rule_id),
+                ).otherwise(F.lit(None))
             )
 
     extra = [c for c in ("bucket",) if c in flat.columns]

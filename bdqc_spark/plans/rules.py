@@ -25,6 +25,10 @@ CONF_MIN = 0.5
 MAX_RUN = 20
 VALID_SR = (8000, 16000, 22050, 44100)
 ROBUST_Z = 6.0
+# Deviation rules need minimum cohort support: robust stats from a
+# handful of rows are noise (bdqc likewise skips models on tiny
+# cohorts). Below this n, deviation rules do not fire.
+MIN_COHORT_N = 30
 
 
 @dataclass(frozen=True)

@@ -65,7 +65,10 @@ def _gen_one(seed: int, i: int) -> dict:
     lang = _choice(rng, LANGS_P)
     codec = _choice(rng, CODECS_P)
     sr = int(_choice(rng, SR_P))
-    dur_ms = int(np.clip(rng.lognormal(7.4, 0.4), 300, 6000))
+    # Tight-ish spread: keeps the clean-row robust-z tail well below
+    # the z=6 rule threshold (SURVEY.md §7 risk 2 — thresholds placed
+    # away from quantile noise), while anomaly class B sits at z≳30.
+    dur_ms = int(np.clip(rng.lognormal(7.4, 0.25), 300, 8000))
 
     u = rng.random()
     anomaly = ""

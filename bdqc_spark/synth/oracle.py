@@ -91,6 +91,7 @@ def oracle_labels(clips: pd.DataFrame) -> pd.DataFrame:
     # Exact per-cohort robust stats for the deviation rule(s).
     g = df.groupby(["codec", "lang_pred"])["dur_ms"]
     med = g.transform("median").astype(float)
+    cohort_n = g.transform("count")
     mad = (df["dur_ms"].astype(float) - med).abs().groupby(
         [df["codec"], df["lang_pred"]]
     ).transform("median")
@@ -100,6 +101,8 @@ def oracle_labels(clips: pd.DataFrame) -> pd.DataFrame:
             (df["dur_ms"].astype(float) - med).abs() / (1.4826 * mad),
             np.where(df["dur_ms"].astype(float) == med, 0.0, np.inf),
         )
+    # Deviation rules only fire with minimum cohort support.
+    z = np.where(cohort_n >= R.MIN_COHORT_N, z, 0.0)
 
     hits: list[list[str]] = [[] for _ in range(n)]
 

@@ -1,0 +1,138 @@
+"""Ring-3 golden pipeline tests: Spark pipeline vs single-node oracle
+(F1 ≥ 0.99 keep/drop, exact scrubbed-transcript match), checkpoint/
+resume idempotence, Iceberg-shaped table snapshots."""
+
+from __future__ import annotations
+
+import shutil
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from bdqc_spark.plans.pipeline import run_pipeline
+from bdqc_spark.sources.iceberg import IcebergishTable
+from bdqc_spark.synth.clips import generate_clips_df, generate_clips_pandas
+from bdqc_spark.synth.oracle import oracle_labels
+
+N = 1500
+SEED = 42
+
+
+@pytest.fixture(scope="module")
+def clips_table(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("clips_tbl"))
+    shutil.rmtree(root, ignore_errors=True)
+    tbl = IcebergishTable(root, num_buckets=8)
+    tbl.append(generate_clips_df(spark, N, seed=SEED))
+    return tbl
+
+
+@pytest.fixture(scope="module")
+def golden():
+    return (
+        oracle_labels(generate_clips_pandas(N, seed=SEED))
+        .sort_values("clip_id")
+        .reset_index(drop=True)
+    )
+
+
+@pytest.fixture(scope="module")
+def pipeline_out(spark, clips_table, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("pipe_out"))
+    run_pipeline(spark, clips_table.read(spark), out)
+    return out
+
+
+def _decisions(spark, out):
+    return (
+        spark.read.parquet(f"{out}/decisions")
+        .toPandas()
+        .sort_values("clip_id")
+        .reset_index(drop=True)
+    )
+
+
+def test_generator_determinism(spark):
+    a = generate_clips_pandas(5, seed=SEED)
+    b = generate_clips_df(spark, 5, seed=SEED, include_labels=True).toPandas()
+    b = b.sort_values("clip_id").reset_index(drop=True)
+    for col in ("clip_id", "sr_hz", "dur_ms", "codec", "transcript"):
+        assert list(a[col]) == list(b[col])
+    assert all(bytes(x) == bytes(y) for x, y in zip(a["bytes"], b["bytes"]))
+
+
+def test_keep_drop_f1_vs_oracle(spark, pipeline_out, golden):
+    dec = _decisions(spark, pipeline_out)
+    m = dec.merge(golden, on="clip_id", suffixes=("_e", "_g"))
+    assert len(m) == N
+    tp = ((~m.keep_e) & (~m.keep_g)).sum()
+    fp = ((~m.keep_e) & m.keep_g).sum()
+    fn = (m.keep_e & (~m.keep_g)).sum()
+    f1 = 2 * tp / max(2 * tp + fp + fn, 1)
+    assert f1 >= 0.99, f"keep/drop F1 {f1:.4f} < 0.99"
+
+
+def test_scrubbed_transcript_exact_match(spark, pipeline_out, golden):
+    dec = _decisions(spark, pipeline_out)
+    m = dec.merge(golden, on="clip_id", suffixes=("_e", "_g"))
+    both_keep = m[m.keep_e & m.keep_g]
+    assert len(both_keep) > 0
+    mismatch = both_keep[both_keep.scrubbed_transcript_e != both_keep.scrubbed_transcript_g]
+    assert len(mismatch) == 0, mismatch.head(3).to_dict("records")
+
+
+def test_metrics_and_lineage_written(spark, pipeline_out):
+    metrics = spark.read.parquet(f"{pipeline_out}/metrics").toPandas()
+    assert metrics.rows_seen.sum() == N
+    dec = spark.read.parquet(f"{pipeline_out}/decisions")
+    assert metrics.rows_dropped.sum() == dec.where(~F.col("keep")).count()
+    lineage = spark.read.parquet(f"{pipeline_out}/lineage").toPandas()
+    assert set(lineage.status) == {"profiled", "committed"}
+    assert lineage.partition_id.nunique() == 8
+
+
+def test_resume_after_failure_is_identical(spark, clips_table, pipeline_out, tmp_path_factory):
+    out2 = str(tmp_path_factory.mktemp("pipe_resume"))
+    clips = clips_table.read(spark)
+    with pytest.raises(RuntimeError, match="injected failure"):
+        run_pipeline(spark, clips, out2, fail_after_stage="profile")
+    # resume: must complete and produce decisions identical to the
+    # uninterrupted run (content-level, deterministic ordering)
+    run_pipeline(spark, clips, out2)
+    a = _decisions(spark, pipeline_out)
+    b = _decisions(spark, out2)
+    assert a.equals(b)
+    # second lineage has both attempts' records
+    lineage = spark.read.parquet(f"{out2}/lineage").toPandas()
+    assert (lineage.status == "profiled").sum() == 8
+
+
+def test_rerun_noop_after_completion(spark, clips_table, pipeline_out):
+    res = run_pipeline(spark, clips_table.read(spark), pipeline_out)
+    assert res.processed_buckets == []
+
+
+def test_iceberg_snapshot_and_pruning(spark, clips_table):
+    snap = clips_table.snapshot()
+    assert snap["summary"]["total_rows"] == N
+    assert snap["num_buckets"] == 8
+    pruned = clips_table.read(spark, buckets=[0, 1])
+    assert set(r.bucket for r in pruned.select("bucket").distinct().collect()) <= {0, 1}
+    # appending creates a new snapshot chained to the parent
+    prev_id = snap["snapshot_id"]
+    clips_table.append(generate_clips_df(spark, 50, seed=777))
+    snap2 = clips_table.snapshot()
+    assert snap2["parent_snapshot_id"] == prev_id
+    assert snap2["summary"]["total_rows"] == N + 50
+
+
+def test_langid_accuracy_on_corpus(spark, pipeline_out, golden):
+    # lang.pred must match the generator's language on ≥95% of clean rows
+    prof = spark.read.parquet(f"{pipeline_out}/profiles").select(
+        "clip_id", F.col("lang.pred").alias("pred")
+    ).toPandas()
+    m = prof.merge(golden[["clip_id", "lang_true"]], on="clip_id")
+    clean = m  # includes anomalies; they are <10% and mostly text-preserving
+    acc = (clean.pred == clean.lang_true).mean()
+    assert acc >= 0.9

@@ -1,0 +1,122 @@
+"""Ring-1 Spark tests: robust stats vs exact numpy, salted join
+equality, type inference, dedup/similarity operators."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+
+def test_fit_numeric_models_matches_numpy(spark):
+    from bdqc_spark.operators.stats import fit_numeric_models
+
+    rng = np.random.default_rng(0)
+    pdf = pd.DataFrame(
+        {
+            "g": np.repeat(["a", "b"], 500),
+            "x": np.concatenate([rng.normal(10, 2, 500), rng.lognormal(1, 0.5, 500)]),
+        }
+    )
+    models = (
+        fit_numeric_models(spark.createDataFrame(pdf), ["g"], ["x"], exact=True)
+        .toPandas()
+        .set_index("g")
+    )
+    for g in ("a", "b"):
+        xs = pdf[pdf.g == g]["x"].to_numpy()
+        assert abs(models.loc[g, "median"] - np.median(xs)) < 1e-9
+        assert abs(models.loc[g, "mad"] - np.median(np.abs(xs - np.median(xs)))) < 1e-9
+        assert abs(models.loc[g, "p25"] - np.quantile(xs, 0.25)) < 1e-9
+        assert models.loc[g, "n"] == 500
+
+
+def test_score_deviations_flags_outlier(spark):
+    from bdqc_spark.operators.stats import fit_numeric_models, score_deviations
+
+    rows = [("c", float(i % 7)) for i in range(100)] + [("c", 1000.0)]
+    df = spark.createDataFrame(rows, "g string, x double").withColumn(
+        "id", F.monotonically_increasing_id()
+    )
+    models = fit_numeric_models(df, ["g"], ["x"], exact=True)
+    scored = score_deviations(df, models, ["g"], ["x"], z_threshold=5.0, id_cols=["x"])
+    flagged = scored.where(~F.col("keep")).collect()
+    assert len(flagged) == 1 and flagged[0]["x"] == 1000.0
+
+
+def test_salted_join_equals_plain_join(spark):
+    from bdqc_spark.operators.joins import salted_join
+
+    fact = spark.createDataFrame(
+        [(i, "k" + str(i % 3), float(i)) for i in range(300)], "id long, k string, v double"
+    )
+    dim = spark.createDataFrame([("k0", 1), ("k1", 2), ("k2", 3)], "k string, w int")
+    a = salted_join(fact, dim, ["k"], num_salts=4).orderBy("id").collect()
+    b = fact.join(dim, "k").orderBy("id").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_infer_column_types(spark):
+    from bdqc_spark.operators.stats import infer_column_types
+
+    pdf = pd.DataFrame(
+        {
+            "i": [str(k) for k in range(100)],
+            "f": [f"{k}.5" for k in range(100)],
+            "cat": ["x", "y"] * 50,
+            "txt": [f"some free text number {k} with words" for k in range(100)],
+        }
+    )
+    prof = infer_column_types(spark.createDataFrame(pdf)).toPandas().set_index("column")
+    assert prof.loc["i", "inferred"] == "int"
+    assert prof.loc["f", "inferred"] == "real"
+    assert prof.loc["cat", "inferred"] == "categorical"
+    assert prof.loc["txt", "inferred"] == "text"
+
+
+def test_minhash_lsh_finds_near_dupes(spark):
+    from bdqc_spark.operators.dedup import minhash_lsh_pairs
+
+    base = "the quick brown fox jumps over the lazy dog and runs far away into the woods tonight"
+    rows = [
+        (1, base),
+        (2, base + " again"),  # near-dup of 1
+        (3, "completely different content about spark query engines and parquet files"),
+        (4, base.replace("quick", "rapid")),  # near-dup of 1
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(df, "doc_id", "text", jaccard_threshold=0.4).collect()
+    }
+    assert (1, 2) in pairs and (1, 4) in pairs
+    assert all(3 not in p for p in pairs)
+
+
+def test_simhash_identical_docs_collide(spark):
+    from bdqc_spark.operators.dedup import simhash_fingerprints
+
+    rows = [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"), (3, "unrelated words here")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r.simhash for r in simhash_fingerprints(df, "doc_id", "text").collect()}
+    assert out[1] == out[2] != out[3]
+
+
+def test_ann_lsh_recall_vs_bruteforce(spark):
+    from bdqc_spark.operators.similarity import ann_lsh_topk, brute_force_topk
+
+    rng = np.random.default_rng(3)
+    vecs = rng.standard_normal((200, 16)).astype("float32")
+    pdf = pd.DataFrame({"vec_id": range(200), "embedding": [v.tolist() for v in vecs]})
+    df = spark.createDataFrame(pdf)
+    exact = brute_force_topk(df, "vec_id", "embedding", k=5, query_filter="vec_id < 5").toPandas()
+    approx = ann_lsh_topk(
+        df, "vec_id", "embedding", k=5, n_planes=4, query_filter="vec_id < 5"
+    ).toPandas()
+    # Recall of LSH candidates vs exact top-5 (4 planes → 16 buckets on
+    # 200 vecs: recall is approximate; assert it is usefully > 0).
+    e = {(r.q_id, r.c_id) for r in exact.itertuples()}
+    a = {(r.q_id, r.c_id) for r in approx.itertuples()}
+    assert len(a & e) / len(e) >= 0.2
+    # and every approx neighbor must share the query's bucket ⇒ valid pair
+    assert all(q != c for q, c in a)
