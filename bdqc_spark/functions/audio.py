@@ -53,32 +53,41 @@ def encode(pcm: np.ndarray, codec: str) -> bytes:
 
 
 # --------------------------------------------------------------------------
-# Decoders — bytes → float64 PCM in [-1, 1]; raise on malformed payloads
+# Decoders — bytes → float32 PCM in [-1, 1]; raise on malformed payloads.
+# float32 on purpose: source precision is ≤16 bits, and the decode
+# path is memory-bandwidth-bound at scale — float64 doubles the
+# traffic for zero fidelity gain (stats are accumulated in float64).
 # --------------------------------------------------------------------------
 def decode(raw: bytes, codec: str) -> np.ndarray:
     if codec == "pcm_s16le":
         if len(raw) == 0 or len(raw) % 2 != 0:
             raise ValueError("pcm_s16le payload not a multiple of 2 bytes")
-        return np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32767.0
+        return np.frombuffer(raw, dtype="<i2").astype(np.float32) / np.float32(32767.0)
     if codec == "pcm_f32le":
         if len(raw) == 0 or len(raw) % 4 != 0:
             raise ValueError("pcm_f32le payload not a multiple of 4 bytes")
-        x = np.frombuffer(raw, dtype="<f4").astype(np.float64)
+        x = np.frombuffer(raw, dtype="<f4")
         if not np.all(np.isfinite(x)) or np.max(np.abs(x), initial=0.0) > 4.0:
             raise ValueError("pcm_f32le payload out of range / non-finite")
         return x
     if codec == "ulaw":
         if len(raw) == 0:
             raise ValueError("empty ulaw payload")
-        y = np.frombuffer(raw, dtype=np.int8).astype(np.float64) / 127.0
-        return np.sign(y) * (np.expm1(np.abs(y) * np.log1p(_MU))) / _MU
+        y = np.frombuffer(raw, dtype=np.int8).astype(np.float32) / np.float32(127.0)
+        return (np.sign(y) * np.expm1(np.abs(y) * np.float32(np.log1p(_MU))) / np.float32(_MU)).astype(
+            np.float32
+        )
     if codec == "alaw":
         if len(raw) == 0:
             raise ValueError("empty alaw payload")
-        y = np.frombuffer(raw, dtype=np.int8).astype(np.float64) / 127.0
+        y = np.frombuffer(raw, dtype=np.int8).astype(np.float32) / np.float32(127.0)
         ay = np.abs(y)
-        mag = np.where(ay < 1.0 / _LN_A, ay * _LN_A / _A, np.exp(ay * _LN_A - 1.0) / _A)
-        return np.sign(y) * mag
+        mag = np.where(
+            ay < 1.0 / _LN_A,
+            ay * np.float32(_LN_A / _A),
+            np.exp(ay * np.float32(_LN_A) - np.float32(1.0)) / np.float32(_A),
+        )
+        return (np.sign(y) * mag).astype(np.float32)
     raise ValueError(f"unknown codec {codec!r}")
 
 
@@ -95,6 +104,46 @@ def snr_db(ref: np.ndarray, est: np.ndarray) -> float:
     if sig == 0.0:
         return float("-inf")
     return float(10.0 * np.log10(sig / noise))
+
+
+# --------------------------------------------------------------------------
+# Zero-copy decode of one Arrow binary column position (no PyBytes)
+# --------------------------------------------------------------------------
+def decode_arrow_slice(data: np.ndarray, start: int, end: int, codec: str) -> np.ndarray:
+    """Decode payload bytes living at data[start:end] of an Arrow
+    binary array's value buffer — numpy views, never a bytes copy
+    (numpy handles unaligned views). Semantics identical to decode()."""
+    n = end - start
+    if codec == "pcm_s16le":
+        if n == 0 or n % 2 != 0:
+            raise ValueError("pcm_s16le payload not a multiple of 2 bytes")
+        return data[start:end].view("<i2").astype(np.float32) / np.float32(32767.0)
+    if codec == "pcm_f32le":
+        if n == 0 or n % 4 != 0:
+            raise ValueError("pcm_f32le payload not a multiple of 4 bytes")
+        x = data[start:end].view("<f4")
+        if not np.all(np.isfinite(x)) or np.max(np.abs(x), initial=0.0) > 4.0:
+            raise ValueError("pcm_f32le payload out of range / non-finite")
+        return x
+    if codec == "ulaw":
+        if n == 0:
+            raise ValueError("empty ulaw payload")
+        y = data[start:end].view(np.int8).astype(np.float32) / np.float32(127.0)
+        return (np.sign(y) * np.expm1(np.abs(y) * np.float32(np.log1p(_MU))) / np.float32(_MU)).astype(
+            np.float32
+        )
+    if codec == "alaw":
+        if n == 0:
+            raise ValueError("empty alaw payload")
+        y = data[start:end].view(np.int8).astype(np.float32) / np.float32(127.0)
+        ay = np.abs(y)
+        mag = np.where(
+            ay < 1.0 / _LN_A,
+            ay * np.float32(_LN_A / _A),
+            np.exp(ay * np.float32(_LN_A) - np.float32(1.0)) / np.float32(_A),
+        )
+        return (np.sign(y) * mag).astype(np.float32)
+    raise ValueError(f"unknown codec {codec!r}")
 
 
 # --------------------------------------------------------------------------
@@ -134,8 +183,11 @@ def profile_batch(raw: pd.Series, codec: pd.Series, sr_hz: pd.Series) -> pd.Data
         out["pcm_ok"][i] = True
         out["n_samples"][i] = ns
         out["dur_ms_decoded"][i] = int(round(ns * 1000.0 / sr))
-        out["rms"][i] = float(np.sqrt(np.mean(pcm**2))) if ns else 0.0
-        out["peak"][i] = float(np.max(np.abs(pcm))) if ns else 0.0
-        out["clip_rate"][i] = float(np.mean(np.abs(pcm) >= 0.999)) if ns else 0.0
-        out["dc_off"][i] = float(np.mean(pcm)) if ns else 0.0
+        # float32 element ops, float64 accumulators (accuracy where it
+        # matters, half the memory traffic where it doesn't)
+        apcm = np.abs(pcm)
+        out["rms"][i] = float(np.sqrt(np.mean(np.square(pcm), dtype=np.float64))) if ns else 0.0
+        out["peak"][i] = float(np.max(apcm)) if ns else 0.0
+        out["clip_rate"][i] = float(np.mean(apcm >= 0.999, dtype=np.float64)) if ns else 0.0
+        out["dc_off"][i] = float(np.mean(pcm, dtype=np.float64)) if ns else 0.0
     return pd.DataFrame(out)

@@ -40,7 +40,7 @@ def fit_numeric_models(
     cohort_cols: list[str],
     attr_cols: list[str],
     exact: bool = False,
-    accuracy: int = 50000,
+    accuracy: int = 10000,
 ) -> DataFrame:
     """Per (cohort, attribute): n, median, MAD, p01/p25/p75/p99, mean, std.
 

@@ -26,6 +26,7 @@ profile scalars; stage C is a broadcast join + map-side writes.
 
 from __future__ import annotations
 
+import os
 import time
 import uuid
 
@@ -47,24 +48,36 @@ class PipelineResult:
         self.out_dir = out_dir
         self.run_id = run_id
         self.processed_buckets = processed_buckets
+        self.stage_seconds: dict[str, float] = {}
 
 
-def _completed(spark: SparkSession, lineage_dir: str, snapshot: str, status: str) -> set[int]:
-    try:
-        rows = (
-            spark.read.parquet(lineage_dir)
-            .where((F.col("input_snapshot") == snapshot) & (F.col("status") == status))
-            .select("partition_id")
-            .distinct()
-            .collect()
-        )
-        return {r.partition_id for r in rows}
-    except Exception:  # first run: lineage table doesn't exist yet
+def _tick(result: PipelineResult, stage: str, t0: float) -> float:
+    now = time.time()
+    result.stage_seconds[stage] = round(now - t0, 2)
+    if os.environ.get("BDQC_TIMING"):
+        print(f"[pipeline] {stage}: {now - t0:.2f}s", flush=True)
+    return now
+
+
+def _completed(lineage_dir: str, snapshot: str, status: str) -> set[int]:
+    """Read the lineage table driver-side (pyarrow): it is tiny
+    commit-protocol metadata — paying a Spark job for it would put
+    two scheduler round-trips on the serial path of every run."""
+    import glob
+
+    import pyarrow.dataset as ds
+
+    files = sorted(glob.glob(os.path.join(lineage_dir, "*.parquet")))
+    if not files:
         return set()
+    pdf = ds.dataset(files).to_table(
+        columns=["partition_id", "input_snapshot", "status"]
+    ).to_pandas()
+    hit = pdf[(pdf.input_snapshot == snapshot) & (pdf.status == status)]
+    return set(int(b) for b in hit.partition_id)
 
 
 def _append_lineage(
-    spark: SparkSession,
     lineage_dir: str,
     buckets: list[int],
     snapshot: str,
@@ -72,13 +85,25 @@ def _append_lineage(
     started_at: float,
     status: str,
 ) -> None:
+    """Append lineage records driver-side (atomic single-file write)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
     now = time.time()
-    rows = [(int(b), snapshot, attempt, started_at, now, status) for b in buckets]
-    df = spark.createDataFrame(rows, "partition_id int, input_snapshot string, attempt int, started_at double, finished_at double, status string")
-    df = df.withColumn("started_at", F.timestamp_seconds("started_at")).withColumn(
-        "finished_at", F.timestamp_seconds("finished_at")
+    tbl = pa.table(
+        {
+            "partition_id": pa.array([int(b) for b in buckets], pa.int32()),
+            "input_snapshot": pa.array([snapshot] * len(buckets)),
+            "attempt": pa.array([attempt] * len(buckets), pa.int32()),
+            "started_at": pa.array([int(started_at * 1e6)] * len(buckets), pa.timestamp("us")),
+            "finished_at": pa.array([int(now * 1e6)] * len(buckets), pa.timestamp("us")),
+            "status": pa.array([status] * len(buckets)),
+        }
     )
-    df.write.mode("append").parquet(lineage_dir)
+    os.makedirs(lineage_dir, exist_ok=True)
+    path = os.path.join(lineage_dir, f"lineage-{int(now * 1000)}-{uuid.uuid4().hex[:8]}.parquet")
+    pq.write_table(tbl, path + ".tmp")
+    os.rename(path + ".tmp", path)
 
 
 def run_pipeline(
@@ -88,93 +113,114 @@ def run_pipeline(
     input_snapshot: str = "snap-0",
     exact_models: bool = False,
     fail_after_stage: str | None = None,  # test hook: 'profile'|'models'
+    all_buckets: list[int] | None = None,
 ) -> PipelineResult:
     """Run (or resume) the full QC pipeline over a bucketed clips df.
 
     `clips` must carry a `bucket` int column (IcebergishTable.read
-    provides it; IcebergishTable.with_bucket adds it).
+    provides it; IcebergishTable.with_bucket adds it). Pass
+    `all_buckets` (e.g. from the Iceberg manifest) to skip the
+    bucket-discovery scan — at 100 TB the manifest knows the
+    partition list; never derive it from the data.
     """
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     run_id = uuid.uuid4().hex[:12]
+    result = PipelineResult(out_dir, run_id, [])
+    t_stage = time.time()
     profiles_dir = f"{out_dir}/profiles"
     models_dir = f"{out_dir}/cohort_models"
     decisions_dir = f"{out_dir}/decisions"
     metrics_dir = f"{out_dir}/metrics"
     lineage_dir = f"{out_dir}/lineage"
 
-    all_buckets = sorted(r.bucket for r in clips.select("bucket").distinct().collect())
+    if all_buckets is None:
+        all_buckets = sorted(r.bucket for r in clips.select("bucket").distinct().collect())
 
     # ---- Stage A: profile pending buckets (checkpointed) -----------------
     t0 = time.time()
-    done_profile = _completed(spark, lineage_dir, input_snapshot, "profiled")
+    done_profile = _completed(lineage_dir, input_snapshot, "profiled")
     pending = [b for b in all_buckets if b not in done_profile]
     attempt = 2 if done_profile else 1  # informational (resume marker)
     if pending:
         prof = profile_clips(clips.where(F.col("bucket").isin(pending)))
         (
-            prof.repartition("bucket")
+            # one task == one bucket == one output file: downstream
+            # scans see 64 well-sized files, not 100s of shards
+            prof.repartition(len(all_buckets), "bucket")
             .sortWithinPartitions("clip_id")
             .write.mode("overwrite")
             .partitionBy("bucket")
             .parquet(profiles_dir)
         )
-        _append_lineage(spark, lineage_dir, pending, input_snapshot, attempt, t0, "profiled")
+        _append_lineage(lineage_dir, pending, input_snapshot, attempt, t0, "profiled")
+    t_stage = _tick(result, "A_profile", t_stage)
     if fail_after_stage == "profile":
         raise RuntimeError("injected failure after profile stage")
 
     # ---- Stage B: fit cohort models over ALL profiles --------------------
+    # The model table is KB-sized (|cohorts|×|attrs| rows): collect it
+    # once, persist the snapshot, and feed the collected copy straight
+    # into stage C — no parquet round-trip on the serial path.
     profiles = spark.read.parquet(profiles_dir)
-    models = fit_cohort_models(profiles, exact=exact_models)
+    models_rows = fit_cohort_models(profiles, exact=exact_models).collect()
+    models = spark.createDataFrame(models_rows)
     models.coalesce(1).write.mode("overwrite").parquet(models_dir)
-    models = spark.read.parquet(models_dir)
+    t_stage = _tick(result, "B_models", t_stage)
     if fail_after_stage == "models":
         raise RuntimeError("injected failure after models stage")
 
     # ---- Stage C: decide pending buckets (checkpointed) ------------------
     t1 = time.time()
-    done_decide = _completed(spark, lineage_dir, input_snapshot, "committed")
+    done_decide = _completed(lineage_dir, input_snapshot, "committed")
     pending_d = [b for b in all_buckets if b not in done_decide]
     if pending_d:
         decisions = decide(profiles.where(F.col("bucket").isin(pending_d)), models)
         (
-            decisions.repartition("bucket")
+            decisions.repartition(len(all_buckets), "bucket")
             .sortWithinPartitions("clip_id")
             .write.mode("overwrite")
             .partitionBy("bucket")
             .parquet(decisions_dir)
         )
+        t_stage = _tick(result, "C_decide", t_stage)
         # Per-bucket metrics (FIXTURES.md §3), appended per attempt.
-        # Two-level agg: per (bucket, rule) counts → map, plus row counters.
+        # Rules are data (plans/rules.py), so the per-rule counts are a
+        # fixed pivot: one aggregation pass, no explode, no self-join.
+        from bdqc_spark.plans.rules import DEVIATION_RULES, STATIC_RULES
+
+        rule_ids = [r.rule_id for r in STATIC_RULES] + [r.rule_id for r in DEVIATION_RULES]
         wall_ms = int((time.time() - t1) * 1000)
         d = spark.read.parquet(decisions_dir).where(F.col("bucket").isin(pending_d))
-        rule_counts = (
-            d.select("bucket", F.explode("rule_hits").alias("rule"))
-            .groupBy("bucket", "rule")
-            .count()
-            .groupBy("bucket")
-            .agg(F.map_from_entries(F.collect_list(F.struct("rule", "count"))).alias("dropped_by_rule"))
+        per_rule = [
+            F.sum(F.array_contains("rule_hits", rid).cast("long")).alias(f"__r{i}")
+            for i, rid in enumerate(rule_ids)
+        ]
+        agg = d.groupBy("bucket").agg(
+            F.count(F.lit(1)).alias("rows_seen"),
+            F.sum(F.when(~F.col("keep"), 1).otherwise(0)).alias("rows_dropped"),
+            F.sum("n_scrub_edits").alias("scrub_edits"),
+            *per_rule,
         )
-        metrics = (
-            d.groupBy("bucket")
-            .agg(
-                F.count(F.lit(1)).alias("rows_seen"),
-                F.sum(F.when(~F.col("keep"), 1).otherwise(0)).alias("rows_dropped"),
-                F.sum("n_scrub_edits").alias("scrub_edits"),
+        entries = [
+            F.when(
+                F.col(f"__r{i}") > 0, F.struct(F.lit(rid).alias("key"), F.col(f"__r{i}").alias("value"))
             )
-            .join(rule_counts, on="bucket", how="left")
-            .select(
-                F.col("bucket").alias("partition_id"),
-                "rows_seen",
-                "rows_dropped",
-                F.coalesce("dropped_by_rule", F.map_from_arrays(F.array(), F.array())).alias(
-                    "dropped_by_rule"
-                ),
-                "scrub_edits",
-                F.lit(wall_ms).alias("wall_ms"),
-                F.lit(run_id).alias("run_id"),
-            )
+            for i, rid in enumerate(rule_ids)
+        ]
+        metrics = agg.select(
+            F.col("bucket").alias("partition_id"),
+            "rows_seen",
+            "rows_dropped",
+            F.map_from_entries(
+                F.filter(F.array(*entries), lambda x: x.isNotNull())
+            ).alias("dropped_by_rule"),
+            "scrub_edits",
+            F.lit(wall_ms).alias("wall_ms"),
+            F.lit(run_id).alias("run_id"),
         )
         metrics.write.mode("append").parquet(metrics_dir)
-        _append_lineage(spark, lineage_dir, pending_d, input_snapshot, attempt, t1, "committed")
+        _append_lineage(lineage_dir, pending_d, input_snapshot, attempt, t1, "committed")
+        _tick(result, "D_metrics", t_stage)
 
-    return PipelineResult(out_dir, run_id, pending_d if pending_d else [])
+    result.processed_buckets = pending_d if pending_d else []
+    return result

@@ -8,68 +8,106 @@ no shuffle, and `bytes` is consumed *inside* this stage and never
 materialized past it (column pruning keeps it out of every
 downstream plan — the single most important property at 100 TB).
 
-Python crossings: exactly two Arrow-batched pandas UDFs
-(audio decode+stats; langid+perplexity which share one text-encode
-pass). All other features are Catalyst expressions compiled into
-whole-stage codegen.
+Python crossing: exactly ONE `mapInArrow` pass. The audio payloads
+are read as zero-copy numpy views over the Arrow binary buffers
+(bdqc_spark.functions.audio.decode_arrow_slice) — no per-row
+PyBytes objects, no pandas object columns; measured ~2× faster than
+the equivalent pandas UDF on this column (BENCH.md). langid +
+perplexity share the same pass (and its text-encode work). Text
+composition stats stay in Catalyst (whole-stage codegen).
 """
 
 from __future__ import annotations
 
-import pandas as pd
+from typing import Iterator
+
+import numpy as np
+import pyarrow as pa
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import (
-    BooleanType,
-    DoubleType,
-    IntegerType,
-    StringType,
-    StructField,
-    StructType,
-)
 
 from bdqc_spark.functions import text as T
-from bdqc_spark.functions.audio import profile_batch
 
-# Explicit StructTypes (not DDL strings): lets the UDFs be constructed
-# without an active SparkContext (workers import this module too).
-AUDIO_PROFILE_TYPE = StructType(
-    [
-        StructField("pcm_ok", BooleanType()),
-        StructField("n_samples", IntegerType()),
-        StructField("dur_ms_decoded", IntegerType()),
-        StructField("rms", DoubleType()),
-        StructField("peak", DoubleType()),
-        StructField("clip_rate", DoubleType()),
-        StructField("dc_off", DoubleType()),
-    ]
-)
-
-LANG_TYPE = StructType(
-    [
-        StructField("pred", StringType()),
-        StructField("conf", DoubleType()),
-        StructField("ppl", DoubleType()),
-    ]
+_PROFILE_FIELDS = (
+    "pcm_ok boolean, n_samples int, dur_ms_decoded int, rms double, "
+    "peak double, clip_rate double, dc_off double, "
+    "lang_pred string, lang_conf double, ppl double"
 )
 
 
-@pandas_udf(AUDIO_PROFILE_TYPE)
-def _audio_profile_udf(raw: pd.Series, codec: pd.Series, sr_hz: pd.Series) -> pd.DataFrame:
-    return profile_batch(raw, codec, sr_hz)
+def _binary_buffers(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """(offsets, data) numpy views of an Arrow (large_)binary array."""
+    off_dtype = np.int64 if pa.types.is_large_binary(arr.type) else np.int32
+    offsets = np.frombuffer(arr.buffers()[1], dtype=off_dtype)[arr.offset : arr.offset + len(arr) + 1]
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+    return offsets, data
 
 
-@pandas_udf(LANG_TYPE)
-def _lang_udf(transcript: pd.Series) -> pd.DataFrame:
-    # Imports inside the UDF body run on the worker; models are
-    # lru_cached per worker process (trained deterministically once).
+def _profile_arrow(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+    # Worker-side imports; models are lru_cached per worker process.
+    from bdqc_spark.functions.audio import CODECS, decode_arrow_slice
     from bdqc_spark.functions.langid import predict_batch
     from bdqc_spark.functions.lm import perplexity_batch
 
-    out = predict_batch(transcript)
-    out["ppl"] = perplexity_batch(transcript)
-    return out
+    for batch in batches:
+        n = batch.num_rows
+        barr = batch.column(batch.schema.get_field_index("bytes"))
+        offsets, data = _binary_buffers(barr)
+        nulls = pa.compute.is_null(barr).to_numpy(zero_copy_only=False)
+        codec = batch.column(batch.schema.get_field_index("codec")).to_pylist()
+        sr = batch.column(batch.schema.get_field_index("sr_hz")).to_numpy(zero_copy_only=False)
+
+        pcm_ok = np.zeros(n, dtype=bool)
+        n_samples = np.zeros(n, dtype=np.int32)
+        dur_dec = np.zeros(n, dtype=np.int32)
+        rms = np.zeros(n, dtype=np.float64)
+        peak = np.zeros(n, dtype=np.float64)
+        clip_rate = np.zeros(n, dtype=np.float64)
+        dc_off = np.zeros(n, dtype=np.float64)
+
+        for i in range(n):
+            if nulls[i] or codec[i] not in CODECS or sr[i] is None or sr[i] <= 0:
+                continue
+            try:
+                pcm = decode_arrow_slice(data, int(offsets[i]), int(offsets[i + 1]), codec[i])
+            except (ValueError, TypeError):
+                continue
+            ns = pcm.shape[0]
+            pcm_ok[i] = True
+            n_samples[i] = ns
+            dur_dec[i] = int(round(ns * 1000.0 / sr[i]))
+            if ns:
+                apcm = np.abs(pcm)
+                rms[i] = float(np.sqrt(np.mean(np.square(pcm), dtype=np.float64)))
+                peak[i] = float(np.max(apcm))
+                clip_rate[i] = float(np.mean(apcm >= 0.999, dtype=np.float64))
+                dc_off[i] = float(np.mean(pcm, dtype=np.float64))
+
+        transcripts = batch.column(batch.schema.get_field_index("transcript")).to_pandas()
+        lang = predict_batch(transcripts)
+        ppl = perplexity_batch(transcripts)
+
+        passthrough = {
+            name: batch.column(batch.schema.get_field_index(name))
+            for name in batch.schema.names
+            if name != "bytes"
+        }
+        out = pa.RecordBatch.from_pydict(
+            {
+                **passthrough,
+                "pcm_ok": pa.array(pcm_ok),
+                "n_samples": pa.array(n_samples, pa.int32()),
+                "dur_ms_decoded": pa.array(dur_dec, pa.int32()),
+                "rms": pa.array(rms),
+                "peak": pa.array(peak),
+                "clip_rate": pa.array(clip_rate),
+                "dc_off": pa.array(dc_off),
+                "lang_pred": pa.array(lang["pred"].to_numpy(), pa.string()),
+                "lang_conf": pa.array(lang["conf"].to_numpy(), pa.float64()),
+                "ppl": pa.array(ppl),  # +inf for no-evidence rows (Arrow-safe)
+            }
+        )
+        yield out
 
 
 def profile_clips(clips: DataFrame) -> DataFrame:
@@ -78,9 +116,25 @@ def profile_clips(clips: DataFrame) -> DataFrame:
                audio struct, text struct, lang struct)
     """
     keep = [c for c in clips.columns if c != "bytes"]
-    return clips.select(
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in clips.schema.fields if f.name != "bytes"
+    )
+    flat = clips.mapInArrow(_profile_arrow, f"{schema}, {_PROFILE_FIELDS}")
+    return flat.select(
         *keep,
-        _audio_profile_udf(F.col("bytes"), F.col("codec"), F.col("sr_hz")).alias("audio"),
+        F.struct(
+            F.col("pcm_ok"),
+            F.col("n_samples"),
+            F.col("dur_ms_decoded"),
+            F.col("rms"),
+            F.col("peak"),
+            F.col("clip_rate"),
+            F.col("dc_off"),
+        ).alias("audio"),
         T.profile_struct(F.col("transcript")).alias("text"),
-        _lang_udf(F.col("transcript")).alias("lang"),
+        F.struct(
+            F.col("lang_pred").alias("pred"),
+            F.col("lang_conf").alias("conf"),
+            F.col("ppl"),
+        ).alias("lang"),
     )

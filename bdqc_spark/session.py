@@ -71,6 +71,13 @@ def build_session(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("BDQC_DRIVER_MEM", "16g"))
+        # Throughput GC: the audio `bytes` column allocates millions of
+        # short-lived byte[]; G1 collapses under that churn at 32
+        # concurrent tasks (measured: 2-30× slower scans, see
+        # BENCH.md), ParallelGC sustains it. Applied to executors too
+        # for real-cluster deployments.
+        .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
+        .config("spark.executor.extraJavaOptions", "-XX:+UseParallelGC")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -109,8 +109,14 @@ class IcebergishTable:
                 rel = f"{entry}/{fn}"
                 if fn.endswith(".parquet") and rel not in known:
                     bucket_files.setdefault(k, []).append(rel)
-        spark = df.sparkSession
-        total_rows = spark.read.parquet(self.data_dir).count()
+        # Row count from parquet footers (driver-side metadata read —
+        # no data scan, the Iceberg way).
+        import pyarrow.parquet as pq
+
+        total_rows = 0
+        for files in bucket_files.values():
+            for rel in files:
+                total_rows += pq.ParquetFile(os.path.join(self.data_dir, rel)).metadata.num_rows
 
         manifest = {
             "snapshot_id": uuid.uuid4().hex[:16],
@@ -135,3 +141,10 @@ class IcebergishTable:
 
     def exists(self) -> bool:
         return self.current_snapshot_id() is not None
+
+    def bucket_ids(self) -> list[int]:
+        """Partition list from the manifest — no data scan."""
+        snap = self.snapshot()
+        if snap is None:
+            return []
+        return sorted(int(k) for k in snap["bucket_files"])

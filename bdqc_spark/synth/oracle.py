@@ -58,8 +58,8 @@ def oracle_labels(clips: pd.DataFrame) -> pd.DataFrame:
             continue
         pcm_ok[i] = True
         dur_dec[i] = int(round(len(pcm) * 1000.0 / sr))
-        rms[i] = float(np.sqrt(np.mean(pcm**2))) if len(pcm) else 0.0
-        clip_rate[i] = float(np.mean(np.abs(pcm) >= 0.999)) if len(pcm) else 0.0
+        rms[i] = float(np.sqrt(np.mean(np.square(pcm), dtype=np.float64))) if len(pcm) else 0.0
+        clip_rate[i] = float(np.mean(np.abs(pcm) >= 0.999, dtype=np.float64)) if len(pcm) else 0.0
         pcm_sha[i] = hashlib.sha256(np.ascontiguousarray(pcm).tobytes()).hexdigest()
 
     lang = predict_batch(clips["transcript"])
