@@ -1,0 +1,15 @@
+from bdqc_spark.streaming.windows import (
+    dedup_within_watermark,
+    sessionize,
+    sliding_counts,
+    tumbling_counts,
+)
+from bdqc_spark.streaming.clips_stream import stream_decide
+
+__all__ = [
+    "tumbling_counts",
+    "sliding_counts",
+    "sessionize",
+    "dedup_within_watermark",
+    "stream_decide",
+]

@@ -1,0 +1,61 @@
+"""Deployment entry point (BASELINE.json:14):
+
+    scripts/package.sh                 # → dist/engine.zip
+    spark-submit --py-files dist/engine.zip run_pipeline.py \
+        --table /data/clips --out /data/qc_out [--snapshot snap-0]
+
+Runs (or resumes) the QC pipeline over an Iceberg-shaped clips table.
+On a cluster, spark-submit supplies master/executors; locally it
+falls back to local[$SPARK_GRAFT_CPUS].
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(description="bdqc-spark QC pipeline")
+    ap.add_argument("--table", required=True, help="Iceberg-shaped clips table root")
+    ap.add_argument("--out", required=True, help="output root for state tables")
+    ap.add_argument("--snapshot", default=None, help="pin an input snapshot id")
+    ap.add_argument("--exact-models", action="store_true", help="exact quantiles (test scale)")
+    ap.add_argument("--master", default=None, help="override master (local runs)")
+    args = ap.parse_args(argv)
+
+    from bdqc_spark.session import build_session
+    from bdqc_spark.plans.pipeline import run_pipeline
+    from bdqc_spark.sources.iceberg import IcebergishTable
+
+    spark = build_session(app_name="bdqc-pipeline", master=args.master)
+    tbl = IcebergishTable(args.table)
+    if not tbl.exists():
+        print(f"no snapshot at {args.table}", file=sys.stderr)
+        return 2
+    snapshot = args.snapshot or tbl.current_snapshot_id()
+    result = run_pipeline(
+        spark,
+        tbl.read(spark),
+        args.out,
+        input_snapshot=snapshot,
+        exact_models=args.exact_models,
+        all_buckets=tbl.bucket_ids(),
+    )
+    print(
+        json.dumps(
+            {
+                "run_id": result.run_id,
+                "out": result.out_dir,
+                "processed_buckets": result.processed_buckets,
+                "stage_seconds": result.stage_seconds,
+            }
+        )
+    )
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

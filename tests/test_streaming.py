@@ -1,0 +1,120 @@
+"""Streaming tests (SURVEY.md §2.B T1-T4): batch-equivalence of the
+window wrappers, watermark/late-data behaviour, stateful dedup, and
+the foreachBatch clips scorer vs the batch pipeline."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from bdqc_spark.streaming import (
+    dedup_within_watermark,
+    sessionize,
+    stream_decide,
+    tumbling_counts,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def events(spark):
+    return spark.read.parquet(f"{SF}/events.parquet")
+
+
+def _stream_from(spark, static_df, tmpdir, parts=2):
+    """Turn a static df into a file-source stream (deterministic)."""
+    src = os.path.join(tmpdir, "src")
+    static_df.repartition(parts).write.mode("overwrite").parquet(src)
+    return spark.readStream.schema(static_df.schema).parquet(src)
+
+
+def _run_to_memory(spark, sdf, name, mode="append"):
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+def test_tumbling_counts_stream_equals_batch(spark, events, tmp_path):
+    # Append mode only emits windows the final watermark has closed —
+    # compare on that closed subset (watermark semantics, not a bug).
+    events = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    cutoff = events.agg(F.max("ts")).collect()[0][0]
+    batch = tumbling_counts(events)
+    stream = tumbling_counts(_stream_from(spark, events, str(tmp_path)))
+    got = _run_to_memory(spark, stream, "t_tumbling", mode="append")
+    closed = {
+        (str(r.window_start), r.n)
+        for r in batch.collect()
+        if (cutoff - r.window_end).total_seconds() >= 600
+    }
+    emitted = {(str(r.window_start), r.n) for r in got.collect()}
+    assert closed, "fixture too small: no closed windows"
+    assert closed <= emitted
+    # and everything the stream emitted must exist in the batch result
+    all_batch = {(str(r.window_start), r.n) for r in batch.collect()}
+    assert emitted <= all_batch
+
+
+def test_sessionize_stream_equals_batch(spark, events, tmp_path):
+    small = events.where(F.col("user_id") < 20).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    cutoff = small.agg(F.max("ts")).collect()[0][0]
+    batch = sessionize(small)
+    got = _run_to_memory(
+        spark, sessionize(_stream_from(spark, small, str(tmp_path), parts=1)), "t_session"
+    )
+    closed = {
+        (r.user_id, str(r.session_start), r.n_events)
+        for r in batch.collect()
+        if (cutoff - r.session_end).total_seconds() >= 600
+    }
+    emitted = {(r.user_id, str(r.session_start), r.n_events) for r in got.collect()}
+    assert closed, "fixture too small: no closed sessions"
+    assert closed <= emitted
+
+
+def test_dedup_within_watermark_stream(spark, events, tmp_path):
+    dup = events.unionByName(events)  # every event twice
+    sdf = dedup_within_watermark(_stream_from(spark, dup, str(tmp_path), parts=1), ["event_id"])
+    got = _run_to_memory(spark, sdf, "t_dedup")
+    assert got.count() == events.count()
+    assert got.select("event_id").distinct().count() == events.count()
+
+
+def test_stream_decide_matches_batch(spark, tmp_path):
+    from bdqc_spark.plans.decide import decide
+    from bdqc_spark.plans.models import fit_cohort_models
+    from bdqc_spark.plans.profile import profile_clips
+    from bdqc_spark.synth.clips import generate_clips_df
+
+    clips = generate_clips_df(spark, 300, seed=11)
+    profiles = profile_clips(clips)
+    models = spark.createDataFrame(fit_cohort_models(profiles).collect())
+    batch_dec = decide(profiles, models).toPandas().sort_values("clip_id").reset_index(drop=True)
+
+    out = str(tmp_path / "stream_out")
+    ckpt = str(tmp_path / "ckpt")
+    shutil.rmtree(out, ignore_errors=True)
+    q = stream_decide(
+        spark, _stream_from(spark, clips, str(tmp_path), parts=3), models, out, ckpt
+    )
+    q.awaitTermination(180)
+    got = (
+        spark.read.parquet(out).toPandas().sort_values("clip_id").reset_index(drop=True)
+    )
+    assert len(got) == len(batch_dec)
+    assert list(got.keep) == list(batch_dec.keep)
+    assert list(got.scrubbed_transcript.fillna("")) == list(
+        batch_dec.scrubbed_transcript.fillna("")
+    )
