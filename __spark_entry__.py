@@ -918,6 +918,117 @@ FROM documents
 """
 
 
+# ---- A9/G5: categorical value-histogram model (rare values suspect) --------
+def q_categorical_model(spark, sf_dir):
+    from bdqc_spark.operators.stats import fit_categorical_models
+
+    d = _t(spark, sf_dir, "documents")
+    out = fit_categorical_models(d, ["lang"], "source", rare_frac=0.03)
+    return out.select("lang", "source", "cnt", F.round("frac", 6).alias("frac"), "is_rare")
+
+
+ORACLE_CATEGORICAL = """
+WITH counts AS (SELECT lang, source, COUNT(*) AS cnt FROM documents GROUP BY lang, source),
+totals AS (SELECT lang, SUM(cnt) AS total FROM counts GROUP BY lang)
+SELECT c.lang, c.source, c.cnt,
+       round(CAST(c.cnt AS DOUBLE) / t.total, 6) AS frac,
+       CAST(c.cnt AS DOUBLE) / t.total < 0.03 AS is_rare
+FROM counts c JOIN totals t ON c.lang = t.lang
+"""
+
+
+# ---- T4 batch-equiv: gap-based sessionization (session_window) --------------
+def q_sessionize_batch(spark, sf_dir):
+    from bdqc_spark.streaming.windows import sessionize
+
+    e = _t(spark, sf_dir, "events").where(F.col("user_id") < 30)
+    s = sessionize(e, gap="5 minutes")
+    return s.select(
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_start"),
+        "n_events",
+    )
+
+
+ORACLE_SESSIONIZE = """
+WITH ordered AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   >= INTERVAL '5 minutes' OR
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events WHERE user_id < 30
+), numbered AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM ordered
+)
+SELECT user_id, strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+       COUNT(*) AS n_events
+FROM numbered GROUP BY user_id, session_id
+"""
+
+
+# ---- W1: rank / dense_rank -----------------------------------------------------
+def q_window_rank(spark, sf_dir):
+    s = _t(spark, sf_dir, "supplier")
+    w = Window.partitionBy("s_nationkey").orderBy(F.desc("s_acctbal"), F.asc("s_suppkey"))
+    return s.select(
+        "s_suppkey",
+        "s_nationkey",
+        F.rank().over(w).alias("rk"),
+        F.dense_rank().over(w).alias("drk"),
+    )
+
+
+ORACLE_WINDOW_RANK = """
+SELECT s_suppkey, s_nationkey,
+       RANK() OVER (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey ASC) AS rk,
+       DENSE_RANK() OVER (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey ASC) AS drk
+FROM supplier
+"""
+
+
+# ---- G6: cube ---------------------------------------------------------------------
+def q_cube_metrics(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.cube("event_type", F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            F.coalesce("day", F.lit("ALL")).alias("day"),
+            "n",
+        )
+    )
+
+
+ORACLE_CUBE = """
+SELECT COALESCE(event_type, 'ALL') AS event_type,
+       COALESCE(strftime(ts, '%Y-%m-%d'), 'ALL') AS day, COUNT(*) AS n
+FROM events GROUP BY CUBE (event_type, strftime(ts, '%Y-%m-%d'))
+"""
+
+
+# ---- F5: split + explode ------------------------------------------------------------
+def q_split_explode(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    return (
+        p.select(F.explode(F.split("p_name", " ")).alias("word"))
+        .where(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+ORACLE_SPLIT_EXPLODE = """
+SELECT word, COUNT(*) AS n
+FROM (SELECT unnest(string_split(p_name, ' ')) AS word FROM part)
+WHERE length(word) > 0 GROUP BY word
+"""
+
+
 # ===========================================================================
 # Non-SQL-expressible (rows-only) — domain UDF surface over synthesized clips
 # ===========================================================================
@@ -1045,6 +1156,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_funcs": q_json_funcs,
         "conditional": q_conditional,
         "tumbling_window": q_tumbling_window,
+        "categorical_model": q_categorical_model,
+        "sessionize_batch": q_sessionize_batch,
+        "window_rank": q_window_rank,
+        "cube_metrics": q_cube_metrics,
+        "split_explode": q_split_explode,
         "doc_text_stats": q_doc_text_stats,
         "doc_quality_filter": q_doc_quality_filter,
         "dedup_exact": q_dedup_exact,
@@ -1094,6 +1210,11 @@ def oracle_sql() -> dict[str, str]:
         "json_funcs": ORACLE_JSON,
         "conditional": ORACLE_CONDITIONAL,
         "tumbling_window": ORACLE_TUMBLING,
+        "categorical_model": ORACLE_CATEGORICAL,
+        "sessionize_batch": ORACLE_SESSIONIZE,
+        "window_rank": ORACLE_WINDOW_RANK,
+        "cube_metrics": ORACLE_CUBE,
+        "split_explode": ORACLE_SPLIT_EXPLODE,
         "doc_text_stats": ORACLE_DOC_STATS,
         "doc_quality_filter": ORACLE_DOC_QUALITY,
         "dedup_exact": ORACLE_DEDUP_EXACT,
