@@ -50,42 +50,60 @@ def fit_numeric_models(
     `exact=True` uses `median`/`percentile` (exact, for oracle-checked
     tests); default uses `percentile_approx` (mergeable sketch, the
     100 TB path).
+
+    Execution shape: the fact table is aggregated WIDE (all
+    attributes in one groupBy pass — one scan, one shuffle), and the
+    tiny per-cohort result is unpivoted to long form afterwards.
+    Melting before aggregating would multiply the shuffled/scanned
+    row count by |attrs| for zero benefit.
     """
-    # Melt attr columns to long form: stack(n, 'a1', a1, 'a2', a2, ...)
-    stack_args = ", ".join(f"'{c}', cast(`{c}` as double)" for c in attr_cols)
-    melted = df.selectExpr(
-        *cohort_cols,
-        f"stack({len(attr_cols)}, {stack_args}) as (attribute, value)",
-    ).where(F.col("value").isNotNull())
-
     if exact:
-        pct = lambda p: F.expr(f"percentile(value, {p})")  # noqa: E731
+        pct = lambda c, p: F.expr(f"percentile(`{c}`, {p})")  # noqa: E731
     else:
-        pct = lambda p: F.percentile_approx("value", p, accuracy)  # noqa: E731
+        pct = lambda c, p: F.percentile_approx(c, p, accuracy)  # noqa: E731
 
-    keys = [*cohort_cols, "attribute"]
-    base = melted.groupBy(*keys).agg(
-        F.count("value").alias("n"),
-        pct(0.5).alias("median"),
-        pct(0.01).alias("p01"),
-        pct(0.25).alias("p25"),
-        pct(0.75).alias("p75"),
-        pct(0.99).alias("p99"),
-        F.avg("value").alias("mean"),
-        F.stddev_samp("value").alias("std"),
-    )
-    # Second pass: MAD = median(|x - median|) per (cohort, attribute).
-    mad = (
-        melted.join(F.broadcast(base.select(*keys, "median")), on=keys)
-        .withColumn("absdev", F.abs(F.col("value") - F.col("median")))
-        .groupBy(*keys)
-        .agg(
-            (F.expr("percentile(absdev, 0.5)") if exact else F.percentile_approx("absdev", 0.5, accuracy)).alias(
-                "mad"
+    def _aggs(c: str) -> list:
+        x = F.col(c).cast("double")
+        return [
+            F.count(x).alias(f"{c}__n"),
+            pct(c, 0.5).alias(f"{c}__median"),
+            pct(c, 0.01).alias(f"{c}__p01"),
+            pct(c, 0.25).alias(f"{c}__p25"),
+            pct(c, 0.75).alias(f"{c}__p75"),
+            pct(c, 0.99).alias(f"{c}__p99"),
+            F.avg(x).alias(f"{c}__mean"),
+            F.stddev_samp(x).alias(f"{c}__std"),
+        ]
+
+    casted = df.select(*cohort_cols, *[F.col(c).cast("double").alias(c) for c in attr_cols])
+    wide = casted.groupBy(*cohort_cols).agg(*[a for c in attr_cols for a in _aggs(c)])
+
+    # Pass 2: MAD needs |x − median| per row → broadcast the medians
+    # back (tiny) and aggregate wide again.
+    med_cols = [*cohort_cols, *[F.col(f"{c}__median").alias(f"{c}__med") for c in attr_cols]]
+    with_med = casted.join(F.broadcast(wide.select(*med_cols)), on=cohort_cols)
+    mad_aggs = []
+    for c in attr_cols:
+        dev = F.abs(F.col(c) - F.col(f"{c}__med"))
+        dev_name = f"{c}__absdev"
+        with_med = with_med.withColumn(dev_name, dev)
+        mad_aggs.append(
+            (F.expr(f"percentile(`{dev_name}`, 0.5)") if exact else F.percentile_approx(dev_name, 0.5, accuracy)).alias(
+                f"{c}__mad"
             )
         )
+    mads = with_med.groupBy(*cohort_cols).agg(*mad_aggs)
+    wide = wide.join(mads, on=cohort_cols)
+
+    # Unpivot the tiny per-cohort result → one row per (cohort, attr).
+    stats = ["n", "median", "mad", "p01", "p25", "p75", "p99", "mean", "std"]
+    stack_rows = ", ".join(
+        "'" + c + "', " + ", ".join(f"`{c}__{s}`" for s in stats) for c in attr_cols
     )
-    return base.join(mad, on=keys)
+    return wide.selectExpr(
+        *cohort_cols,
+        f"stack({len(attr_cols)}, {stack_rows}) as (attribute, {', '.join(stats)})",
+    ).where(F.col("n") > 0)
 
 
 def fit_categorical_models(

@@ -22,9 +22,18 @@ COHORT_COLS = ["codec", "lang_pred"]
 MODEL_ATTRS = ["dur_ms", "ppl", "rms", "n_tokens"]
 
 
-def fit_cohort_models(profiles: DataFrame, exact: bool = False) -> DataFrame:
+def fit_cohort_models(
+    profiles: DataFrame, exact: bool = False, accuracy: int = 2000
+) -> DataFrame:
     """profiles → cohort_models(codec, lang_pred, attribute, n, median,
-    mad, p01, p25, p75, p99, mean, std)."""
+    mad, p01, p25, p75, p99, mean, std).
+
+    accuracy=2000 → quantile rank error ≤ 0.05%: the deviation rules
+    sit at robust-z 6 with anomaly classes injected at z ≳ 25 and the
+    clean tail below z ≈ 5 (FIXTURES.md), so sketch noise is orders of
+    magnitude inside the decision margin — while the sketch merge cost
+    on the serial path drops ~3× vs accuracy=10000 (BENCH.md §3).
+    """
     flat = profiles.select(
         F.col("codec"),
         F.col("lang.pred").alias("lang_pred"),
@@ -34,4 +43,4 @@ def fit_cohort_models(profiles: DataFrame, exact: bool = False) -> DataFrame:
         F.col("audio.rms").alias("rms"),
         F.col("text.n_tokens").cast("double").alias("n_tokens"),
     )
-    return fit_numeric_models(flat, COHORT_COLS, MODEL_ATTRS, exact=exact)
+    return fit_numeric_models(flat, COHORT_COLS, MODEL_ATTRS, exact=exact, accuracy=accuracy)
