@@ -837,6 +837,44 @@ WHERE CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) >= 0.5
 """
 
 
+# ---- embedding-cosine near-dup pairs (training-data dedup family) --------------
+def q_dedup_embedding_cosine(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    dot = F.aggregate(
+        F.zip_with("a_emb", "b_emb", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda col: F.sqrt(  # noqa: E731
+        F.aggregate(col, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
+    )
+    sub = e.where(F.col("vec_id") < 200)
+    a = sub.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("a_emb"))
+    b = sub.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("b_emb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.round(dot / (norm(F.col("a_emb")) * norm(F.col("b_emb"))), 6))
+        .where(F.col("cosine") >= 0.3)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+ORACLE_DEDUP_EMB = """
+WITH pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+    round(
+      list_sum(list_transform(list_zip(a.embedding, b.embedding),
+               p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+      / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+       * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+    , 6) AS cosine
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE a.vec_id < 200 AND b.vec_id < 200
+)
+SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.3
+"""
+
+
 # ---- brute-force cosine top-k (similarity-search baseline) ---------------------
 def q_similarity_topk(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
@@ -1115,6 +1153,15 @@ def q_ann_lsh_topk(spark, sf_dir):
     return ann_lsh_topk(e, "vec_id", "embedding", k=3, n_planes=8, query_filter="vec_id < 10")
 
 
+def q_approx_distinct(spark, sf_dir):
+    """G2 approx path: HLL++ sketch (rows-only — DuckDB's approx sketch
+    differs; the exact variant is oracle-checked in distinct_counts)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.approx_count_distinct("o_custkey", 0.02).alias("n_customers_approx")
+    )
+
+
 def q_type_inference(spark, sf_dir):
     ensure_shipped(spark)
     from bdqc_spark.operators.stats import infer_column_types
@@ -1166,6 +1213,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_fingerprint": q_dedup_fingerprint,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "similarity_topk": q_similarity_topk,
         "scrub_documents": q_scrub_documents,
         # rows-only (no SQL oracle): domain UDFs / sketch-based ops
@@ -1175,6 +1223,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash_buckets": q_simhash_buckets,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "approx_distinct": q_approx_distinct,
         "type_inference": q_type_inference,
     }
 
@@ -1220,6 +1269,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": ORACLE_DEDUP_EXACT,
         "dedup_fingerprint": ORACLE_DEDUP_FP,
         "dedup_ngram_jaccard": ORACLE_DEDUP_NGRAM,
+        "dedup_embedding_cosine": ORACLE_DEDUP_EMB,
         "similarity_topk": ORACLE_SIMILARITY,
         "scrub_documents": ORACLE_SCRUB,
     }
