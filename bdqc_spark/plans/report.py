@@ -1,0 +1,51 @@
+"""Tiny HTML report sink (SURVEY.md §2.A A14 — bdqc --writeHTML).
+
+The state tables ARE the report; this renders a human-readable
+summary of a pipeline run (per-bucket counters + dropped-by-rule
+totals) to one self-contained HTML file. Driver-side: the inputs are
+KB-sized aggregates.
+"""
+
+from __future__ import annotations
+
+import html
+import time
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+
+def write_html_report(spark: SparkSession, out_dir: str, path: str) -> str:
+    metrics = spark.read.parquet(f"{out_dir}/metrics").orderBy("partition_id").collect()
+    rows_seen = sum(r.rows_seen for r in metrics)
+    rows_dropped = sum(r.rows_dropped for r in metrics)
+    by_rule: dict[str, int] = {}
+    for r in metrics:
+        for k, v in (r.dropped_by_rule or {}).items():
+            by_rule[k] = by_rule.get(k, 0) + v
+    scrub_edits = sum(r.scrub_edits for r in metrics)
+
+    def table(headers, rows):
+        h = "".join(f"<th>{html.escape(str(x))}</th>" for x in headers)
+        b = "".join(
+            "<tr>" + "".join(f"<td>{html.escape(str(x))}</td>" for x in row) + "</tr>"
+            for row in rows
+        )
+        return f"<table border=1 cellpadding=4><tr>{h}</tr>{b}</table>"
+
+    doc = f"""<!doctype html><html><head><meta charset="utf-8">
+<title>bdqc-spark QC report</title></head><body>
+<h1>bdqc-spark QC report</h1>
+<p>generated {time.strftime('%Y-%m-%d %H:%M:%S UTC', time.gmtime())} from {html.escape(out_dir)}</p>
+<h2>Totals</h2>
+{table(['rows_seen', 'rows_dropped', 'drop_rate', 'scrub_edits'],
+       [[rows_seen, rows_dropped, f"{rows_dropped / max(rows_seen, 1):.4f}", scrub_edits]])}
+<h2>Dropped by rule</h2>
+{table(['rule', 'count'], sorted(by_rule.items(), key=lambda kv: -kv[1]))}
+<h2>Per-partition</h2>
+{table(['partition', 'rows_seen', 'rows_dropped', 'scrub_edits', 'wall_ms'],
+       [[r.partition_id, r.rows_seen, r.rows_dropped, r.scrub_edits, r.wall_ms] for r in metrics])}
+</body></html>"""
+    with open(path, "w") as f:
+        f.write(doc)
+    return path
