@@ -313,6 +313,77 @@ GROUP BY l.l_returnflag, d.flag_total
 """
 
 
+# ---- multi-join: TPC-H Q3 shape (shipping priority) --------------------------
+def q_multi_join_q3(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderdate") < F.lit("1995-03-15").cast("timestamp"))
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"))
+        .agg(
+            F.sum(
+                (_dec("l_extendedprice") * (1 - _dec("l_discount"))).cast("decimal(28,4)")
+            ).cast("double").alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+ORACLE_Q3 = """
+SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,4))) AS DOUBLE) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1995-03-15'
+  AND l_shipdate > TIMESTAMP '1995-03-15'
+GROUP BY l_orderkey, strftime(o_orderdate, '%Y-%m-%d')
+ORDER BY revenue DESC, l_orderkey ASC LIMIT 10
+"""
+
+
+# ---- multi-join: TPC-H Q5 shape (5-table star, local supplier volume) ---------
+def q_multi_join_q5(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .where(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(
+                (_dec("l_extendedprice") * (1 - _dec("l_discount"))).cast("decimal(28,4)")
+            ).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+ORACLE_Q5 = """
+SELECT n_name,
+  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,4))) AS DOUBLE) AS revenue,
+  COUNT(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE c_nationkey = s_nationkey
+GROUP BY n_name
+"""
+
+
 # ---- G2: distinct counts ------------------------------------------------------
 def q_distinct_counts(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
@@ -1186,6 +1257,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_anti": q_join_anti,
         "join_theta": q_join_theta,
         "join_salted": q_join_salted,
+        "multi_join_q3": q_multi_join_q3,
+        "multi_join_q5": q_multi_join_q5,
         "distinct_counts": q_distinct_counts,
         "quantiles_mad": q_quantiles_mad,
         "topk_per_group": q_topk_per_group,
@@ -1242,6 +1315,8 @@ def oracle_sql() -> dict[str, str]:
         "join_anti": ORACLE_JOIN_ANTI,
         "join_theta": ORACLE_JOIN_THETA,
         "join_salted": ORACLE_JOIN_SALTED,
+        "multi_join_q3": ORACLE_Q3,
+        "multi_join_q5": ORACLE_Q5,
         "distinct_counts": ORACLE_DISTINCT_COUNTS,
         "quantiles_mad": ORACLE_QUANTILES,
         "topk_per_group": ORACLE_TOPK,
