@@ -157,7 +157,7 @@ ORACLE_DISTINCT = "SELECT DISTINCT o_custkey, o_orderstatus FROM orders"
 def q_agg_pricing_summary(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     return (
-        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
@@ -316,9 +316,9 @@ GROUP BY l.l_returnflag, d.flag_total
 # ---- multi-join: TPC-H Q3 shape (shipping priority) --------------------------
 def q_multi_join_q3(spark, sf_dir):
     c = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
-    o = _t(spark, sf_dir, "orders").where(F.col("o_orderdate") < F.lit("1995-03-15").cast("timestamp"))
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderdate") < F.lit("1995-03-15").cast("timestamp_ntz"))
     li = _t(spark, sf_dir, "lineitem").where(
-        F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp")
+        F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp_ntz")
     )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)

@@ -37,12 +37,6 @@ from bdqc_spark.plans.decide import decide
 from bdqc_spark.plans.models import fit_cohort_models
 from bdqc_spark.plans.profile import profile_clips
 
-LINEAGE_SCHEMA = (
-    "partition_id int, input_snapshot string, attempt int, "
-    "started_at timestamp, finished_at timestamp, status string"
-)
-
-
 class PipelineResult:
     def __init__(self, out_dir: str, run_id: str, processed_buckets: list[int]):
         self.out_dir = out_dir
