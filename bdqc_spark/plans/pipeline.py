@@ -130,19 +130,31 @@ def run_pipeline(
     if all_buckets is None:
         all_buckets = sorted(r.bucket for r in clips.select("bucket").distinct().collect())
 
-    # ---- Stage A: profile pending buckets (checkpointed) -----------------
+    # ---- Stage A: profile pending buckets (checkpointed, incremental) ----
+    # Reference semantics (bdqc entry point 2, SURVEY.md §3.1): an
+    # incremental run computes signatures ONLY for new files, refits
+    # models over all, recomputes outliers. Here: clips not yet in the
+    # profiles table (left-anti on clip_id, J5) are profiled and
+    # APPENDED. This is also what makes the stage idempotent at clip
+    # granularity: a crashed append leaves its output invisible
+    # (uncommitted _temporary files), so a rerun's anti-join picks up
+    # exactly the missing clips — no duplicates, no lost work.
     t0 = time.time()
     done_profile = _completed(lineage_dir, input_snapshot, "profiled")
     pending = [b for b in all_buckets if b not in done_profile]
     attempt = 2 if done_profile else 1  # informational (resume marker)
     if pending:
-        prof = profile_clips(clips.where(F.col("bucket").isin(pending)))
+        to_profile = clips.where(F.col("bucket").isin(pending))
+        if os.path.isdir(profiles_dir):
+            existing = spark.read.parquet(profiles_dir).select("clip_id")
+            to_profile = to_profile.join(existing, on="clip_id", how="left_anti")
+        prof = profile_clips(to_profile)
         (
-            # one task == one bucket == one output file: downstream
-            # scans see 64 well-sized files, not 100s of shards
+            # one task == one bucket == one output file per run:
+            # downstream scans see well-sized files, not 100s of shards
             prof.repartition(len(all_buckets), "bucket")
             .sortWithinPartitions("clip_id")
-            .write.mode("overwrite")
+            .write.mode("append")
             .partitionBy("bucket")
             .parquet(profiles_dir)
         )

@@ -146,18 +146,21 @@ def generate_clips_pandas(n: int, seed: int = 42, start: int = 0) -> pd.DataFram
     return pd.DataFrame(rows)
 
 
-def generate_clips_df(spark, n: int, seed: int = 42, include_labels: bool = False):
-    """Distributed generation: spark.range(n) → mapInPandas(_gen_one).
-    Deterministic regardless of partitioning (per-index rng)."""
-    from pyspark.sql import functions as F
+def generate_clips_df(
+    spark, n: int, seed: int = 42, include_labels: bool = False, start: int = 0
+):
+    """Distributed generation: spark.range(start, start+n) →
+    mapInPandas(_gen_one). Deterministic regardless of partitioning
+    (per-index rng); `start` lets incremental appends extend a corpus
+    with disjoint clip_ids."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
             yield pd.DataFrame([_gen_one(seed, int(i)) for i in b["id"]])
 
-    df = spark.range(n).repartition(max(spark.sparkContext.defaultParallelism, 8)).mapInPandas(
-        gen, CLIPS_SCHEMA
-    )
+    df = spark.range(start, start + n).repartition(
+        max(spark.sparkContext.defaultParallelism, 8)
+    ).mapInPandas(gen, CLIPS_SCHEMA)
     if not include_labels:
         df = df.drop("lang_true", "anomaly")
     return df

@@ -1,0 +1,81 @@
+"""Incremental update semantics (reference entry point 2, SURVEY.md
+§3.1): new snapshot → only NEW clips get profiled (append), models
+refit over all, decisions recomputed over all."""
+
+from __future__ import annotations
+
+import glob
+
+from pyspark.sql import functions as F
+
+from bdqc_spark.plans.pipeline import run_pipeline
+from bdqc_spark.sources.iceberg import IcebergishTable
+from bdqc_spark.synth.clips import generate_clips_df
+
+
+def test_incremental_append_profiles_only_new_clips(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    out = str(tmp_path / "out")
+    tbl = IcebergishTable(root, num_buckets=4)
+
+    snap_a = tbl.append(generate_clips_df(spark, 400, seed=21))
+    run_pipeline(spark, tbl.read(spark), out, input_snapshot=snap_a)
+    files_after_a = set(glob.glob(f"{out}/profiles/bucket=*/*.parquet"))
+    assert spark.read.parquet(f"{out}/profiles").count() == 400
+
+    # grow the corpus: 100 new clips → new snapshot
+    snap_b = tbl.append(generate_clips_df(spark, 100, seed=21, start=400))
+    assert snap_b != snap_a
+    run_pipeline(spark, tbl.read(spark), out, input_snapshot=snap_b)
+
+    profiles = spark.read.parquet(f"{out}/profiles")
+    assert profiles.count() == 500  # appended, no duplicates
+    assert profiles.select("clip_id").distinct().count() == 500
+    # old profile files untouched (incremental = append, not rewrite)
+    files_after_b = set(glob.glob(f"{out}/profiles/bucket=*/*.parquet"))
+    assert files_after_a <= files_after_b
+    assert len(files_after_b) > len(files_after_a)
+
+    # decisions recomputed over the full corpus (models refit over all)
+    decisions = spark.read.parquet(f"{out}/decisions")
+    assert decisions.count() == 500
+    assert decisions.select("clip_id").distinct().count() == 500
+
+    # third run with the same snapshot: pure no-op
+    res = run_pipeline(spark, tbl.read(spark), out, input_snapshot=snap_b)
+    assert res.processed_buckets == []
+    assert set(glob.glob(f"{out}/profiles/bucket=*/*.parquet")) == files_after_b
+
+
+def test_incremental_decisions_match_fresh_run(spark, tmp_path):
+    """Incremental (A then +B) must produce the same decisions as a
+    fresh run over the full corpus."""
+    root1, root2 = str(tmp_path / "t1"), str(tmp_path / "t2")
+    out1, out2 = str(tmp_path / "o1"), str(tmp_path / "o2")
+
+    t1 = IcebergishTable(root1, num_buckets=4)
+    s_a = t1.append(generate_clips_df(spark, 300, seed=31))
+    run_pipeline(spark, t1.read(spark), out1, input_snapshot=s_a)
+    s_b = t1.append(generate_clips_df(spark, 100, seed=31, start=300))
+    run_pipeline(spark, t1.read(spark), out1, input_snapshot=s_b)
+
+    t2 = IcebergishTable(root2, num_buckets=4)
+    t2.append(generate_clips_df(spark, 300, seed=31))
+    t2.append(generate_clips_df(spark, 100, seed=31, start=300))
+    run_pipeline(spark, t2.read(spark), out2)
+
+    a = (
+        spark.read.parquet(f"{out1}/decisions")
+        .select("clip_id", "keep", "rule_hits", "scrubbed_transcript")
+        .toPandas()
+        .sort_values("clip_id")
+        .reset_index(drop=True)
+    )
+    b = (
+        spark.read.parquet(f"{out2}/decisions")
+        .select("clip_id", "keep", "rule_hits", "scrubbed_transcript")
+        .toPandas()
+        .sort_values("clip_id")
+        .reset_index(drop=True)
+    )
+    assert a.equals(b)
