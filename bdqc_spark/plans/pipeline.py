@@ -167,10 +167,15 @@ def run_pipeline(
     # The model table is KB-sized (|cohorts|×|attrs| rows): collect it
     # once, persist the snapshot, and feed the collected copy straight
     # into stage C — no parquet round-trip on the serial path.
+    # No-op fast path: when stage A profiled nothing new and a model
+    # snapshot already exists, the refit would reproduce it — reuse it.
     profiles = spark.read.parquet(profiles_dir)
-    models_rows = fit_cohort_models(profiles, exact=exact_models).collect()
-    models = spark.createDataFrame(models_rows)
-    models.coalesce(1).write.mode("overwrite").parquet(models_dir)
+    if not pending and os.path.isdir(models_dir):
+        models = spark.read.parquet(models_dir)
+    else:
+        models_rows = fit_cohort_models(profiles, exact=exact_models).collect()
+        models = spark.createDataFrame(models_rows)
+        models.coalesce(1).write.mode("overwrite").parquet(models_dir)
     t_stage = _tick(result, "B_models", t_stage)
     if fail_after_stage == "models":
         raise RuntimeError("injected failure after models stage")
