@@ -118,3 +118,19 @@ def test_stream_decide_matches_batch(spark, tmp_path):
     assert list(got.scrubbed_transcript.fillna("")) == list(
         batch_dec.scrubbed_transcript.fillna("")
     )
+
+
+def test_sliding_counts_stream_subset_of_batch(spark, events, tmp_path):
+    from bdqc_spark.streaming import sliding_counts
+
+    events = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    batch = sliding_counts(events)
+    got = _run_to_memory(
+        spark, sliding_counts(_stream_from(spark, events, str(tmp_path))), "t_sliding"
+    )
+    all_batch = {(str(r.window_start), r.n) for r in batch.collect()}
+    emitted = {(str(r.window_start), r.n) for r in got.collect()}
+    assert emitted, "stream emitted nothing"
+    assert emitted <= all_batch  # every emitted window agrees with batch
+    # sliding windows: each event lands in window_size/slide = 2 windows
+    assert batch.agg(F.sum("n")).collect()[0][0] == 2 * events.count()
