@@ -1138,6 +1138,62 @@ WHERE length(word) > 0 GROUP BY word
 """
 
 
+# ---- V6: Python UDTF — per-rule scrub-audit records --------------------------
+def q_scrub_audit(spark, sf_dir):
+    ensure_shipped(spark)
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+    from bdqc_spark.functions.scrub import ScrubAuditUDTF
+
+    audit = udtf(
+        ScrubAuditUDTF,
+        returnType=StructType(
+            [StructField("rule_id", StringType()), StructField("n_matches", IntegerType())]
+        ),
+    )
+    spark.udtf.register("scrub_audit", audit)
+    # The fixture text contains no PII; inject deterministic patterns
+    # (mirrored in the oracle SQL) so the audit has real rows to emit.
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 7 == 0, F.lit(" reach me at user@example.com")).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 11 == 0, F.lit(" or call 555-123-4567 x2")).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 13 == 0, F.lit(" you utter smeg")).otherwise(F.lit("")),
+        ),
+    )
+    docs.createOrReplaceTempView("_docs_audit")
+    return spark.sql(
+        "SELECT d.doc_id, s.rule_id, s.n_matches FROM _docs_audit d, LATERAL scrub_audit(d.text) s"
+    )
+
+
+_AUDIT_TEXT = (
+    "text || (CASE WHEN doc_id % 7 = 0 THEN ' reach me at user@example.com' ELSE '' END)"
+    " || (CASE WHEN doc_id % 11 = 0 THEN ' or call 555-123-4567 x2' ELSE '' END)"
+    " || (CASE WHEN doc_id % 13 = 0 THEN ' you utter smeg' ELSE '' END)"
+)
+
+
+def _audit_sql() -> str:
+    parts = []
+    cur = f"({_AUDIT_TEXT})"
+    for r in SCRUB_RULES:
+        pat = r.pattern.replace("'", "''")
+        parts.append(
+            f"SELECT doc_id, '{r.rule_id}' AS rule_id, "
+            f"CAST(len(regexp_extract_all({cur}, '{pat}')) AS INT) AS n_matches FROM documents"
+        )
+        cur = f"regexp_replace({cur}, '{pat}', '{r.replacement}', 'g')"
+    union = " UNION ALL ".join(parts)
+    return f"SELECT * FROM ({union}) WHERE n_matches > 0"
+
+
+ORACLE_SCRUB_AUDIT = _audit_sql()
+
+
 # ===========================================================================
 # Non-SQL-expressible (rows-only) — domain UDF surface over synthesized clips
 # ===========================================================================
@@ -1289,6 +1345,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "similarity_topk": q_similarity_topk,
         "scrub_documents": q_scrub_documents,
+        "scrub_audit": q_scrub_audit,
         # rows-only (no SQL oracle): domain UDFs / sketch-based ops
         "clips_audio_profile": q_clips_audio_profile,
         "clips_pipeline_decisions": q_clips_pipeline_decisions,
@@ -1347,4 +1404,5 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding_cosine": ORACLE_DEDUP_EMB,
         "similarity_topk": ORACLE_SIMILARITY,
         "scrub_documents": ORACLE_SCRUB,
+        "scrub_audit": ORACLE_SCRUB_AUDIT,
     }

@@ -75,6 +75,28 @@ def n_edits_column(c: Column, rules: tuple[ScrubRule, ...] = SCRUB_RULES) -> Col
     return total
 
 
+class ScrubAuditUDTF:
+    """Python UDTF (SURVEY.md §2.B V6): explode per-rule scrub-audit
+    records for one transcript — (rule_id, n_matches) rows for every
+    rule that fires, evaluated on the progressively scrubbed text
+    (same chain order as scrub_column). Row-at-a-time by design: this
+    is the audit/debug surface, not the hot path (the hot path is the
+    chained regexp_replace in Catalyst).
+
+    Register with: spark.udtf.register("scrub_audit", ScrubAuditUDTF)
+    Use in SQL:    SELECT d.doc_id, s.* FROM docs d,
+                   LATERAL scrub_audit(d.text) s
+    """
+
+    def eval(self, text: str):  # noqa: D401
+        cur = text if isinstance(text, str) else ""
+        for r in SCRUB_RULES:
+            n = len(re.findall(r.pattern, cur))
+            if n:
+                yield r.rule_id, n
+            cur = re.sub(r.pattern, r.replacement, cur)
+
+
 def scrub_python(text: str, rules: tuple[ScrubRule, ...] = SCRUB_RULES) -> tuple[str, int, list[str]]:
     """Single-node reference implementation (the oracle's scrubber).
     Must stay semantically identical to scrub_column/n_edits_column."""
