@@ -702,7 +702,9 @@ def q_json_funcs(spark, sf_dir):
 
 
 ORACLE_JSON = """
-SELECT event_type, SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k, COUNT(*) AS n
+SELECT event_type,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+       COUNT(*) AS n
 FROM events GROUP BY event_type
 """
 
@@ -725,8 +727,8 @@ def q_conditional(spark, sf_dir):
 
 ORACLE_CONDITIONAL = """
 SELECT user_id,
-       SUM(CASE event_type WHEN 'purchase' THEN 5 WHEN 'signup' THEN 3
-           WHEN 'error' THEN -1 ELSE 1 END) AS engagement
+       CAST(SUM(CASE event_type WHEN 'purchase' THEN 5 WHEN 'signup' THEN 3
+           WHEN 'error' THEN -1 ELSE 1 END) AS BIGINT) AS engagement
 FROM events GROUP BY user_id
 """
 
@@ -779,9 +781,9 @@ SELECT doc_id, length(text) AS n_chars_obs,
   round(CASE WHEN length(text) > 0
         THEN CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / length(text)
         ELSE 0.0 END, 6) AS frac_digit,
-  list_sum(list_transform(regexp_extract_all(text, '[A-Za-z]+'),
+  CAST(list_sum(list_transform(regexp_extract_all(text, '[A-Za-z]+'),
            w -> greatest(1, CAST(ceil(length(w) / 4.0) AS INT))))
-    + len(regexp_extract_all(text, '[0-9]+|[.,;:!?''"()\\[\\]{}<>@#$%^&*+=/\\\\|~`_-]')) AS bpe_tokens
+    + len(regexp_extract_all(text, '[0-9]+|[.,;:!?''"()\\[\\]{}<>@#$%^&*+=/\\\\|~`_-]')) AS BIGINT) AS bpe_tokens
 FROM documents
 """
 
@@ -1232,8 +1234,15 @@ def q_clips_pipeline_decisions(spark, sf_dir):
     shutil.rmtree(out, ignore_errors=True)
     clips = _clips_df(spark)
     run_pipeline(spark, clips, out)
+    # rule_hits is array<string> (already array_sort'ed in decide.py); the
+    # driver canonicalizer sorts cells via pandas, and list cells are
+    # unhashable — join to a deterministic ';'-separated string.
     return spark.read.parquet(f"{out}/decisions").select(
-        "clip_id", "keep", "rule_hits", "scrubbed_transcript", "n_scrub_edits"
+        "clip_id",
+        "keep",
+        F.array_join(F.col("rule_hits"), ";").alias("rule_hits"),
+        "scrubbed_transcript",
+        "n_scrub_edits",
     )
 
 

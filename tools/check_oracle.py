@@ -66,6 +66,19 @@ def main() -> int:
             traceback.print_exc()
             n_fail += 1
             continue
+        # The driver canonicalizer sorts cells via pandas; list/array cells are
+        # unhashable and crash it (r1: clips_pipeline_decisions). Flag them in
+        # every query, oracle-checked or rows-only.
+        listcols = [
+            c
+            for c in spark_pd.columns
+            if spark_pd[c].dtype.kind == "O"
+            and spark_pd[c].map(lambda v: isinstance(v, (list, tuple)) or hasattr(v, "__array__")).any()
+        ]
+        if listcols:
+            print(f"FAIL {name}: list-valued cells in {listcols} would crash the driver canonicalizer")
+            n_fail += 1
+            continue
         if name not in oracles:
             print(f"rows-only {name}: {len(spark_pd)} rows  ({time.time()-t0:.1f}s)")
             n_rows_only += 1
@@ -82,6 +95,18 @@ def main() -> int:
             problems.append(f"rowcount {len(spark_pd)} vs {len(duck_pd)}")
         if sorted(spark_pd.columns) != sorted(duck_pd.columns):
             problems.append(f"columns {sorted(spark_pd.columns)} vs {sorted(duck_pd.columns)}")
+        else:
+            # The driver hashes str(cell); int64 5 renders "5" but float64
+            # renders "5.0" — same values, different hash. Flag any column
+            # where one side is float and the other is integer (the DuckDB
+            # SUM(INT)->HUGEINT->float64 artifact that caused 3 r1 reds).
+            for c in spark_pd.columns:
+                sk, dk = spark_pd[c].dtype.kind, duck_pd[c].dtype.kind
+                if {sk, dk} == {"i", "f"} or {sk, dk} == {"u", "f"}:
+                    problems.append(
+                        f"dtype mismatch on '{c}': spark {spark_pd[c].dtype} vs duck "
+                        f"{duck_pd[c].dtype} (driver hash would differ)"
+                    )
         if not problems:
             a, b = canon(spark_pd), canon(duck_pd)
             if not a.equals(b):
