@@ -15,7 +15,15 @@ from pyspark.sql import functions as F
 
 from bdqc_spark.functions.scrub import n_edits_column, scrub_column
 from bdqc_spark.plans.models import COHORT_COLS
-from bdqc_spark.plans.rules import DEVIATION_RULES, STATIC_RULES, DeviationRule, StaticRule
+from bdqc_spark.plans.rules import (
+    CATEGORICAL_RULES,
+    DEVIATION_RULES,
+    MIN_COHORT_N,
+    STATIC_RULES,
+    CategoricalRule,
+    DeviationRule,
+    StaticRule,
+)
 
 
 def flatten_profiles(profiles: DataFrame) -> DataFrame:
@@ -46,10 +54,14 @@ def decide(
     cohort_models: DataFrame,
     static_rules: tuple[StaticRule, ...] = STATIC_RULES,
     deviation_rules: tuple[DeviationRule, ...] = DEVIATION_RULES,
+    categorical_rules: tuple[CategoricalRule, ...] = CATEGORICAL_RULES,
 ) -> DataFrame:
     """profiles + models → decisions(clip_id[, bucket], keep,
     rule_hits, scrubbed_transcript, n_scrub_edits)."""
     flat = flatten_profiles(profiles)
+    # Derived axis for the log-space ppl deviation rule (rules.py
+    # PPL_LOG_Z); ln(+inf) = +inf so no-evidence rows score z = inf.
+    flat = flat.withColumn("log_ppl", F.log(F.col("ppl")))
 
     hit_exprs = [
         F.when(F.expr(r.expr), F.lit(r.rule_id)).otherwise(F.lit(None)) for r in static_rules
@@ -77,8 +89,6 @@ def decide(
             # Cohorts below minimum support (or unmodeled: mad null)
             # are not flagged by deviation rules — matches bdqc, which
             # skips models for tiny cohorts (MIN_COHORT_N in rules.py).
-            from bdqc_spark.plans.rules import MIN_COHORT_N
-
             n_col = F.col(f"{r.attribute}_n")
             hit_exprs.append(
                 F.when(
@@ -88,6 +98,27 @@ def decide(
                     F.lit(r.rule_id),
                 ).otherwise(F.lit(None))
             )
+
+    for r in categorical_rules or ():
+        # Broadcast the per-cohort value histogram; a row is flagged
+        # when its value's within-cohort frequency is below rare_frac
+        # (exact integer counts — identical on engine and oracle).
+        hist = cohort_models.where(F.col("attribute") == r.attribute).select(
+            *COHORT_COLS,
+            F.col("n").alias(f"__{r.attribute}_cn"),
+            F.col("histogram").alias(f"__{r.attribute}_hist"),
+        )
+        flat = flat.join(F.broadcast(hist), on=COHORT_COLS, how="left")
+        cn = F.col(f"__{r.attribute}_cn")
+        cnt = F.coalesce(
+            F.col(f"__{r.attribute}_hist")[F.col(r.attribute).cast("string")], F.lit(0)
+        )
+        hit_exprs.append(
+            F.when(
+                cn.isNotNull() & (cn >= MIN_COHORT_N) & (cnt / cn < F.lit(r.rare_frac)),
+                F.lit(r.rule_id),
+            ).otherwise(F.lit(None))
+        )
 
     extra = [c for c in ("bucket",) if c in flat.columns]
     return (

@@ -18,8 +18,13 @@ from bdqc_spark.operators.stats import fit_numeric_models
 
 COHORT_COLS = ["codec", "lang_pred"]
 
-# Attributes modeled per cohort (robust-z rules read these).
-MODEL_ATTRS = ["dur_ms", "ppl", "rms", "n_tokens"]
+# Attributes modeled per cohort (robust-z rules read these). ppl is
+# modeled in log space — see plans/rules.py PPL_LOG_Z.
+MODEL_ATTRS = ["dur_ms", "log_ppl", "rms", "n_tokens"]
+
+# Categorical attributes modeled as within-cohort value histograms
+# (bdqc DataModel for string attributes: rare values are suspects).
+CATEGORICAL_ATTRS = ["sr_hz"]
 
 
 def fit_cohort_models(
@@ -39,8 +44,30 @@ def fit_cohort_models(
         F.col("lang.pred").alias("lang_pred"),
         F.col("dur_ms").cast("double").alias("dur_ms"),
         # +inf perplexities (empty transcripts) would poison quantiles.
-        F.when(F.col("lang.ppl") < float("inf"), F.col("lang.ppl")).alias("ppl"),
+        F.log(F.when(F.col("lang.ppl") < float("inf"), F.col("lang.ppl"))).alias("log_ppl"),
         F.col("audio.rms").alias("rms"),
         F.col("text.n_tokens").cast("double").alias("n_tokens"),
+        F.col("sr_hz").cast("string").alias("sr_hz"),
     )
-    return fit_numeric_models(flat, COHORT_COLS, MODEL_ATTRS, exact=exact, accuracy=accuracy)
+    numeric = fit_numeric_models(
+        flat, COHORT_COLS, MODEL_ATTRS, exact=exact, accuracy=accuracy
+    ).withColumn("histogram", F.lit(None).cast("map<string,bigint>"))
+
+    # Categorical rows: one per (cohort, attr) with the full value
+    # histogram (exact counts — the histogram is KB-sized per cohort).
+    cats = []
+    for a in CATEGORICAL_ATTRS:
+        counts = flat.groupBy(*COHORT_COLS, a).agg(F.count(F.lit(1)).alias("cnt"))
+        cats.append(
+            counts.groupBy(*COHORT_COLS).agg(
+                F.lit(a).alias("attribute"),
+                F.sum("cnt").alias("n"),
+                F.map_from_entries(
+                    F.collect_list(F.struct(F.col(a).alias("key"), F.col("cnt").alias("value")))
+                ).alias("histogram"),
+            )
+        )
+    out = numeric
+    for c in cats:
+        out = out.unionByName(c, allowMissingColumns=True)
+    return out

@@ -167,15 +167,23 @@ def run_pipeline(
     # The model table is KB-sized (|cohorts|×|attrs| rows): collect it
     # once, persist the snapshot, and feed the collected copy straight
     # into stage C — no parquet round-trip on the serial path.
-    # No-op fast path: when stage A profiled nothing new and a model
-    # snapshot already exists, the refit would reproduce it — reuse it.
+    # No-op fast path: reuse the persisted snapshot ONLY when lineage
+    # proves it was fit for THIS input_snapshot with THIS fit mode
+    # (a `models_fit_*` record). `not pending` alone is insufficient:
+    # a crash between stage A's append and stage B's write would leave
+    # pending=[] with a model table fit on the PREVIOUS snapshot's
+    # profiles — reusing it silently commits decisions from stale
+    # cohort stats.
+    models_status = f"models_fit_{'exact' if exact_models else 'approx'}"
+    models_current = bool(_completed(lineage_dir, input_snapshot, models_status))
     profiles = spark.read.parquet(profiles_dir)
-    if not pending and os.path.isdir(models_dir):
+    if not pending and models_current and os.path.isdir(models_dir):
         models = spark.read.parquet(models_dir)
     else:
         models_rows = fit_cohort_models(profiles, exact=exact_models).collect()
         models = spark.createDataFrame(models_rows)
         models.coalesce(1).write.mode("overwrite").parquet(models_dir)
+        _append_lineage(lineage_dir, [-1], input_snapshot, attempt, t_stage, models_status)
     t_stage = _tick(result, "B_models", t_stage)
     if fail_after_stage == "models":
         raise RuntimeError("injected failure after models stage")
@@ -197,9 +205,13 @@ def run_pipeline(
         # Per-bucket metrics (FIXTURES.md §3), appended per attempt.
         # Rules are data (plans/rules.py), so the per-rule counts are a
         # fixed pivot: one aggregation pass, no explode, no self-join.
-        from bdqc_spark.plans.rules import DEVIATION_RULES, STATIC_RULES
+        from bdqc_spark.plans.rules import CATEGORICAL_RULES, DEVIATION_RULES, STATIC_RULES
 
-        rule_ids = [r.rule_id for r in STATIC_RULES] + [r.rule_id for r in DEVIATION_RULES]
+        rule_ids = (
+            [r.rule_id for r in STATIC_RULES]
+            + [r.rule_id for r in DEVIATION_RULES]
+            + [r.rule_id for r in CATEGORICAL_RULES]
+        )
         wall_ms = int((time.time() - t1) * 1000)
         d = spark.read.parquet(decisions_dir).where(F.col("bucket").isin(pending_d))
         per_rule = [

@@ -25,10 +25,20 @@ CONF_MIN = 0.5
 MAX_RUN = 20
 VALID_SR = (8000, 16000, 22050, 44100)
 ROBUST_Z = 6.0
+# Perplexity is a multiplicative quantity with a fat clean tail even
+# in log space (PII/digit insertions legitimately raise char-LM ppl):
+# robust-z over log(ppl) separates at ~30 — clean corpus max ≈ 28,
+# gibberish (anomaly class C) min ≈ 36 at N=3000 — where raw-ppl z=6
+# would flag ~4% of clean rows.
+PPL_LOG_Z = 32.0
 # Deviation rules need minimum cohort support: robust stats from a
 # handful of rows are noise (bdqc likewise skips models on tiny
 # cohorts). Below this n, deviation rules do not fire.
 MIN_COHORT_N = 30
+# Categorical deviation: a value whose within-cohort frequency is
+# below this fraction is an outlier suspect (bdqc DataModel/Scalar.pm
+# flags rare/unique categorical values).
+RARE_FRAC = 0.01
 
 
 @dataclass(frozen=True)
@@ -42,6 +52,13 @@ class DeviationRule:
     rule_id: str
     attribute: str  # must exist in cohort_models
     z_threshold: float
+
+
+@dataclass(frozen=True)
+class CategoricalRule:
+    rule_id: str
+    attribute: str  # must have a histogram row in cohort_models
+    rare_frac: float
 
 
 STATIC_RULES: tuple[StaticRule, ...] = (
@@ -59,6 +76,16 @@ STATIC_RULES: tuple[StaticRule, ...] = (
     StaticRule("text.max_run", f"max_run >= {MAX_RUN}"),
 )
 
+# One rule per modeled attribute (plans/models.py MODEL_ATTRS): bdqc's
+# core semantic is "file flagged iff ANY attribute deviates from its
+# cohort model" (lib/BDQC/KB.pm getOutliers, reconstructed).
 DEVIATION_RULES: tuple[DeviationRule, ...] = (
     DeviationRule("robust_z.dur_ms", "dur_ms", ROBUST_Z),
+    DeviationRule("robust_z.log_ppl", "log_ppl", PPL_LOG_Z),
+    DeviationRule("robust_z.rms", "rms", ROBUST_Z),
+    DeviationRule("robust_z.n_tokens", "n_tokens", ROBUST_Z),
+)
+
+CATEGORICAL_RULES: tuple[CategoricalRule, ...] = (
+    CategoricalRule("categorical.rare_sr", "sr_hz", RARE_FRAC),
 )

@@ -88,27 +88,59 @@ def oracle_labels(clips: pd.DataFrame) -> pd.DataFrame:
         }
     )
 
-    # Exact per-cohort robust stats for the deviation rule(s).
-    g = df.groupby(["codec", "lang_pred"])["dur_ms"]
-    med = g.transform("median").astype(float)
-    cohort_n = g.transform("count")
-    mad = (df["dur_ms"].astype(float) - med).abs().groupby(
-        [df["codec"], df["lang_pred"]]
-    ).transform("median")
-    with np.errstate(divide="ignore", invalid="ignore"):
-        z = np.where(
-            mad > 0,
-            (df["dur_ms"].astype(float) - med).abs() / (1.4826 * mad),
-            np.where(df["dur_ms"].astype(float) == med, 0.0, np.inf),
-        )
-    # Deviation rules only fire with minimum cohort support.
-    z = np.where(cohort_n >= R.MIN_COHORT_N, z, 0.0)
-
     hits: list[list[str]] = [[] for _ in range(n)]
 
     def add(mask: np.ndarray, rule_id: str) -> None:
         for i in np.flatnonzero(np.asarray(mask)):
             hits[i].append(rule_id)
+
+    # Exact per-cohort robust stats, one deviation rule per modeled
+    # attribute (mirrors plans/rules.py DEVIATION_RULES + decide.py):
+    # fit on finite values only, score every row (inf → z = inf),
+    # fire only with MIN_COHORT_N support in the fitted population.
+    with np.errstate(divide="ignore", invalid="ignore"):
+        log_ppl = np.log(df["ppl"].to_numpy(dtype=float))
+    attr_vals = {
+        "dur_ms": df["dur_ms"].to_numpy(dtype=float),
+        "log_ppl": log_ppl,
+        "rms": df["rms"].to_numpy(dtype=float),
+        "n_tokens": df["n_tokens"].to_numpy(dtype=float),
+    }
+    cohort = ["codec", "lang_pred"]
+    for rule in R.DEVIATION_RULES:
+        tmp = pd.DataFrame(
+            {"codec": df["codec"], "lang_pred": df["lang_pred"], "v": attr_vals[rule.attribute]}
+        )
+        fin = tmp[np.isfinite(tmp["v"])]
+        stats = fin.groupby(cohort)["v"].agg(median="median", n="count")
+        fin = fin.merge(stats, left_on=cohort, right_index=True)
+        stats["mad"] = (fin["v"] - fin["median"]).abs().groupby(
+            [fin["codec"], fin["lang_pred"]]
+        ).median()
+        # Every row joins its cohort's model (like the engine's
+        # broadcast join) — a row with v = inf still scores z = inf.
+        j = tmp.merge(stats, left_on=cohort, right_index=True, how="left")
+        v, med = j["v"].to_numpy(), j["median"].to_numpy()
+        mad, cn = j["mad"].to_numpy(), j["n"].fillna(0).to_numpy()
+        with np.errstate(divide="ignore", invalid="ignore"):
+            z = np.where(
+                mad > 0,
+                np.abs(v - med) / (1.4826 * mad),
+                np.where(v == med, 0.0, np.inf),
+            )
+        fire = ~np.isnan(med) & (cn >= R.MIN_COHORT_N) & (z > rule.z_threshold)
+        add(fire, rule.rule_id)
+
+    # Categorical rare-value rules (plans/rules.py CATEGORICAL_RULES):
+    # within-cohort value frequency below rare_frac → flagged.
+    cat_vals = {"sr_hz": df["sr_hz"].astype(str)}
+    for rule in R.CATEGORICAL_RULES:
+        val = cat_vals[rule.attribute]
+        key = [df["codec"], df["lang_pred"]]
+        cohort_n = val.groupby(key).transform("count")
+        val_n = val.groupby(key + [val]).transform("count")
+        fire = (cohort_n >= R.MIN_COHORT_N) & (val_n / cohort_n < rule.rare_frac)
+        add(fire.to_numpy(), rule.rule_id)
 
     add(~df["pcm_ok"], "audio.decode_failed")
     add(
@@ -126,7 +158,6 @@ def oracle_labels(clips: pd.DataFrame) -> pd.DataFrame:
     add(df["ppl"] > R.PPL_MAX, "text.high_ppl")
     add((df["n_tokens"] > 0) & (df["conf"] < R.CONF_MIN), "text.lang_conf_low")
     add(df["max_run"] >= R.MAX_RUN, "text.max_run")
-    add(z > R.ROBUST_Z, "robust_z.dur_ms")
 
     keep = np.array([len(h) == 0 for h in hits])
     scrubbed = np.empty(n, dtype=object)

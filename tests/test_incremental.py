@@ -79,3 +79,56 @@ def test_incremental_decisions_match_fresh_run(spark, tmp_path):
         .reset_index(drop=True)
     )
     assert a.equals(b)
+
+
+def test_resume_after_crash_between_stages_refits_models(spark, tmp_path):
+    """ADVICE r1 (high): an incremental run that crashes after stage A
+    appended the new snapshot's profiles but before stage B refit the
+    models must NOT reuse the previous snapshot's model table on
+    resume — that would commit decisions from stale cohort stats."""
+    root, out = str(tmp_path / "tbl"), str(tmp_path / "out")
+    out_fresh = str(tmp_path / "out_fresh")
+    tbl = IcebergishTable(root, num_buckets=4)
+
+    s_a = tbl.append(generate_clips_df(spark, 200, seed=51))
+    run_pipeline(spark, tbl.read(spark), out, input_snapshot=s_a)
+
+    s_b = tbl.append(generate_clips_df(spark, 200, seed=51, start=200))
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="injected failure"):
+        run_pipeline(
+            spark, tbl.read(spark), out, input_snapshot=s_b, fail_after_stage="profile"
+        )
+    run_pipeline(spark, tbl.read(spark), out, input_snapshot=s_b)
+
+    # models must be refit over all 400 profiles, not reused from the
+    # 200-profile snapshot
+    models = spark.read.parquet(f"{out}/cohort_models")
+    n_total = (
+        models.where(F.col("attribute") == "dur_ms")
+        .agg(F.sum("n").alias("s"))
+        .collect()[0]["s"]
+    )
+    assert n_total == 400
+
+    # and the resumed run's decisions must equal a fresh run's
+    t2 = IcebergishTable(str(tmp_path / "tbl2"), num_buckets=4)
+    t2.append(generate_clips_df(spark, 200, seed=51))
+    t2.append(generate_clips_df(spark, 200, seed=51, start=200))
+    run_pipeline(spark, t2.read(spark), out_fresh)
+    a = (
+        spark.read.parquet(f"{out}/decisions")
+        .select("clip_id", "keep", "rule_hits")
+        .toPandas()
+        .sort_values("clip_id")
+        .reset_index(drop=True)
+    )
+    b = (
+        spark.read.parquet(f"{out_fresh}/decisions")
+        .select("clip_id", "keep", "rule_hits")
+        .toPandas()
+        .sort_values("clip_id")
+        .reset_index(drop=True)
+    )
+    assert a.equals(b)

@@ -88,8 +88,10 @@ def test_metrics_and_lineage_written(spark, pipeline_out):
     dec = spark.read.parquet(f"{pipeline_out}/decisions")
     assert metrics.rows_dropped.sum() == dec.where(~F.col("keep")).count()
     lineage = spark.read.parquet(f"{pipeline_out}/lineage").toPandas()
-    assert set(lineage.status) == {"profiled", "committed"}
-    assert lineage.partition_id.nunique() == 8
+    assert set(lineage.status) == {"profiled", "committed", "models_fit_approx"}
+    # 8 buckets + the -1 sentinel row of the models_fit record
+    assert lineage.partition_id.nunique() == 9
+    assert set(lineage[lineage.status == "models_fit_approx"].partition_id) == {-1}
 
 
 def test_resume_after_failure_is_identical(spark, clips_table, pipeline_out, tmp_path_factory):
