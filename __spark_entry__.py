@@ -106,6 +106,94 @@ FROM prof p JOIN med m USING (lang) JOIN mad d ON p.lang = d.lang
 """
 
 
+# ---- explain read-path over documents (A10/A11; bdqc --explain) ------------
+def q_explain_documents(spark, sf_dir):
+    """SQL-expressible twin of clips_explain (bdqc --explain): per
+    flagged doc, per fired deviation rule, the observed value vs the
+    cohort model (median/MAD/z). Threshold 1.5 selects the deviant
+    tail of the (clean) documents fixture."""
+    docs = _t(spark, sf_dir, "documents")
+    prof = docs.select(
+        "doc_id",
+        "lang",
+        F.length("text").cast("double").alias("n_chars"),
+        TX.n_tokens(F.col("text")).cast("double").alias("n_tokens"),
+    )
+    meds = prof.groupBy("lang").agg(
+        F.expr("percentile(n_chars, 0.5)").alias("med_c"),
+        F.expr("percentile(n_tokens, 0.5)").alias("med_t"),
+    )
+    mads = (
+        prof.join(F.broadcast(meds), "lang")
+        .groupBy("lang")
+        .agg(
+            F.expr("percentile(abs(n_chars - med_c), 0.5)").alias("mad_c"),
+            F.expr("percentile(abs(n_tokens - med_t), 0.5)").alias("mad_t"),
+        )
+    )
+    j = prof.join(F.broadcast(meds.join(mads, "lang")), "lang")
+
+    def zexpr(obs, med, mad):
+        return F.when(mad > 0, F.abs(obs - med) / (F.lit(1.4826) * mad)).otherwise(F.lit(0.0))
+
+    def rule(rule_id, obs, med, mad):
+        z = zexpr(obs, med, mad)
+        return F.when(
+            z > 1.5,
+            F.struct(
+                F.lit(rule_id).alias("rule_id"),
+                obs.alias("observed"),
+                F.round(med, 4).alias("expected_median"),
+                F.round(mad, 4).alias("expected_mad"),
+                F.round(z, 4).alias("z"),
+            ),
+        )
+
+    entries = F.array(
+        rule("robust_z.n_chars", F.col("n_chars"), F.col("med_c"), F.col("mad_c")),
+        rule("robust_z.n_tokens", F.col("n_tokens"), F.col("med_t"), F.col("mad_t")),
+    )
+    return j.select(
+        "doc_id", "lang", F.explode(F.filter(entries, lambda x: x.isNotNull())).alias("e")
+    ).select(
+        "doc_id",
+        "lang",
+        F.col("e.rule_id").alias("rule_id"),
+        F.col("e.observed").alias("observed"),
+        F.col("e.expected_median").alias("expected_median"),
+        F.col("e.expected_mad").alias("expected_mad"),
+        F.col("e.z").alias("z"),
+    )
+
+
+ORACLE_EXPLAIN_DOCS = """
+WITH prof AS (
+  SELECT doc_id, lang, CAST(length(text) AS DOUBLE) AS n_chars,
+         CAST(len(regexp_extract_all(text, '[^ \t\n\r]+')) AS DOUBLE) AS n_tokens
+  FROM documents
+), meds AS (
+  SELECT lang, quantile_cont(n_chars, 0.5) AS med_c, quantile_cont(n_tokens, 0.5) AS med_t
+  FROM prof GROUP BY lang
+), mads AS (
+  SELECT p.lang, quantile_cont(abs(p.n_chars - m.med_c), 0.5) AS mad_c,
+         quantile_cont(abs(p.n_tokens - m.med_t), 0.5) AS mad_t
+  FROM prof p JOIN meds m USING (lang) GROUP BY p.lang
+), scored AS (
+  SELECT p.doc_id, p.lang, p.n_chars, p.n_tokens, m.med_c, m.med_t, d.mad_c, d.mad_t,
+         CASE WHEN d.mad_c > 0 THEN abs(p.n_chars - m.med_c) / (1.4826 * d.mad_c) ELSE 0.0 END AS z_c,
+         CASE WHEN d.mad_t > 0 THEN abs(p.n_tokens - m.med_t) / (1.4826 * d.mad_t) ELSE 0.0 END AS z_t
+  FROM prof p JOIN meds m USING (lang) JOIN mads d ON p.lang = d.lang
+)
+SELECT doc_id, lang, 'robust_z.n_chars' AS rule_id, n_chars AS observed,
+       round(med_c, 4) AS expected_median, round(mad_c, 4) AS expected_mad, round(z_c, 4) AS z
+FROM scored WHERE z_c > 1.5
+UNION ALL
+SELECT doc_id, lang, 'robust_z.n_tokens' AS rule_id, n_tokens AS observed,
+       round(med_t, 4) AS expected_median, round(mad_t, 4) AS expected_mad, round(z_t, 4) AS z
+FROM scored WHERE z_t > 1.5
+"""
+
+
 # ---- S1/P1/P2: scan + project + filter (pushdown-friendly) ----------------
 def q_scan_project_filter(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
@@ -891,7 +979,7 @@ ORACLE_DEDUP_NGRAM = f"""
 WITH norm AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents),
 sh AS (
   SELECT DISTINCT doc_id, substr(t, CAST(i AS INT), 5) AS sh
-  FROM norm, generate_series(1, 2048) g(i)
+  FROM norm, generate_series(1, (SELECT CAST(MAX(length(t)) AS BIGINT) FROM norm)) g(i)
   WHERE i <= greatest(length(t) - 4, 1)
     AND length(substr(t, CAST(i AS INT), 5)) = 5
 ),
@@ -1224,16 +1312,28 @@ def q_clips_audio_profile(spark, sf_dir):
     )
 
 
+_PIPELINE_OUT: dict[tuple[int, int], str] = {}
+
+
+def _pipeline_out(spark, n=600, seed=42) -> str:
+    """Run the pipeline once per (n, seed) and share the state tables
+    across registry queries (decisions, explain)."""
+    key = (n, seed)
+    if key not in _PIPELINE_OUT:
+        import shutil
+        import tempfile
+
+        from bdqc_spark.plans.pipeline import run_pipeline
+
+        out = tempfile.mkdtemp(prefix="entry_pipeline_")
+        shutil.rmtree(out, ignore_errors=True)
+        run_pipeline(spark, _clips_df(spark, n, seed), out)
+        _PIPELINE_OUT[key] = out
+    return _PIPELINE_OUT[key]
+
+
 def q_clips_pipeline_decisions(spark, sf_dir):
-    import shutil
-    import tempfile
-
-    from bdqc_spark.plans.pipeline import run_pipeline
-
-    out = tempfile.mkdtemp(prefix="entry_pipeline_")
-    shutil.rmtree(out, ignore_errors=True)
-    clips = _clips_df(spark)
-    run_pipeline(spark, clips, out)
+    out = _pipeline_out(spark)
     # rule_hits is array<string> (already array_sort'ed in decide.py); the
     # driver canonicalizer sorts cells via pandas, and list cells are
     # unhashable — join to a deterministic ';'-separated string.
@@ -1243,6 +1343,32 @@ def q_clips_pipeline_decisions(spark, sf_dir):
         F.array_join(F.col("rule_hits"), ";").alias("rule_hits"),
         "scrubbed_transcript",
         "n_scrub_edits",
+    )
+
+
+def q_clips_explain(spark, sf_dir):
+    """bdqc --explain read-path (SURVEY.md §3.1 entry point 3): for
+    every dropped clip, per fired rule, the observed value vs the
+    cohort model that justified the drop. Rows-only (pipeline state
+    tables are not DuckDB views); rule-for-rule equality with
+    decisions is pytest-gated (tests/test_explain.py)."""
+    ensure_shipped(spark)
+    from bdqc_spark.plans.explain import explain_decisions
+
+    out = _pipeline_out(spark)
+    profiles = spark.read.parquet(f"{out}/profiles")
+    models = spark.read.parquet(f"{out}/cohort_models")
+    e = explain_decisions(profiles, models)
+    return e.select(
+        "clip_id",
+        "rule_id",
+        "attribute",
+        F.round("observed", 6).alias("observed"),
+        F.round("expected_median", 6).alias("expected_median"),
+        F.round("expected_mad", 6).alias("expected_mad"),
+        # z can be +inf (constant cohort / no-evidence row): cap at
+        # 1e12 so the driver canonicalizer sees a plain double
+        F.round(F.least(F.col("z"), F.lit(1e12)), 4).alias("z"),
     )
 
 
@@ -1311,6 +1437,7 @@ def q_type_inference(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "qc_documents_keepdrop": q_qc_documents_keepdrop,
+        "explain_documents": q_explain_documents,
         "scan_project_filter": q_scan_project_filter,
         "regex_filter": q_regex_filter,
         "distinct_projection": q_distinct_projection,
@@ -1358,6 +1485,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only (no SQL oracle): domain UDFs / sketch-based ops
         "clips_audio_profile": q_clips_audio_profile,
         "clips_pipeline_decisions": q_clips_pipeline_decisions,
+        "clips_explain": q_clips_explain,
         "doc_langid": q_doc_langid,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash_buckets": q_simhash_buckets,
@@ -1370,6 +1498,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "qc_documents_keepdrop": ORACLE_QC_DOCUMENTS,
+        "explain_documents": ORACLE_EXPLAIN_DOCS,
         "scan_project_filter": ORACLE_SCAN,
         "regex_filter": ORACLE_REGEX,
         "distinct_projection": ORACLE_DISTINCT,

@@ -240,6 +240,9 @@ def run_pipeline(
             "scrub_edits",
             F.lit(wall_ms).alias("wall_ms"),
             F.lit(run_id).alias("run_id"),
+            # ordering key: metrics are APPENDED per attempt/snapshot;
+            # readers must take the latest record per partition_id
+            F.lit(int(time.time() * 1000)).alias("written_at"),
         )
         metrics.write.mode("append").parquet(metrics_dir)
         _append_lineage(lineage_dir, pending_d, input_snapshot, attempt, t1, "committed")

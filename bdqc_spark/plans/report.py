@@ -16,7 +16,20 @@ from pyspark.sql import functions as F
 
 
 def write_html_report(spark: SparkSession, out_dir: str, path: str) -> str:
-    metrics = spark.read.parquet(f"{out_dir}/metrics").orderBy("partition_id").collect()
+    # Metrics are appended per attempt and recomputed per snapshot —
+    # summing every record double-counts after a resume or an
+    # incremental run. Take the LATEST record per partition_id.
+    all_metrics = spark.read.parquet(f"{out_dir}/metrics")
+    if "written_at" in all_metrics.columns:
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("partition_id").orderBy(F.col("written_at").desc())
+        all_metrics = (
+            all_metrics.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+    metrics = all_metrics.orderBy("partition_id").collect()
     rows_seen = sum(r.rows_seen for r in metrics)
     rows_dropped = sum(r.rows_dropped for r in metrics)
     by_rule: dict[str, int] = {}

@@ -4,12 +4,13 @@ from bdqc_spark.streaming.windows import (
     sliding_counts,
     tumbling_counts,
 )
-from bdqc_spark.streaming.clips_stream import stream_decide
+from bdqc_spark.streaming.clips_stream import make_batch_writer, stream_decide
 
 __all__ = [
     "tumbling_counts",
     "sliding_counts",
     "sessionize",
     "dedup_within_watermark",
+    "make_batch_writer",
     "stream_decide",
 ]

@@ -134,3 +134,27 @@ def test_sliding_counts_stream_subset_of_batch(spark, events, tmp_path):
     assert emitted <= all_batch  # every emitted window agrees with batch
     # sliding windows: each event lands in window_size/slide = 2 windows
     assert batch.agg(F.sum("n")).collect()[0][0] == 2 * events.count()
+
+
+def test_batch_writer_retry_is_idempotent(spark, tmp_path):
+    """ADVICE r1 (medium): foreachBatch bodies execute at-least-once;
+    a retried micro-batch must not duplicate decision rows."""
+    from bdqc_spark.plans.models import fit_cohort_models
+    from bdqc_spark.plans.profile import profile_clips
+    from bdqc_spark.streaming import make_batch_writer
+    from bdqc_spark.synth.clips import generate_clips_df
+
+    clips = generate_clips_df(spark, 200, seed=13)
+    models = spark.createDataFrame(fit_cohort_models(profile_clips(clips)).collect())
+    out = str(tmp_path / "retry_out")
+    write = make_batch_writer(spark, models, out)
+
+    write(clips, 7)
+    first = spark.read.parquet(out).toPandas().sort_values("clip_id").reset_index(drop=True)
+    write(clips, 7)  # simulated retry of the same micro-batch
+    second = spark.read.parquet(out).toPandas().sort_values("clip_id").reset_index(drop=True)
+    assert len(second) == 200
+    assert first[["clip_id", "keep"]].equals(second[["clip_id", "keep"]])
+
+    write(clips.limit(50), 8)  # a different batch appends its own partition
+    assert spark.read.parquet(out).count() == 250
