@@ -942,7 +942,15 @@ ORACLE_DEDUP_FP = ORACLE_DEDUP_EXACT
 
 
 # ---- n-gram Jaccard near-dup pairs -------------------------------------------
-def q_dedup_ngram_jaccard(spark, sf_dir):
+# Shingle doc-frequency cap: a shingle occurring in more than NGRAM_MAX_DF
+# docs is excluded from the universe (sizes AND intersections) — without
+# it one hot shingle makes the self-join quadratic in its doc count at
+# corpus scale. Jaccard is then over *discriminative* shingles only;
+# the oracle applies the identical cap.
+NGRAM_MAX_DF = 100
+
+
+def _ngram_shingles(spark, sf_dir):
     d = _t(spark, sf_dir, "documents").select("doc_id", TX.normalized(F.col("text")).alias("t"))
     sh = d.select(
         "doc_id",
@@ -955,6 +963,12 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
             )
         ).alias("sh"),
     ).where(F.length("sh") == 5)
+    dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("_df"))
+    return sh.join(dfreq.where(F.col("_df") <= NGRAM_MAX_DF).select("sh"), "sh")
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    sh = _ngram_shingles(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -975,27 +989,75 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     )
 
 
-ORACLE_DEDUP_NGRAM = f"""
-WITH norm AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents),
-sh AS (
-  SELECT DISTINCT doc_id, substr(t, CAST(i AS INT), 5) AS sh
-  FROM norm, generate_series(1, (SELECT CAST(MAX(length(t)) AS BIGINT) FROM norm)) g(i)
-  WHERE i <= greatest(length(t) - 4, 1)
-    AND length(substr(t, CAST(i AS INT), 5)) = 5
+_NGRAM_PAIRS_CTE = f"""
+norm AS (SELECT doc_id, {{norm_sql}} AS t FROM documents),
+pos AS (
+  -- scalar generate_series takes per-row bounds (the table-function
+  -- form only accepts constants), so no fixture-size coupling
+  SELECT doc_id, unnest(generate_series(1, greatest(length(t) - 4, 1))) AS i, t FROM norm
 ),
+sh_all AS (
+  SELECT DISTINCT doc_id, substr(t, CAST(i AS INT), 5) AS sh
+  FROM pos
+  WHERE length(substr(t, CAST(i AS INT), 5)) = 5
+),
+kept AS (SELECT sh FROM (SELECT sh, COUNT(*) AS c FROM sh_all GROUP BY sh) WHERE c <= {NGRAM_MAX_DF}),
+sh AS (SELECT s.doc_id, s.sh FROM sh_all s JOIN kept USING (sh)),
 sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
 common AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
   FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
   GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_a, id_b,
+         round(CAST(common AS DOUBLE) / (sa.sz + sb.sz - common), 6) AS jaccard
+  FROM common
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) >= 0.5
 )
-SELECT id_a, id_b,
-       round(CAST(common AS DOUBLE) / (sa.sz + sb.sz - common), 6) AS jaccard
-FROM common
-JOIN sizes sa ON sa.doc_id = id_a
-JOIN sizes sb ON sb.doc_id = id_b
-WHERE CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) >= 0.5
 """
+
+ORACLE_DEDUP_NGRAM = (
+    "WITH " + _NGRAM_PAIRS_CTE.format(norm_sql=_NORM_SQL) + "SELECT id_a, id_b, jaccard FROM pairs"
+)
+
+
+# ---- dup-pair → cluster resolution (connected components) ----------------------
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup pairs → duplicate clusters: every doc in the pair
+    graph mapped to its cluster's canonical (minimum) doc_id — the
+    survivor-selection step a real dedup pipeline needs after pair
+    emission. Iterative min-label propagation (operators/dedup.py);
+    oracle = DuckDB recursive-CTE transitive closure over the same
+    pair set."""
+    ensure_shipped(spark)
+    from bdqc_spark.operators.dedup import connected_components
+
+    pairs = q_dedup_ngram_jaccard(spark, sf_dir)
+    return connected_components(pairs, "id_a", "id_b").select(
+        F.col("id").alias("doc_id"), "canonical_id"
+    )
+
+
+ORACLE_DEDUP_CLUSTERS = (
+    "WITH RECURSIVE "
+    + _NGRAM_PAIRS_CTE.format(norm_sql=_NORM_SQL)
+    + """,
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS id FROM edges),
+reach(id, r) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r
+)
+SELECT id AS doc_id, MIN(r) AS canonical_id FROM reach GROUP BY id
+"""
+)
 
 
 # ---- embedding-cosine near-dup pairs (training-data dedup family) --------------
@@ -1412,7 +1474,7 @@ def q_ann_lsh_topk(spark, sf_dir):
     from bdqc_spark.operators.similarity import ann_lsh_topk
 
     e = _t(spark, sf_dir, "embeddings")
-    return ann_lsh_topk(e, "vec_id", "embedding", k=3, n_planes=8, query_filter="vec_id < 10")
+    return ann_lsh_topk(e, "vec_id", "embedding", k=3, dim=64, query_filter="vec_id < 10")
 
 
 def q_approx_distinct(spark, sf_dir):
@@ -1478,6 +1540,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_fingerprint": q_dedup_fingerprint,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_clusters": q_dedup_clusters,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "similarity_topk": q_similarity_topk,
         "scrub_documents": q_scrub_documents,
@@ -1539,6 +1602,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": ORACLE_DEDUP_EXACT,
         "dedup_fingerprint": ORACLE_DEDUP_FP,
         "dedup_ngram_jaccard": ORACLE_DEDUP_NGRAM,
+        "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
         "dedup_embedding_cosine": ORACLE_DEDUP_EMB,
         "similarity_topk": ORACLE_SIMILARITY,
         "scrub_documents": ORACLE_SCRUB,

@@ -65,11 +65,23 @@ def minhash_lsh_pairs(
     bands: int = 16,
     jaccard_threshold: float = 0.5,
     k: int = 5,
+    max_bucket_size: int = 500,
 ) -> DataFrame:
     """Candidate near-dup pairs via LSH banding, scored by signature
     agreement (an unbiased Jaccard estimate).
 
     Returns (id_a, id_b, jaccard_est) with id_a < id_b.
+
+    Skew guard: a degenerate corpus (many identical / near-empty
+    docs) can put N docs into one (band, key) bucket, making the
+    self-join quadratic in N. Buckets larger than `max_bucket_size`
+    are deterministically SPLIT into ceil(n/max) hash-assigned
+    sub-buckets before the join: per-bucket work is bounded by
+    O(max² · n/max) = O(n·max) instead of O(n²), while each member
+    still pairs with ~max others — plenty to stitch duplicate
+    clusters back together via connected_components(). Cross-sub
+    pairs inside an oversized bucket are the (documented) recall
+    cost of boundedness.
     """
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
@@ -92,12 +104,25 @@ def minhash_lsh_pairs(
         ).alias("bk"),
     ).select("_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
 
+    # Bucket-size cap: count per (band, key) — the aggregate is tiny
+    # (≤ |docs|·bands rows, heavily combined map-side) — and assign
+    # oversized buckets a deterministic hash sub-bucket.
+    sizes = band_keys.groupBy("band", "key").agg(F.count(F.lit(1)).alias("_bn"))
+    n_sub = F.greatest(F.ceil(F.col("_bn") / F.lit(max_bucket_size)), F.lit(1)).cast("long")
+    # Sub-bucket assignment is salted by `band`: each band partitions
+    # an oversized bucket differently, so sub-cliques from different
+    # bands overlap and connected_components() re-merges the cluster.
+    band_keys = band_keys.join(sizes, on=["band", "key"]).select(
+        "_id", "band", "key", F.pmod(F.xxhash64("_id", F.col("band")), n_sub).alias("sub")
+    )
+
     a, b = band_keys.alias("a"), band_keys.alias("b")
     cand = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.sub") == F.col("b.sub"))
             & (F.col("a._id") < F.col("b._id")),
         )
         .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
@@ -118,6 +143,64 @@ def minhash_lsh_pairs(
         .where(F.col("jaccard_est") >= jaccard_threshold)
         .select("id_a", "id_b", "jaccard_est")
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Duplicate-pair → cluster resolution: (id, canonical_id) where
+    canonical_id is the minimum id reachable in the pair graph.
+
+    Iterative min-label propagation: each round every node adopts
+    min(own label, neighbours' labels) — converges in O(graph
+    diameter) rounds (near-dup clusters are shallow; ≤ max_iter is a
+    safety bound, convergence is checked each round).
+
+    Scale shape: the edge set (near-dup pairs) is orders of magnitude
+    smaller than the corpus; each round is one shuffle of the edge
+    list + one of the label table, with localCheckpoint() truncating
+    the lineage so plans don't grow across rounds. The per-round
+    convergence check aggregates a single long.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("comp", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("comp").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(F.col("comp"), F.coalesce(F.col("nmin"), F.col("comp"))).alias("comp"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id"), F.col("comp").alias("canonical_id"))
 
 
 def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFrame:

@@ -16,6 +16,7 @@ literals → the whole operator is Catalyst expressions, no UDFs.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -62,42 +63,78 @@ def ann_lsh_topk(
     id_col: str,
     emb_col: str,
     k: int,
-    n_planes: int = 8,
+    dim: int,
+    n_planes: int = 4,
+    n_tables: int = 20,
     seed: int = 7,
-    dim: int | None = None,
     query_filter: str = "true",
 ) -> DataFrame:
-    """Approximate top-k: candidates share the full hyperplane-sign
-    bucket. Trade recall for a 2^n_planes candidate reduction."""
-    if dim is None:
-        dim = len(df.select(emb_col).first()[0])
+    """Approximate top-k via L independent random-hyperplane hash
+    tables: a candidate is compared iff it shares the full sign
+    bucket with the query in ANY table.
+
+    One table gives poor recall at corpus scale (a single 2^n_planes
+    bucket per vector misses near neighbours that differ in one
+    sign); L tables drive miss probability down exponentially,
+    (1 - p^planes)^L, at L× bucketing cost — the standard LSH
+    recall/cost dial. Defaults (4, 20) reach recall@3 ≳ 0.9 even on
+    weak-neighbour corpora (top-1 cosine ≈ 0.37 → p ≈ 0.62/plane);
+    with real near-dup structure (cosine ≥ 0.8) raise n_planes to
+    shrink buckets at the same recall. `dim` comes from the caller's
+    schema contract (array<> types don't carry a static length;
+    inferring it from data would put a driver action on the plan
+    path).
+
+    All L·P plane projections are ONE numpy matmul per Arrow batch
+    (a scalar pandas UDF) — Spark's interpreted higher-order
+    functions cost ~0.4 ms per 64-dim dot, which at L·P per row is
+    the wrong shape for the hot path. Join/dedup/top-k stay in
+    Catalyst.
+    """
     rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((n_planes, dim))
+    planes = rng.standard_normal((n_tables, n_planes, dim))
+    flat_planes = planes.reshape(-1, dim).T.copy()  # (dim, L*P)
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
+    n_t, n_p = n_tables, n_planes
 
-    def bucket(col):
-        b = F.lit(0).cast("long")
-        for i in range(n_planes):
-            bit = F.when(_dot_lit(col, planes[i]) > 0, F.lit(1).cast("long")).otherwise(
-                F.lit(0).cast("long")
-            )
-            b = b.bitwiseOR(F.shiftleft(bit, i))
-        return b
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, LongType
 
+    @pandas_udf(ArrayType(LongType()))
+    def _buckets(emb: pd.Series) -> pd.Series:
+        if len(emb) == 0:
+            return pd.Series([], dtype=object)
+        m = np.asarray([np.asarray(v, dtype=np.float64) for v in emb])
+        signs = (m @ flat_planes) > 0  # (n, L*P)
+        vals = signs.reshape(len(m), n_t, n_p) @ weights  # (n, L)
+        return pd.Series(list(vals))
+
+    # One row per (vector, table): tbl tag keeps buckets of different
+    # tables disjoint in a single equi-join key.
     with_bucket = df.select(
-        F.col(id_col).alias("_id"), F.col(emb_col).alias("_emb"), bucket(F.col(emb_col)).alias("_bkt")
+        F.col(id_col).alias("_id"),
+        F.col(emb_col).alias("_emb"),
+        F.posexplode(_buckets(F.col(emb_col))).alias("tbl", "bkt"),
     )
+
     # Filter queries via semi-join on the original predicate.
     qids = df.where(query_filter).select(F.col(id_col).alias("_id"))
     q = with_bucket.join(F.broadcast(qids), "_id", "left_semi").select(
-        F.col("_id").alias("q_id"), F.col("_emb").alias("q_emb"), F.col("_bkt").alias("bkt")
+        F.col("_id").alias("q_id"), F.col("_emb").alias("q_emb"), "tbl", "bkt"
     )
-    c = with_bucket.select(
-        F.col("_id").alias("c_id"), F.col("_emb").alias("c_emb"), F.col("_bkt").alias("bkt")
-    )
-    scored = (
-        q.join(c, on="bkt")
+    c = with_bucket.select(F.col("_id").alias("c_id"), "tbl", "bkt")
+    # Candidate ids from any table (dedup before scoring: a pair
+    # colliding in several tables is scored once).
+    cand = (
+        q.select("q_id", "q_emb", "tbl", "bkt")
+        .join(c, on=["tbl", "bkt"])
         .where(F.col("q_id") != F.col("c_id"))
-        .withColumn("cosine", F.round(_cosine(F.col("q_emb"), F.col("c_emb")), 6))
+        .select("q_id", "q_emb", "c_id")
+        .dropDuplicates(["q_id", "c_id"])
+    )
+    cemb = df.select(F.col(id_col).alias("c_id"), F.col(emb_col).alias("c_emb"))
+    scored = cand.join(cemb, on="c_id").withColumn(
+        "cosine", F.round(_cosine(F.col("q_emb"), F.col("c_emb")), 6)
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))
     return (
