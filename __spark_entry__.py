@@ -106,6 +106,39 @@ FROM prof p JOIN med m USING (lang) JOIN mad d ON p.lang = d.lang
 """
 
 
+def q_qc_documents_keepdrop_approx(spark, sf_dir):
+    """Scale-path twin of qc_documents_keepdrop: percentile_approx
+    (mergeable sketch, bounded memory) instead of exact percentile
+    (which buffers every group value — a memory cliff at 100×).
+    Rows-only: sketch medians differ from DuckDB's interpolated exact
+    quantiles in the last decimals; the exact variant stays the
+    oracle-checked correctness query, this one is the bench headline."""
+    docs = _t(spark, sf_dir, "documents")
+    prof = docs.select(
+        "doc_id",
+        "lang",
+        F.length("text").cast("double").alias("n_chars_obs"),
+        TX.n_tokens(F.col("text")).alias("n_tokens"),
+    )
+    med = prof.groupBy("lang").agg(F.percentile_approx("n_chars_obs", 0.5, 2000).alias("med"))
+    mad = (
+        prof.join(F.broadcast(med), "lang")
+        .withColumn("absdev", F.abs(F.col("n_chars_obs") - F.col("med")))
+        .groupBy("lang")
+        .agg(F.percentile_approx("absdev", 0.5, 2000).alias("mad"))
+    )
+    models = med.join(mad, "lang")
+    z = F.when(
+        F.col("mad") > 0, F.abs(F.col("n_chars_obs") - F.col("med")) / (F.lit(1.4826) * F.col("mad"))
+    ).otherwise(F.lit(0.0))
+    return (
+        prof.join(F.broadcast(models), "lang")
+        .withColumn("z_chars", F.round(z, 4))
+        .withColumn("keep", (z <= 4.0) & (F.col("n_tokens") > 0))
+        .select("doc_id", "lang", "z_chars", "keep")
+    )
+
+
 # ---- explain read-path over documents (A10/A11; bdqc --explain) ------------
 def q_explain_documents(spark, sf_dir):
     """SQL-expressible twin of clips_explain (bdqc --explain): per
@@ -1486,6 +1519,21 @@ def q_approx_distinct(spark, sf_dir):
     )
 
 
+def q_doc_bpe_tokens(spark, sf_dir):
+    """Trained-BPE token counts (rows-only: a learned tokenizer has no
+    SQL twin; Spark-vs-single-node exact match is pytest-gated in
+    tests/test_bpe.py). Merges are learned deterministically from a
+    bounded corpus sample (at 100 TB: train once offline on a sample,
+    broadcast the KB-sized merge table — same shape as here)."""
+    ensure_shipped(spark)
+    from bdqc_spark.functions.bpe import bpe_count_udf, train_bpe
+
+    d = _t(spark, sf_dir, "documents")
+    sample = [r.text for r in d.select("text").limit(2000).collect()]
+    merges = train_bpe(sample, num_merges=200)
+    return d.select("doc_id", bpe_count_udf(merges)(F.col("text")).alias("bpe_tokens_trained"))
+
+
 def q_type_inference(spark, sf_dir):
     ensure_shipped(spark)
     from bdqc_spark.operators.stats import infer_column_types
@@ -1499,6 +1547,7 @@ def q_type_inference(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "qc_documents_keepdrop": q_qc_documents_keepdrop,
+        "qc_documents_keepdrop_approx": q_qc_documents_keepdrop_approx,
         "explain_documents": q_explain_documents,
         "scan_project_filter": q_scan_project_filter,
         "regex_filter": q_regex_filter,
@@ -1555,6 +1604,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "approx_distinct": q_approx_distinct,
         "type_inference": q_type_inference,
+        "doc_bpe_tokens": q_doc_bpe_tokens,
     }
 
 

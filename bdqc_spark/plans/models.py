@@ -27,19 +27,8 @@ MODEL_ATTRS = ["dur_ms", "log_ppl", "rms", "n_tokens"]
 CATEGORICAL_ATTRS = ["sr_hz"]
 
 
-def fit_cohort_models(
-    profiles: DataFrame, exact: bool = False, accuracy: int = 2000
-) -> DataFrame:
-    """profiles → cohort_models(codec, lang_pred, attribute, n, median,
-    mad, p01, p25, p75, p99, mean, std).
-
-    accuracy=2000 → quantile rank error ≤ 0.05%: the deviation rules
-    sit at robust-z 6 with anomaly classes injected at z ≳ 25 and the
-    clean tail below z ≈ 5 (FIXTURES.md), so sketch noise is orders of
-    magnitude inside the decision margin — while the sketch merge cost
-    on the serial path drops ~3× vs accuracy=10000 (BENCH.md §3).
-    """
-    flat = profiles.select(
+def _flat_attrs(profiles: DataFrame) -> DataFrame:
+    return profiles.select(
         F.col("codec"),
         F.col("lang.pred").alias("lang_pred"),
         F.col("dur_ms").cast("double").alias("dur_ms"),
@@ -49,6 +38,9 @@ def fit_cohort_models(
         F.col("text.n_tokens").cast("double").alias("n_tokens"),
         F.col("sr_hz").cast("string").alias("sr_hz"),
     )
+
+
+def _fit(flat: DataFrame, exact: bool, accuracy: int) -> DataFrame:
     numeric = fit_numeric_models(
         flat, COHORT_COLS, MODEL_ATTRS, exact=exact, accuracy=accuracy
     ).withColumn("histogram", F.lit(None).cast("map<string,bigint>"))
@@ -71,3 +63,34 @@ def fit_cohort_models(
     for c in cats:
         out = out.unionByName(c, allowMissingColumns=True)
     return out
+
+
+def fit_cohort_models(
+    profiles: DataFrame, exact: bool = False, accuracy: int = 2000
+) -> DataFrame:
+    """profiles → cohort_models(codec, lang_pred, attribute, n, median,
+    mad, p01, p25, p75, p99, mean, std, histogram).
+
+    accuracy=2000 → quantile rank error ≤ 0.05%: the deviation rules
+    sit at robust-z 6 with anomaly classes injected at z ≳ 25 and the
+    clean tail below z ≈ 5 (FIXTURES.md), so sketch noise is orders of
+    magnitude inside the decision margin — while the sketch merge cost
+    on the serial path drops ~3× vs accuracy=10000 (BENCH.md §3).
+    """
+    return _fit(_flat_attrs(profiles), exact, accuracy)
+
+
+def collect_cohort_models(
+    profiles: DataFrame, exact: bool = False, accuracy: int = 2000
+) -> list:
+    """Fit and collect the KB-sized model table in one pass over the
+    profiles: the flat 8-scalar projection is persisted so the three
+    aggregation branches (wide quantiles, MAD, categorical histogram)
+    scan the profiles table ONCE, then unpersisted."""
+    from pyspark import StorageLevel
+
+    flat = _flat_attrs(profiles).persist(StorageLevel.MEMORY_ONLY)
+    try:
+        return _fit(flat, exact, accuracy).collect()
+    finally:
+        flat.unpersist()

@@ -34,8 +34,40 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from bdqc_spark.plans.decide import decide
-from bdqc_spark.plans.models import fit_cohort_models
+from bdqc_spark.plans.models import collect_cohort_models
 from bdqc_spark.plans.profile import profile_clips
+
+
+def _write_models_snapshot(rows: list, models_dir: str) -> None:
+    """Write the collected cohort_models rows as one parquet file
+    (atomic tmp+rename swap), Spark-readable for the reuse fast path."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    num_cols = ["n", "median", "mad", "p01", "p25", "p75", "p99", "mean", "std"]
+    data = {
+        "codec": pa.array([r["codec"] for r in rows], pa.string()),
+        "lang_pred": pa.array([r["lang_pred"] for r in rows], pa.string()),
+        "attribute": pa.array([r["attribute"] for r in rows], pa.string()),
+        "n": pa.array([r["n"] for r in rows], pa.int64()),
+        **{
+            c: pa.array([r[c] for r in rows], pa.float64())
+            for c in num_cols
+            if c != "n"
+        },
+        "histogram": pa.array(
+            [sorted(r["histogram"].items()) if r["histogram"] is not None else None for r in rows],
+            pa.map_(pa.string(), pa.int64()),
+        ),
+    }
+    tmp = models_dir + ".tmp"
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp)
+    pq.write_table(pa.table(data), os.path.join(tmp, "part-00000.parquet"))
+    shutil.rmtree(models_dir, ignore_errors=True)
+    os.rename(tmp, models_dir)
 
 class PipelineResult:
     def __init__(self, out_dir: str, run_id: str, processed_buckets: list[int]):
@@ -180,9 +212,12 @@ def run_pipeline(
     if not pending and models_current and os.path.isdir(models_dir):
         models = spark.read.parquet(models_dir)
     else:
-        models_rows = fit_cohort_models(profiles, exact=exact_models).collect()
+        models_rows = collect_cohort_models(profiles, exact=exact_models)
         models = spark.createDataFrame(models_rows)
-        models.coalesce(1).write.mode("overwrite").parquet(models_dir)
+        # Persist the snapshot driver-side (pyarrow): it is ~100 rows;
+        # a Spark coalesce(1) write puts a whole extra job (~1.5s) on
+        # the serial path of every run.
+        _write_models_snapshot(models_rows, models_dir)
         _append_lineage(lineage_dir, [-1], input_snapshot, attempt, t_stage, models_status)
     t_stage = _tick(result, "B_models", t_stage)
     if fail_after_stage == "models":

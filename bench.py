@@ -8,12 +8,16 @@ Two parts:
    over a synthesized 200k-clip corpus (cached across runs), at
    multiple parallelism levels on the SAME input:
      - local[$SPARK_GRAFT_CPUS] → headline clips/sec
-     - local[2] vs local[8]    → N-vs-4N scaling efficiency
-   The N=2/4N=8 pair sits in this host's physical-core region; the
-   8→32 pair is capped at ~0.70 by SMT (a pure-CPU microbenchmark
-   shows 32 procs ≈ 2.8× of 8 procs here) — see BENCH.md for the
-   full protocol + analysis. Each level is run 3×, best taken
-   (damps noisy-neighbor steal; identical job + input).
+     - 2 pinned CPUs vs 8 pinned CPUs → N-vs-4N scaling efficiency
+   Each scaling probe runs in a FRESH subprocess whose CPU affinity
+   is set to exactly N logical cores before the JVM spawns
+   (tools/scale_probe.py) — the faithful stand-in for N vs 4N
+   executor clusters. Unpinned local[N] consumes up to ~2N cores
+   (JVM task threads + Python workers), inflating the small-N
+   baseline. The 2/8 pair sits in this host's physical-core region;
+   8→32 is SMT-capped (~0.70 even for perfect code — BENCH.md).
+   Levels are interleaved, best-of-3 per level (damps the ±25%
+   noisy-neighbor steal; identical job + input).
 
 Prints ONE JSON line:
   {"metric": "headline_total_sec", "value": <sec>, "unit": "sec",
@@ -35,11 +39,20 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 N_CLIPS = int(os.environ.get("BDQC_BENCH_CLIPS", "200000"))
+# Scaling probes use a LARGER corpus than the headline number: the
+# efficiency ratio compares fixed (driver/scheduling) costs against
+# parallel work, and the parallel fraction at 200k understates what a
+# 10^12-clip job would see. 400k keeps the sandbox run under ~12 min
+# while pushing the fixed share below ~5%.
+SCALE_CLIPS = int(os.environ.get("BDQC_SCALE_CLIPS", "400000"))
 SCALE_RUNS = int(os.environ.get("BDQC_SCALE_RUNS", "3"))
 CLIPS_CACHE = f"/tmp/bdqc_bench_clips_n{N_CLIPS}"
+SCALE_CACHE = f"/tmp/bdqc_bench_clips_n{SCALE_CLIPS}"
 
 HEADLINE = [
-    "qc_documents_keepdrop",
+    # approx-sketch variant is the headline (the 100 TB path); the
+    # exact-percentile twin stays the sf0.01 oracle correctness query
+    "qc_documents_keepdrop_approx",
     "agg_pricing_summary",
     "join_broadcast",
     "join_shuffle",
@@ -62,15 +75,15 @@ def _noop_write(df):
     df.write.format("noop").mode("overwrite").save()
 
 
-def _ensure_clips(spark):
+def _ensure_clips(spark, cache: str, n: int):
     from bdqc_spark.sources.iceberg import IcebergishTable
 
-    tbl = IcebergishTable(CLIPS_CACHE, num_buckets=64)
-    if not tbl.exists() or tbl.snapshot()["summary"]["total_rows"] != N_CLIPS:
-        shutil.rmtree(CLIPS_CACHE, ignore_errors=True)
+    tbl = IcebergishTable(cache, num_buckets=64)
+    if not tbl.exists() or tbl.snapshot()["summary"]["total_rows"] != n:
+        shutil.rmtree(cache, ignore_errors=True)
         from bdqc_spark.synth.clips import generate_clips_df
 
-        tbl.append(generate_clips_df(spark, N_CLIPS, seed=42))
+        tbl.append(generate_clips_df(spark, n, seed=42))
     return tbl
 
 
@@ -98,13 +111,28 @@ def _warmup(spark, tbl):
     profile_clips(tbl.read(spark).limit(256)).write.format("noop").mode("overwrite").save()
 
 
-def _pipeline_at(master: str, tbl, runs: int) -> float:
-    """Best-of-`runs` pipeline wall time at a parallelism level."""
-    spark = _session(master)
-    _warmup(spark, tbl)
-    best = min(_run_pipeline_timed(spark, tbl) for _ in range(runs))
-    spark.stop()
-    return best
+def _probe(cpus: int) -> float:
+    """One affinity-pinned pipeline measurement in a fresh process
+    (tools/scale_probe.py pins N logical CPUs, then local[N])."""
+    import subprocess
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    out = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(here, "tools", "scale_probe.py"),
+            "--cpus",
+            str(cpus),
+            "--clips-cache",
+            SCALE_CACHE,
+            "--runs",
+            "1",
+        ],
+        capture_output=True,
+        text=True,
+        check=True,
+    )
+    return float(json.loads(out.stdout.strip().splitlines()[-1])["wall_sec"])
 
 
 def main() -> None:
@@ -120,16 +148,23 @@ def main() -> None:
         _noop_write(qs[name](spark, SF_DIR))
         timings[name] = round(time.time() - t0, 3)
 
-    tbl = _ensure_clips(spark)
+    tbl = _ensure_clips(spark, CLIPS_CACHE, N_CLIPS)
+    _ensure_clips(spark, SCALE_CACHE, SCALE_CLIPS)
     _warmup(spark, tbl)
     t_head = _run_pipeline_timed(spark, tbl)
     timings["clips_pipeline"] = round(t_head, 3)
     spark.stop()
 
     # --- N vs 4N scaling on the same input --------------------------------
-    t_4n = _pipeline_at("local[8]", tbl, SCALE_RUNS)
-    t_n = _pipeline_at("local[2]", tbl, SCALE_RUNS)
-    cps_n, cps_4n = N_CLIPS / t_n, N_CLIPS / t_4n
+    # Affinity-pinned probes (see tools/scale_probe.py): each level
+    # gets EXACTLY its core budget, the faithful stand-in for N vs 4N
+    # executor clusters. Interleaved best-of-SCALE_RUNS per level damps
+    # the ±25% co-tenant noise of this box.
+    t_4n, t_n = float("inf"), float("inf")
+    for _ in range(SCALE_RUNS):
+        t_4n = min(t_4n, _probe(8))
+        t_n = min(t_n, _probe(2))
+    cps_n, cps_4n = SCALE_CLIPS / t_n, SCALE_CLIPS / t_4n
     efficiency = cps_4n / (4.0 * cps_n)
 
     result = {
@@ -140,6 +175,7 @@ def main() -> None:
         "sf": sf,
         "n_clips": N_CLIPS,
         "clips_per_sec": round(N_CLIPS / t_head, 1),
+        "n_scale_clips": SCALE_CLIPS,
         "clips_per_sec_n2": round(cps_n, 1),
         "clips_per_sec_4n8": round(cps_4n, 1),
         "scaling_efficiency": round(efficiency, 3),

@@ -1,0 +1,81 @@
+"""One affinity-pinned measurement of the clips QC pipeline.
+
+The scaling-efficiency criterion compares cluster sizes N and 4N. In
+this sandbox the honest stand-in is "N cores vs 4N cores": pin the
+WHOLE process tree (driver, JVM, Python workers — all spawned after
+the pin, so they inherit the mask) to exactly N logical CPUs and run
+local[N]. Without pinning, local[N] consumes up to ~2N cores (N JVM
+task threads + N Python workers), which inflates the small-N
+baseline and understates true scaling (the r1 artifact's 0.537).
+
+Run as a SUBPROCESS of bench.py — a fresh process per measurement is
+what makes the pin airtight: a reused py4j JVM keeps the affinity of
+the thread that spawned it, so in-process re-pinning would leak.
+
+Prints one JSON line: {"cpus": N, "wall_sec": best-of-runs}.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpus", type=int, required=True)
+    ap.add_argument("--clips-cache", required=True)
+    ap.add_argument("--runs", type=int, default=1)
+    args = ap.parse_args()
+
+    allowed = sorted(os.sched_getaffinity(0))
+    if len(allowed) < args.cpus:
+        raise SystemExit(f"only {len(allowed)} cpus available, need {args.cpus}")
+    os.sched_setaffinity(0, set(allowed[: args.cpus]))
+
+    from bdqc_spark.plans.pipeline import run_pipeline
+    from bdqc_spark.plans.profile import profile_clips
+    from bdqc_spark.session import build_session
+    from bdqc_spark.sources.iceberg import IcebergishTable
+
+    tbl = IcebergishTable(args.clips_cache, num_buckets=64)
+    if not tbl.exists():
+        raise SystemExit(f"no clips table at {args.clips_cache}; run bench.py first")
+
+    spark = build_session(app_name=f"scale-probe-{args.cpus}", master=f"local[{args.cpus}]")
+    # Warmup: run the FULL pipeline once over a tiny corpus — warms the
+    # JVM JIT for every stage (profile UDF, fit codegen, decide,
+    # parquet writers) and the Python worker pool, so the measurement
+    # is steady-state throughput, not first-query planning latency
+    # (which a 10^12-clip job amortizes to nothing).
+    warm_tbl = IcebergishTable("/tmp/bdqc_scale_warm_512", num_buckets=4)
+    if not warm_tbl.exists():
+        from bdqc_spark.synth.clips import generate_clips_df
+
+        warm_tbl.append(generate_clips_df(spark, 512, seed=7))
+    warm_out = f"/tmp/bdqc_scale_warmout_{os.getpid()}"
+    shutil.rmtree(warm_out, ignore_errors=True)
+    run_pipeline(spark, warm_tbl.read(spark), warm_out, all_buckets=warm_tbl.bucket_ids())
+    shutil.rmtree(warm_out, ignore_errors=True)
+    profile_clips(tbl.read(spark).limit(256)).write.format("noop").mode("overwrite").save()
+
+    best = float("inf")
+    for _ in range(args.runs):
+        out = f"/tmp/bdqc_scale_out_{os.getpid()}_{int(time.time() * 1000)}"
+        shutil.rmtree(out, ignore_errors=True)
+        t0 = time.time()
+        run_pipeline(spark, tbl.read(spark), out, all_buckets=tbl.bucket_ids())
+        best = min(best, time.time() - t0)
+        shutil.rmtree(out, ignore_errors=True)
+    spark.stop()
+    print(json.dumps({"cpus": args.cpus, "wall_sec": round(best, 3)}))
+
+
+if __name__ == "__main__":
+    main()
