@@ -875,6 +875,30 @@ FROM events GROUP BY 1, 2
 """
 
 
+# ---- T1 batch-equiv: sliding window counts (width 10min, slide 5min) --------------
+def q_sliding_window(spark, sf_dir):
+    ensure_shipped(spark)
+    from bdqc_spark.streaming.windows import sliding_counts
+
+    e = _t(spark, sf_dir, "events")
+    return sliding_counts(e, keys=["event_type"]).select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "n",
+    )
+
+
+# Each event belongs to exactly window/slide = 2 windows: the ones
+# starting at floor5(ts) and floor5(ts) - 5min.
+ORACLE_SLIDING = """
+SELECT strftime(time_bucket(INTERVAL '5 minutes', ts) - k.off * INTERVAL '5 minutes',
+                '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type, COUNT(*) AS n
+FROM events, (VALUES (0), (1)) k(off)
+GROUP BY 1, 2
+"""
+
+
 # ===========================================================================
 # Training-data pipeline ops (documents / embeddings)
 # ===========================================================================
@@ -1519,6 +1543,20 @@ def q_approx_distinct(spark, sf_dir):
     )
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF coarse-quantizer ANN (rows-only: kmeans cells have no SQL
+    twin; recall-vs-brute-force and exact degradation at
+    n_probe=n_centroids are pytest-gated)."""
+    ensure_shipped(spark)
+    from bdqc_spark.operators.similarity import ivf_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        e, "vec_id", "embedding", k=3, dim=64, n_centroids=16, n_probe=6,
+        query_filter="vec_id < 10",
+    )
+
+
 def q_doc_bpe_tokens(spark, sf_dir):
     """Trained-BPE token counts (rows-only: a learned tokenizer has no
     SQL twin; Spark-vs-single-node exact match is pytest-gated in
@@ -1579,6 +1617,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_funcs": q_json_funcs,
         "conditional": q_conditional,
         "tumbling_window": q_tumbling_window,
+        "sliding_window": q_sliding_window,
         "categorical_model": q_categorical_model,
         "sessionize_batch": q_sessionize_batch,
         "window_rank": q_window_rank,
@@ -1602,6 +1641,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash_buckets": q_simhash_buckets,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "approx_distinct": q_approx_distinct,
         "type_inference": q_type_inference,
         "doc_bpe_tokens": q_doc_bpe_tokens,
@@ -1642,6 +1682,7 @@ def oracle_sql() -> dict[str, str]:
         "json_funcs": ORACLE_JSON,
         "conditional": ORACLE_CONDITIONAL,
         "tumbling_window": ORACLE_TUMBLING,
+        "sliding_window": ORACLE_SLIDING,
         "categorical_model": ORACLE_CATEGORICAL,
         "sessionize_batch": ORACLE_SESSIONIZE,
         "window_rank": ORACLE_WINDOW_RANK,

@@ -104,15 +104,22 @@ def minhash_lsh_pairs(
         ).alias("bk"),
     ).select("_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
 
-    # Bucket-size cap: count per (band, key) — the aggregate is tiny
-    # (≤ |docs|·bands rows, heavily combined map-side) — and assign
-    # oversized buckets a deterministic hash sub-bucket.
-    sizes = band_keys.groupBy("band", "key").agg(F.count(F.lit(1)).alias("_bn"))
-    n_sub = F.greatest(F.ceil(F.col("_bn") / F.lit(max_bucket_size)), F.lit(1)).cast("long")
+    # Bucket-size cap: only buckets ABOVE the cap matter, and that set
+    # is tiny by definition (each holds > max_bucket_size docs), so it
+    # broadcasts — normal corpora pay one map-side aggregate + a
+    # broadcast left join, never a shuffle of band_keys.
+    big = (
+        band_keys.groupBy("band", "key")
+        .agg(F.count(F.lit(1)).alias("_bn"))
+        .where(F.col("_bn") > max_bucket_size)
+    )
+    n_sub = F.coalesce(
+        F.ceil(F.col("_bn") / F.lit(max_bucket_size)).cast("long"), F.lit(1).cast("long")
+    )
     # Sub-bucket assignment is salted by `band`: each band partitions
     # an oversized bucket differently, so sub-cliques from different
     # bands overlap and connected_components() re-merges the cluster.
-    band_keys = band_keys.join(sizes, on=["band", "key"]).select(
+    band_keys = band_keys.join(F.broadcast(big), on=["band", "key"], how="left").select(
         "_id", "band", "key", F.pmod(F.xxhash64("_id", F.col("band")), n_sub).alias("sub")
     )
 

@@ -58,6 +58,97 @@ def brute_force_topk(
     )
 
 
+def ivf_topk(
+    df: DataFrame,
+    id_col: str,
+    emb_col: str,
+    k: int,
+    dim: int,
+    n_centroids: int = 16,
+    n_probe: int = 6,
+    kmeans_iters: int = 5,
+    sample_size: int = 2000,
+    seed: int = 11,
+    query_filter: str = "true",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: train a coarse
+    quantizer on a bounded sample, assign every vector to its nearest
+    centroid cell, and search only the query's n_probe nearest cells.
+
+    The candidate set shrinks to ~n_probe/n_centroids of the corpus;
+    recall follows the data's cluster structure (high when near
+    neighbours share cells, ~0.6-0.8 on structureless random vectors
+    at n_probe/n_centroids ≈ 1/3). n_probe = n_centroids degrades
+    gracefully to exact brute force.
+
+    Scale shape: training reads ONE bounded sample (explicit limit —
+    at 10^12 rows you train offline on a sample exactly like this);
+    the centroid matrix is KBs and ships in the UDF closure; cell
+    assignment is one numpy matmul per Arrow batch; the search is an
+    equi-join on cell id (shuffle, never a cross join).
+    """
+    sample = np.asarray(
+        [
+            np.asarray(r[0], dtype=np.float64)
+            for r in df.select(emb_col).limit(sample_size).collect()
+        ]
+    )
+    norms = np.linalg.norm(sample, axis=1, keepdims=True)
+    sample = sample / np.maximum(norms, 1e-12)
+    rng = np.random.default_rng(seed)
+    cents = sample[rng.choice(len(sample), min(n_centroids, len(sample)), replace=False)]
+    for _ in range(kmeans_iters):
+        assign = np.argmax(sample @ cents.T, axis=1)
+        for j in range(len(cents)):
+            m = assign == j
+            if m.any():
+                c = sample[m].mean(axis=0)
+                n = np.linalg.norm(c)
+                if n > 0:
+                    cents[j] = c / n
+    cent_t = cents.T.copy()  # (dim, k)
+
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    def _cells_udf(top: int):
+        @pandas_udf(ArrayType(IntegerType()))
+        def _cells(emb: pd.Series) -> pd.Series:
+            if len(emb) == 0:
+                return pd.Series([], dtype=object)
+            m = np.asarray([np.asarray(v, dtype=np.float64) for v in emb])
+            m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+            sims = m @ cent_t
+            idx = np.argsort(-sims, axis=1)[:, :top].astype(np.int32)
+            return pd.Series(list(idx))
+
+        return _cells
+
+    # candidates: every vector in its single nearest cell
+    c = df.select(
+        F.col(id_col).alias("c_id"),
+        F.col(emb_col).alias("c_emb"),
+        F.element_at(_cells_udf(1)(F.col(emb_col)), 1).alias("cell"),
+    )
+    # queries: explode the n_probe nearest cells
+    q = df.where(query_filter).select(
+        F.col(id_col).alias("q_id"),
+        F.col(emb_col).alias("q_emb"),
+        F.explode(_cells_udf(n_probe)(F.col(emb_col))).alias("cell"),
+    )
+    scored = (
+        q.join(c, on="cell")
+        .where(F.col("q_id") != F.col("c_id"))
+        .withColumn("cosine", F.round(_cosine(F.col("q_emb"), F.col("c_emb")), 6))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("q_id", "c_id", "cosine", "rk")
+    )
+
+
 def ann_lsh_topk(
     df: DataFrame,
     id_col: str,

@@ -189,3 +189,38 @@ def test_minhash_lsh_degenerate_corpus_bounded(spark):
     comp = connected_components(pairs, "id_a", "id_b")
     assert comp.count() == n
     assert comp.select("canonical_id").distinct().count() == 1
+
+
+def test_ivf_topk_recall_and_exact_degradation(spark):
+    from bdqc_spark.operators.similarity import brute_force_topk, ivf_topk
+
+    df = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    e = {
+        (r.q_id, r.c_id)
+        for r in brute_force_topk(df, "vec_id", "embedding", k=3, query_filter="vec_id < 20")
+        .toPandas()
+        .itertuples()
+    }
+    # probed search: bounded candidates, useful recall even on this
+    # structureless fixture (random unit vectors)
+    a = {
+        (r.q_id, r.c_id)
+        for r in ivf_topk(
+            df, "vec_id", "embedding", k=3, dim=64, n_centroids=16, n_probe=6,
+            query_filter="vec_id < 20",
+        )
+        .toPandas()
+        .itertuples()
+    }
+    assert len(a & e) / len(e) >= 0.55, f"recall {len(a & e) / len(e):.3f}"
+    # n_probe == n_centroids degrades to exact brute force
+    full = {
+        (r.q_id, r.c_id)
+        for r in ivf_topk(
+            df, "vec_id", "embedding", k=3, dim=64, n_centroids=16, n_probe=16,
+            query_filter="vec_id < 20",
+        )
+        .toPandas()
+        .itertuples()
+    }
+    assert full == e
