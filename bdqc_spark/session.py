@@ -40,16 +40,23 @@ def build_session(
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 4))
     if master is None:
-        master = f"local[{cpus}]"
+        # Under spark-submit the master arrives via conf — setting
+        # .master() here would clobber the cluster deployment. Only
+        # default to local[] when nothing supplied one.
+        from pyspark import SparkConf
+
+        if not SparkConf().contains("spark.master"):
+            master = f"local[{cpus}]"
     if shuffle_partitions is None:
         # Match shuffle width to parallelism in local mode; on a real
         # cluster this is overridden (AQE coalesces down anyway).
-        shuffle_partitions = _parallelism_of(master)
+        shuffle_partitions = _parallelism_of(master) if master else 200
 
+    builder = SparkSession.builder.appName(app_name)
+    if master is not None:
+        builder = builder.master(master)
     builder = (
-        SparkSession.builder.appName(app_name)
-        .master(master)
-        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # Arrow exchange: mandatory for vectorized UDFs (input_hint:
         # "no per-row Python").
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
