@@ -177,13 +177,20 @@ def run_pipeline(
     attempt = 2 if done_profile else 1  # informational (resume marker)
     if pending:
         to_profile = clips.where(F.col("bucket").isin(pending))
-        if os.path.isdir(profiles_dir):
+        had_antijoin = os.path.isdir(profiles_dir)
+        if had_antijoin:
             existing = spark.read.parquet(profiles_dir).select("clip_id")
             to_profile = to_profile.join(existing, on="clip_id", how="left_anti")
         prof = profile_clips(to_profile)
         (
-            # one task == one bucket == one output file per run:
-            # downstream scans see well-sized files, not 100s of shards
+            # one task == one bucket == one output file per run. This
+            # shuffle moves only profile SCALARS (bytes was consumed
+            # map-side) and is load-bearing: it fixes the profiles
+            # layout at 64 well-sized files, which is what keeps the
+            # downstream stages parallel — the profile table is so
+            # small on disk that a size-based scan of an uncontrolled
+            # layout coalesces to 1-3 tasks (measured: A/B probe of a
+            # map-only write cost +10s on stages B+C at 8 cores).
             prof.repartition(len(all_buckets), "bucket")
             .sortWithinPartitions("clip_id")
             .write.mode("append")
@@ -228,10 +235,17 @@ def run_pipeline(
     done_decide = _completed(lineage_dir, input_snapshot, "committed")
     pending_d = [b for b in all_buckets if b not in done_decide]
     if pending_d:
-        decisions = decide(profiles.where(F.col("bucket").isin(pending_d)), models)
+        # Re-parallelize BEFORE decide: the profile table is small on
+        # disk, so its scan coalesces to a few tasks — repartitioning
+        # the profile rows (pre-scrub, the smaller side) lets the rule
+        # evaluation + scrub regex chain run bucket-parallel, and the
+        # write stays map-side (one sorted file per bucket).
+        src = profiles.where(F.col("bucket").isin(pending_d)).repartition(
+            len(all_buckets), "bucket"
+        )
+        decisions = decide(src, models)
         (
-            decisions.repartition(len(all_buckets), "bucket")
-            .sortWithinPartitions("clip_id")
+            decisions.sortWithinPartitions("clip_id")
             .write.mode("overwrite")
             .partitionBy("bucket")
             .parquet(decisions_dir)
