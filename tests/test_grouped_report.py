@@ -47,3 +47,28 @@ def test_html_report(spark, tmp_path):
     doc = open(path).read()
     assert "bdqc-spark QC report" in doc
     assert "rows_seen" in doc and "Dropped by rule" in doc
+
+
+def test_html_report_no_double_count_after_incremental(spark, tmp_path):
+    """ADVICE r1 (low): metrics are appended per attempt; after an
+    incremental snapshot the report must total the LATEST record per
+    partition, not the sum of every attempt."""
+    import re
+
+    from bdqc_spark.plans.pipeline import run_pipeline
+    from bdqc_spark.plans.report import write_html_report
+    from bdqc_spark.sources.iceberg import IcebergishTable
+    from bdqc_spark.synth.clips import generate_clips_df
+
+    root = str(tmp_path / "tbl")
+    tbl = IcebergishTable(root, num_buckets=4)
+    s_a = tbl.append(generate_clips_df(spark, 150, seed=5))
+    out = str(tmp_path / "out")
+    run_pipeline(spark, tbl.read(spark), out, input_snapshot=s_a)
+    s_b = tbl.append(generate_clips_df(spark, 50, seed=5, start=150))
+    run_pipeline(spark, tbl.read(spark), out, input_snapshot=s_b)
+
+    doc = open(write_html_report(spark, out, str(tmp_path / "r.html"))).read()
+    m = re.search(r"<h2>Totals</h2>.*?<tr><td>(\d+)</td>", doc, re.S)
+    assert m, doc[:500]
+    assert int(m.group(1)) == 200  # not 150 + 200 = 350
