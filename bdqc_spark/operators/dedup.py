@@ -161,10 +161,12 @@ def connected_components(
     """Duplicate-pair → cluster resolution: (id, canonical_id) where
     canonical_id is the minimum id reachable in the pair graph.
 
-    Iterative min-label propagation: each round every node adopts
-    min(own label, neighbours' labels) — converges in O(graph
-    diameter) rounds (near-dup clusters are shallow; ≤ max_iter is a
-    safety bound, convergence is checked each round).
+    Iterative min-label propagation with pointer doubling: each round
+    every node adopts min(own label, neighbours' labels), then labels
+    are path-compressed through the label table (label := label's
+    label) — convergence in O(log diameter) rounds, so max_iter=25
+    covers even pathological chain-shaped clusters (2^25 diameter);
+    convergence is still checked each round.
 
     Scale shape: the edge set (near-dup pairs) is orders of magnitude
     smaller than the corpus; each round is one shuffle of the edge
@@ -190,12 +192,16 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("comp").alias("nmin"))
         )
+        stepped = labels.join(neighbor_min, labels.id == neighbor_min.src, "left").select(
+            "id",
+            F.least(F.col("comp"), F.coalesce(F.col("nmin"), F.col("comp"))).alias("comp"),
+        )
+        # pointer doubling: comp := comp's comp (labels are node ids,
+        # so every comp has a row) — halves remaining chain depth
+        lookup = stepped.select(F.col("id").alias("comp"), F.col("comp").alias("cc"))
         new_labels = (
-            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
-            .select(
-                "id",
-                F.least(F.col("comp"), F.coalesce(F.col("nmin"), F.col("comp"))).alias("comp"),
-            )
+            stepped.join(lookup, on="comp", how="left")
+            .select("id", F.coalesce(F.col("cc"), F.col("comp")).alias("comp"))
             .localCheckpoint()
         )
         changed = (

@@ -224,3 +224,14 @@ def test_ivf_topk_recall_and_exact_degradation(spark):
         .itertuples()
     }
     assert full == e
+
+
+def test_connected_components_long_chain(spark):
+    """A 200-node path graph needs pointer doubling: one-hop min
+    propagation would take 200 rounds, doubling takes ~8."""
+    from bdqc_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(200)], "id_a long, id_b long")
+    got = connected_components(pairs, max_iter=15).toPandas()
+    assert len(got) == 201
+    assert set(got.canonical_id) == {0}

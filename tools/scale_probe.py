@@ -27,6 +27,20 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _cpu_ticks(cpus: list[int]) -> tuple[int, int]:
+    """(steal_ticks, total_ticks) summed over the given cpu ids."""
+    steal = total = 0
+    with open("/proc/stat") as f:
+        for line in f:
+            if line.startswith("cpu") and not line.startswith("cpu "):
+                parts = line.split()
+                if int(parts[0][3:]) in cpus:
+                    vals = [int(x) for x in parts[1:]]
+                    total += sum(vals)
+                    steal += vals[7] if len(vals) > 7 else 0
+    return steal, total
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpus", type=int, required=True)
@@ -65,16 +79,29 @@ def main() -> None:
     shutil.rmtree(warm_out, ignore_errors=True)
     profile_clips(tbl.read(spark).limit(256)).write.format("noop").mode("overwrite").save()
 
+    pinned = sorted(os.sched_getaffinity(0))
     best = float("inf")
+    best_steal = None
     for _ in range(args.runs):
         out = f"/tmp/bdqc_scale_out_{os.getpid()}_{int(time.time() * 1000)}"
         shutil.rmtree(out, ignore_errors=True)
+        s0, tt0 = _cpu_ticks(pinned)
         t0 = time.time()
         run_pipeline(spark, tbl.read(spark), out, all_buckets=tbl.bucket_ids())
-        best = min(best, time.time() - t0)
+        dt = time.time() - t0
+        s1, tt1 = _cpu_ticks(pinned)
+        # hypervisor steal on OUR cores during the run — co-tenant
+        # bursts show up here, annotating noisy draws in the artifact
+        steal = round((s1 - s0) / max(tt1 - tt0, 1), 4)
+        if dt < best:
+            best, best_steal = dt, steal
         shutil.rmtree(out, ignore_errors=True)
     spark.stop()
-    print(json.dumps({"cpus": args.cpus, "wall_sec": round(best, 3)}))
+    print(
+        json.dumps(
+            {"cpus": args.cpus, "wall_sec": round(best, 3), "steal_frac": best_steal}
+        )
+    )
 
 
 if __name__ == "__main__":
