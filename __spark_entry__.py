@@ -1081,6 +1081,84 @@ ORACLE_DEDUP_NGRAM = (
 )
 
 
+# ---- winnowing fingerprints (rolling-hash document fingerprinting) -------------
+# Schleimer et al.'s winnowing (public algorithm): polynomial hash of
+# every k-gram, then keep the minimum hash of each w-window — the
+# standard local document fingerprint for plagiarism/near-dup detection.
+# The hash is a 31-base polynomial mod 2^31-1, written identically in
+# Spark and DuckDB (xxhash64 does not exist in DuckDB).
+WINNOW_K = 5
+WINNOW_W = 4
+_WINNOW_MOD = 2_147_483_647
+
+
+def q_doc_winnow_fingerprints(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", TX.normalized(F.col("text")).alias("t")
+    )
+    # hash of the k-gram starting at position i (1-based)
+    kgram_hash = lambda i: F.aggregate(  # noqa: E731
+        F.transform(
+            F.sequence(F.lit(0), F.lit(WINNOW_K - 1)),
+            lambda j: F.ascii(F.col("t").substr(i + j, F.lit(1))).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * 31 + c) % F.lit(_WINNOW_MOD),
+    )
+    hashed = d.where(F.length("t") >= WINNOW_K + WINNOW_W - 1).select(
+        "doc_id",
+        F.transform(
+            F.sequence(F.lit(1), F.length("t") - F.lit(WINNOW_K - 1)), kgram_hash
+        ).alias("hs"),
+    )
+    winnowed = hashed.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("hs") - F.lit(WINNOW_W - 1)),
+                    lambda j: F.array_min(F.slice("hs", j, WINNOW_W)),
+                )
+            )
+        ).alias("fp"),
+    )
+    return winnowed.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_fps"),
+        F.min("fp").alias("min_fp"),
+        F.max("fp").alias("max_fp"),
+        (F.sum("fp") % F.lit(_WINNOW_MOD)).alias("fp_checksum"),
+    )
+
+
+ORACLE_WINNOW = f"""
+WITH norm AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents),
+docs AS (SELECT doc_id, t FROM norm WHERE length(t) >= {WINNOW_K + WINNOW_W - 1}),
+hashed AS (
+  SELECT doc_id,
+         list_transform(
+           generate_series(1, length(t) - {WINNOW_K - 1}),
+           i -> list_reduce(
+                  list_prepend(CAST(0 AS BIGINT),
+                    list_transform(generate_series(0, {WINNOW_K - 1}),
+                                   j -> CAST(ord(substr(t, CAST(i + j AS INT), 1)) AS BIGINT))),
+                  (acc, c) -> (acc * 31 + c) % {_WINNOW_MOD})
+         ) AS hs
+  FROM docs
+),
+winnowed AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           generate_series(1, len(hs) - {WINNOW_W - 1}),
+           j -> list_min(hs[CAST(j AS INT):CAST(j + {WINNOW_W - 1} AS INT)])
+         ))) AS fp
+  FROM hashed
+)
+SELECT doc_id, COUNT(*) AS n_fps, MIN(fp) AS min_fp, MAX(fp) AS max_fp,
+       CAST(SUM(fp) % {_WINNOW_MOD} AS BIGINT) AS fp_checksum
+FROM winnowed GROUP BY doc_id
+"""
+
+
 # ---- dup-pair → cluster resolution (connected components) ----------------------
 def q_dedup_clusters(spark, sf_dir):
     """Near-dup pairs → duplicate clusters: every doc in the pair
@@ -1629,6 +1707,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_fingerprint": q_dedup_fingerprint,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_clusters": q_dedup_clusters,
+        "doc_winnow_fingerprints": q_doc_winnow_fingerprints,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "similarity_topk": q_similarity_topk,
         "scrub_documents": q_scrub_documents,
@@ -1694,6 +1773,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_fingerprint": ORACLE_DEDUP_FP,
         "dedup_ngram_jaccard": ORACLE_DEDUP_NGRAM,
         "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
+        "doc_winnow_fingerprints": ORACLE_WINNOW,
         "dedup_embedding_cosine": ORACLE_DEDUP_EMB,
         "similarity_topk": ORACLE_SIMILARITY,
         "scrub_documents": ORACLE_SCRUB,

@@ -177,8 +177,7 @@ def run_pipeline(
     attempt = 2 if done_profile else 1  # informational (resume marker)
     if pending:
         to_profile = clips.where(F.col("bucket").isin(pending))
-        had_antijoin = os.path.isdir(profiles_dir)
-        if had_antijoin:
+        if os.path.isdir(profiles_dir):
             existing = spark.read.parquet(profiles_dir).select("clip_id")
             to_profile = to_profile.join(existing, on="clip_id", how="left_anti")
         prof = profile_clips(to_profile)
