@@ -1,0 +1,74 @@
+"""Oracle checks for registry entries demoted past the driver's
+50-row recording window (__spark_entry__.queries() order is evidence
+policy — see the registry comment). The driver no longer records
+these, so this test keeps them continuously verified against the
+same DuckDB oracle at sf0.001 (cheap single-builtin queries).
+"""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry
+from bdqc_spark.sources.tables import TABLE_NAMES
+
+SF_DIR = os.environ.get("SF_DIR_SMOKE", "/root/testdata/sf0.001")
+
+DEMOTED_ORACLE_QUERIES = [
+    "string_funcs",
+    "datetime_funcs",
+    "math_funcs",
+    "conditional",
+    "split_explode",
+]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+def test_demoted_set_matches_registry():
+    """Every oracle-backed query past position 50 must be in the
+    demoted list above (no silently unevidenced oracle queries)."""
+    qs = list(entry.queries())
+    oracles = entry.oracle_sql()
+    past_window = [q for q in qs[50:] if q in oracles]
+    assert sorted(past_window) == sorted(DEMOTED_ORACLE_QUERIES)
+
+
+def test_flagships_inside_recording_window():
+    """The north-star queries must stay inside the driver's 50-row
+    recording window (regression guard for the r1/r2 evidence gap)."""
+    win = list(entry.queries())[:50]
+    for name in [
+        "clips_pipeline_decisions",
+        "clips_audio_profile",
+        "clips_explain",
+        "doc_langid",
+        "minhash_lsh_pairs",
+        "ann_lsh_topk",
+    ]:
+        assert name in win, f"{name} fell past the driver recording window"
+    assert len(win) == 50
+
+
+@pytest.mark.parametrize("name", DEMOTED_ORACLE_QUERIES)
+def test_demoted_query_matches_oracle(spark, duck, name):
+    from tools.check_oracle import canon
+
+    sdf = entry.queries()[name](spark, SF_DIR).toPandas()
+    ddf = duck.execute(entry.oracle_sql()[name]).fetchdf()
+    assert len(sdf) == len(ddf)
+    assert sorted(sdf.columns) == sorted(ddf.columns)
+    a, b = canon(sdf), canon(ddf)
+    assert a.equals(b), f"{name}: values differ vs oracle"
