@@ -93,6 +93,16 @@ def ivf_topk(
             for r in df.select(emb_col).limit(sample_size).collect()
         ]
     )
+    if sample.size == 0:
+        raise ValueError(
+            f"ivf_topk: no vectors in '{emb_col}' to train the coarse "
+            "quantizer on (input DataFrame is empty)"
+        )
+    if sample.ndim != 2 or sample.shape[1] != dim:
+        raise ValueError(
+            f"ivf_topk: expected {dim}-dim vectors in '{emb_col}', got "
+            f"shape {sample.shape} (ragged or mis-declared dim)"
+        )
     norms = np.linalg.norm(sample, axis=1, keepdims=True)
     sample = sample / np.maximum(norms, 1e-12)
     rng = np.random.default_rng(seed)

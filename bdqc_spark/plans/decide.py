@@ -115,7 +115,13 @@ def decide(
         )
         hit_exprs.append(
             F.when(
-                cn.isNotNull() & (cn >= MIN_COHORT_N) & (cnt / cn < F.lit(r.rare_frac)),
+                # null attribute values carry no frequency evidence and
+                # are excluded from the fitted histogram (models.py) —
+                # don't fire on them
+                F.col(r.attribute).isNotNull()
+                & cn.isNotNull()
+                & (cn >= MIN_COHORT_N)
+                & (cnt / cn < F.lit(r.rare_frac)),
                 F.lit(r.rule_id),
             ).otherwise(F.lit(None))
         )

@@ -125,7 +125,14 @@ def explain_decisions(
             F.coalesce(F.col(f"__{r.attribute}_hist")[F.col(r.attribute).cast("string")], F.lit(0))
             / cn
         )
-        fired = cn.isNotNull() & (cn >= MIN_COHORT_N) & (frac < F.lit(r.rare_frac))
+        # mirrors decide(): null values are outside the histogram and
+        # never fire the categorical rule
+        fired = (
+            F.col(r.attribute).isNotNull()
+            & cn.isNotNull()
+            & (cn >= MIN_COHORT_N)
+            & (frac < F.lit(r.rare_frac))
+        )
         entries.append(
             entry(
                 fired,

@@ -49,7 +49,16 @@ def _fit(flat: DataFrame, exact: bool, accuracy: int) -> DataFrame:
     # histogram (exact counts — the histogram is KB-sized per cohort).
     cats = []
     for a in CATEGORICAL_ATTRS:
-        counts = flat.groupBy(*COHORT_COLS, a).agg(F.count(F.lit(1)).alias("cnt"))
+        # Null attribute values are excluded from the histogram: a null
+        # map key is a runtime error in map_from_entries, and a row
+        # with no value carries no frequency evidence. decide()/
+        # explain() mirror this by not firing the categorical rule on
+        # null values (same convention as unmodeled deviation rows).
+        counts = (
+            flat.where(F.col(a).isNotNull())
+            .groupBy(*COHORT_COLS, a)
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
         cats.append(
             counts.groupBy(*COHORT_COLS).agg(
                 F.lit(a).alias("attribute"),

@@ -69,6 +69,62 @@ def _write_models_snapshot(rows: list, models_dir: str) -> None:
     shutil.rmtree(models_dir, ignore_errors=True)
     os.rename(tmp, models_dir)
 
+def metrics_table(
+    decisions: DataFrame, key_col: str, run_id: str, wall_ms: int, attempt: int
+) -> DataFrame:
+    """Per-`key_col` metrics rows (FIXTURES.md §3) from a decisions
+    DataFrame: rows_seen, rows_dropped, dropped_by_rule map,
+    scrub_edits, plus recency keys (written_at ns, attempt) so readers
+    can take the latest record per partition after appends.
+
+    Rules are data (plans/rules.py), so the per-rule counts compile to
+    a fixed pivot: one aggregation pass, no explode, no self-join.
+    Shared by the batch pipeline (key = bucket) and the streaming
+    sink (key = batch_id).
+    """
+    from bdqc_spark.plans.rules import CATEGORICAL_RULES, DEVIATION_RULES, STATIC_RULES
+
+    rule_ids = (
+        [r.rule_id for r in STATIC_RULES]
+        + [r.rule_id for r in DEVIATION_RULES]
+        + [r.rule_id for r in CATEGORICAL_RULES]
+    )
+    per_rule = [
+        F.sum(F.array_contains("rule_hits", rid).cast("long")).alias(f"__r{i}")
+        for i, rid in enumerate(rule_ids)
+    ]
+    agg = decisions.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("rows_seen"),
+        F.sum(F.when(~F.col("keep"), 1).otherwise(0)).alias("rows_dropped"),
+        F.sum("n_scrub_edits").alias("scrub_edits"),
+        *per_rule,
+    )
+    entries = [
+        F.when(
+            F.col(f"__r{i}") > 0, F.struct(F.lit(rid).alias("key"), F.col(f"__r{i}").alias("value"))
+        )
+        for i, rid in enumerate(rule_ids)
+    ]
+    return agg.select(
+        F.col(key_col).cast("int").alias("partition_id"),
+        "rows_seen",
+        "rows_dropped",
+        F.map_from_entries(
+            F.filter(F.array(*entries), lambda x: x.isNotNull())
+        ).alias("dropped_by_rule"),
+        "scrub_edits",
+        F.lit(wall_ms).alias("wall_ms"),
+        F.lit(run_id).alias("run_id"),
+        # recency keys: metrics are APPENDED per attempt/snapshot;
+        # readers take the latest record per partition_id, ordered by
+        # (written_at, attempt). Nanosecond resolution + the attempt
+        # counter means two sequential runs can't tie the way
+        # millisecond stamps could.
+        F.lit(time.time_ns()).alias("written_at"),
+        F.lit(int(attempt)).alias("attempt"),
+    )
+
+
 class PipelineResult:
     def __init__(self, out_dir: str, run_id: str, processed_buckets: list[int]):
         self.out_dir = out_dir
@@ -148,8 +204,11 @@ def run_pipeline(
     `all_buckets` (e.g. from the Iceberg manifest) to skip the
     bucket-discovery scan — at 100 TB the manifest knows the
     partition list; never derive it from the data.
+
+    Partition-overwrite mode is passed per-write (`.option(...)`),
+    never via session conf — a session-level set would leak into
+    unrelated jobs sharing the SparkSession.
     """
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     run_id = uuid.uuid4().hex[:12]
     result = PipelineResult(out_dir, run_id, [])
     t_stage = time.time()
@@ -234,6 +293,8 @@ def run_pipeline(
     done_decide = _completed(lineage_dir, input_snapshot, "committed")
     pending_d = [b for b in all_buckets if b not in done_decide]
     if pending_d:
+        from pyspark import StorageLevel
+
         # Re-parallelize BEFORE decide: the profile table is small on
         # disk, so its scan coalesces to a few tasks — repartitioning
         # the profile rows (pre-scrub, the smaller side) lets the rule
@@ -242,57 +303,29 @@ def run_pipeline(
         src = profiles.where(F.col("bucket").isin(pending_d)).repartition(
             len(all_buckets), "bucket"
         )
-        decisions = decide(src, models)
+        # Persist the decisions (bytes never reached this stage, so a
+        # partition is just scalars + transcripts — MBs, not GBs): the
+        # write materializes the cache and the metrics aggregation
+        # reads it back, replacing stage D's separate re-read job of
+        # the committed parquet (a fixed ~1s scheduling+scan cost on
+        # the serial path of every run — the limiter the N-vs-4N
+        # per-stage data indicted).
+        decisions = decide(src, models).sortWithinPartitions("clip_id").persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
         (
-            decisions.sortWithinPartitions("clip_id")
-            .write.mode("overwrite")
+            decisions.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
             .partitionBy("bucket")
             .parquet(decisions_dir)
         )
         t_stage = _tick(result, "C_decide", t_stage)
-        # Per-bucket metrics (FIXTURES.md §3), appended per attempt.
-        # Rules are data (plans/rules.py), so the per-rule counts are a
-        # fixed pivot: one aggregation pass, no explode, no self-join.
-        from bdqc_spark.plans.rules import CATEGORICAL_RULES, DEVIATION_RULES, STATIC_RULES
-
-        rule_ids = (
-            [r.rule_id for r in STATIC_RULES]
-            + [r.rule_id for r in DEVIATION_RULES]
-            + [r.rule_id for r in CATEGORICAL_RULES]
-        )
         wall_ms = int((time.time() - t1) * 1000)
-        d = spark.read.parquet(decisions_dir).where(F.col("bucket").isin(pending_d))
-        per_rule = [
-            F.sum(F.array_contains("rule_hits", rid).cast("long")).alias(f"__r{i}")
-            for i, rid in enumerate(rule_ids)
-        ]
-        agg = d.groupBy("bucket").agg(
-            F.count(F.lit(1)).alias("rows_seen"),
-            F.sum(F.when(~F.col("keep"), 1).otherwise(0)).alias("rows_dropped"),
-            F.sum("n_scrub_edits").alias("scrub_edits"),
-            *per_rule,
-        )
-        entries = [
-            F.when(
-                F.col(f"__r{i}") > 0, F.struct(F.lit(rid).alias("key"), F.col(f"__r{i}").alias("value"))
-            )
-            for i, rid in enumerate(rule_ids)
-        ]
-        metrics = agg.select(
-            F.col("bucket").alias("partition_id"),
-            "rows_seen",
-            "rows_dropped",
-            F.map_from_entries(
-                F.filter(F.array(*entries), lambda x: x.isNotNull())
-            ).alias("dropped_by_rule"),
-            "scrub_edits",
-            F.lit(wall_ms).alias("wall_ms"),
-            F.lit(run_id).alias("run_id"),
-            # ordering key: metrics are APPENDED per attempt/snapshot;
-            # readers must take the latest record per partition_id
-            F.lit(int(time.time() * 1000)).alias("written_at"),
+        metrics = metrics_table(
+            decisions, "bucket", run_id=run_id, wall_ms=wall_ms, attempt=attempt
         )
         metrics.write.mode("append").parquet(metrics_dir)
+        decisions.unpersist()
         _append_lineage(lineage_dir, pending_d, input_snapshot, attempt, t1, "committed")
         _tick(result, "D_metrics", t_stage)
 

@@ -23,7 +23,11 @@ def write_html_report(spark: SparkSession, out_dir: str, path: str) -> str:
     if "written_at" in all_metrics.columns:
         from pyspark.sql.window import Window
 
-        w = Window.partitionBy("partition_id").orderBy(F.col("written_at").desc())
+        order = [F.col("written_at").desc()]
+        if "attempt" in all_metrics.columns:
+            # tiebreaker for timestamps landing in the same tick
+            order.append(F.col("attempt").desc())
+        w = Window.partitionBy("partition_id").orderBy(*order)
         all_metrics = (
             all_metrics.withColumn("__rn", F.row_number().over(w))
             .where(F.col("__rn") == 1)

@@ -39,14 +39,8 @@ def build_session(
     scaling-efficiency measurement (BASELINE.md).
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 4))
-    if master is None:
-        # Under spark-submit the master arrives via conf — setting
-        # .master() here would clobber the cluster deployment. Only
-        # default to local[] when nothing supplied one.
-        from pyspark import SparkConf
-
-        if not SparkConf().contains("spark.master"):
-            master = f"local[{cpus}]"
+    if master is None and not _under_spark_submit():
+        master = f"local[{cpus}]"
     if shuffle_partitions is None:
         # Match shuffle width to parallelism in local mode; on a real
         # cluster this is overridden (AQE coalesces down anyway).
@@ -95,6 +89,22 @@ def build_session(
 
     ensure_shipped(spark)
     return spark
+
+
+def _under_spark_submit() -> bool:
+    """True when this process was launched by spark-submit: the JVM
+    gateway already exists and exported PYSPARK_GATEWAY_PORT/SECRET
+    for the Python driver to attach to — and it carries the submitted
+    master (--master yarn/k8s/...), which build_session must not
+    clobber with a local[] default.
+
+    Why not probe SparkConf()? A SparkConf constructed before the
+    gateway initializes is dict-backed and never sees spark-submit's
+    JVM system properties (contains('spark.master') is False even
+    under spark-submit), so that check silently always defaulted to
+    local[] — the env vars are the reliable pre-gateway signal.
+    """
+    return "PYSPARK_GATEWAY_PORT" in os.environ
 
 
 def _parallelism_of(master: str) -> int:

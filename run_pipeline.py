@@ -50,6 +50,10 @@ def main(argv: list[str] | None = None) -> int:
                 "out": result.out_dir,
                 "processed_buckets": result.processed_buckets,
                 "stage_seconds": result.stage_seconds,
+                # the REAL master the job ran under (deployment check:
+                # under spark-submit this must be the submitted value,
+                # not a local[] default)
+                "master": spark.sparkContext.master,
             }
         )
     )

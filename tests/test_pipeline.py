@@ -138,3 +138,36 @@ def test_langid_accuracy_on_corpus(spark, pipeline_out, golden):
     clean = m  # includes anomalies; they are <10% and mostly text-preserving
     acc = (clean.pred == clean.lang_true).mean()
     assert acc >= 0.9
+
+
+def test_null_categorical_attr_does_not_crash_or_flag(spark):
+    """ADVICE r2: a null sr_hz used to become a null map key in
+    map_from_entries (runtime error) during stage-B model fitting.
+    Nulls are now excluded from the histogram and never fire the
+    categorical rule (no frequency evidence) — mirrored in decide()
+    and explain()."""
+    from bdqc_spark.plans.decide import decide
+    from bdqc_spark.plans.explain import explain_decisions
+    from bdqc_spark.plans.models import fit_cohort_models
+    from bdqc_spark.plans.profile import profile_clips
+
+    clips = generate_clips_df(spark, 300, seed=23)
+    profiles = profile_clips(clips).withColumn(
+        "sr_hz",
+        F.when(F.xxhash64("clip_id") % 10 == 0, F.lit(None)).otherwise(F.col("sr_hz")),
+    )
+    models = spark.createDataFrame(fit_cohort_models(profiles).collect())
+    hist_rows = models.where(F.col("attribute") == "sr_hz").collect()
+    assert hist_rows, "categorical model rows missing"
+    for r in hist_rows:
+        assert None not in r.histogram  # no null keys fitted
+    dec = decide(profiles, models).toPandas()
+    null_ids = set(
+        r.clip_id for r in profiles.where(F.col("sr_hz").isNull()).select("clip_id").collect()
+    )
+    assert null_ids, "fixture produced no null sr_hz rows"
+    flagged = dec[dec.rule_hits.map(lambda h: "categorical.rare_sr" in list(h))]
+    assert null_ids.isdisjoint(set(flagged.clip_id))
+    exp = explain_decisions(profiles, models).toPandas()
+    cat = exp[exp.rule_id == "categorical.rare_sr"]
+    assert null_ids.isdisjoint(set(cat.clip_id))

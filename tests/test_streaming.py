@@ -111,13 +111,26 @@ def test_stream_decide_matches_batch(spark, tmp_path):
     )
     q.awaitTermination(180)
     got = (
-        spark.read.parquet(out).toPandas().sort_values("clip_id").reset_index(drop=True)
+        spark.read.parquet(f"{out}/decisions")
+        .toPandas()
+        .sort_values("clip_id")
+        .reset_index(drop=True)
     )
     assert len(got) == len(batch_dec)
     assert list(got.keep) == list(batch_dec.keep)
     assert list(got.scrubbed_transcript.fillna("")) == list(
         batch_dec.scrubbed_transcript.fillna("")
     )
+    # ops parity: every non-empty micro-batch wrote a metrics record
+    # and a lineage record keyed on its batch_id
+    metrics = spark.read.parquet(f"{out}/metrics").toPandas()
+    batch_ids = set(got.batch_id.unique())
+    assert set(metrics.partition_id) == batch_ids
+    assert metrics.rows_seen.sum() == len(got)
+    assert metrics.rows_dropped.sum() == int((~got.keep).sum())
+    lineage = spark.read.parquet(f"{out}/lineage").toPandas()
+    assert set(lineage.partition_id) == batch_ids
+    assert set(lineage.status) == {"committed"}
 
 
 def test_sliding_counts_stream_subset_of_batch(spark, events, tmp_path):
@@ -149,12 +162,38 @@ def test_batch_writer_retry_is_idempotent(spark, tmp_path):
     out = str(tmp_path / "retry_out")
     write = make_batch_writer(spark, models, out)
 
+    conf_key = "spark.sql.sources.partitionOverwriteMode"
+    conf_before = spark.conf.get(conf_key, None)
     write(clips, 7)
-    first = spark.read.parquet(out).toPandas().sort_values("clip_id").reset_index(drop=True)
+    first = (
+        spark.read.parquet(f"{out}/decisions")
+        .toPandas()
+        .sort_values("clip_id")
+        .reset_index(drop=True)
+    )
     write(clips, 7)  # simulated retry of the same micro-batch
-    second = spark.read.parquet(out).toPandas().sort_values("clip_id").reset_index(drop=True)
+    second = (
+        spark.read.parquet(f"{out}/decisions")
+        .toPandas()
+        .sort_values("clip_id")
+        .reset_index(drop=True)
+    )
     assert len(second) == 200
     assert first[["clip_id", "keep"]].equals(second[["clip_id", "keep"]])
+    # overwrite mode is a per-write option, not a session-conf
+    # mutation leaking into unrelated jobs (ADVICE r2)
+    assert spark.conf.get(conf_key, None) == conf_before
 
     write(clips.limit(50), 8)  # a different batch appends its own partition
-    assert spark.read.parquet(out).count() == 250
+    assert spark.read.parquet(f"{out}/decisions").count() == 250
+
+    # metrics: appended per attempt; readers take the LATEST record
+    # per partition_id (same convention as the batch report) — totals
+    # must not double-count after the retry
+    metrics = spark.read.parquet(f"{out}/metrics").toPandas()
+    assert len(metrics) == 3  # batch 7 twice (retry) + batch 8 once
+    latest = metrics.sort_values(["written_at", "attempt"]).groupby("partition_id").last()
+    assert latest.rows_seen.sum() == 250
+    # lineage: one committed record per attempt, keyed on batch_id
+    lineage = spark.read.parquet(f"{out}/lineage").toPandas()
+    assert sorted(lineage.partition_id) == [7, 7, 8]

@@ -58,6 +58,11 @@ def test_spark_submit_py_files_deployment(spark, tmp_path):
     assert proc.returncode == 0, proc.stderr[-2000:]
     result = json.loads([ln for ln in proc.stdout.splitlines() if ln.startswith("{")][-1])
     assert sorted(result["processed_buckets"]) == [0, 1, 2, 3]
+    # build_session must NOT clobber the submitted master with its
+    # local[] default (it would read local[32] here, not local[4]):
+    # detection goes through the PYSPARK_GATEWAY_* env vars, since a
+    # pre-gateway SparkConf never sees spark-submit's system props.
+    assert result["master"] == "local[4]"
 
     con = duckdb.connect()
     n, kept = con.execute(
