@@ -523,10 +523,16 @@ FROM orders GROUP BY o_orderstatus
 # ---- G3/G4: quantiles + MAD (robust stats, the bdqc model fit) ---------------
 def q_quantiles_mad(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
+    # one array-percentile agg: separate percentile() calls each
+    # buffer their OWN copy of the group's values (3× memory + sort);
+    # the array form buffers once — same exact interpolated values
     med = li.groupBy("l_returnflag").agg(
-        F.expr("percentile(l_extendedprice, 0.5)").alias("median_price"),
-        F.expr("percentile(l_extendedprice, 0.25)").alias("p25"),
-        F.expr("percentile(l_extendedprice, 0.75)").alias("p75"),
+        F.expr("percentile(l_extendedprice, array(0.5, 0.25, 0.75))").alias("ps")
+    ).select(
+        "l_returnflag",
+        F.element_at("ps", 1).alias("median_price"),
+        F.element_at("ps", 2).alias("p25"),
+        F.element_at("ps", 3).alias("p75"),
     )
     mad = (
         li.join(F.broadcast(med), "l_returnflag")

