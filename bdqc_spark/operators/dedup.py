@@ -216,6 +216,87 @@ def connected_components(
     return labels.select(F.col("id"), F.col("comp").alias("canonical_id"))
 
 
+def simhash_neighbors(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    max_bucket_size: int = 500,
+) -> DataFrame:
+    """Near-dup pairs (id_a, id_b, hamming) with SimHash Hamming
+    distance ≤ max_hamming — the consumer of simhash_fingerprints'
+    blocking keys, completing the simhash near-dup path (pairs feed
+    connected_components for cluster resolution).
+
+    Blocking is the classic block-permutation scheme (Manku et al.,
+    WWW 2007 — public algorithm): split the 64-bit fingerprint into 4
+    disjoint 16-bit blocks; by pigeonhole, any pair within Hamming
+    distance ≤ 3 agrees EXACTLY on at least one block, so a per-block
+    equi-join finds every qualifying pair (exact for max_hamming ≤ 3,
+    never an all-pairs product), and the cheap bit_count(a XOR b)
+    filter drops false candidates.
+
+    Skew guard: identical to minhash_lsh_pairs — oversized (blk, key)
+    buckets (degenerate corpora: many identical docs) are split into
+    hash-assigned sub-buckets, bounding per-bucket join work at
+    O(n·max) with the documented cross-sub recall cost; the cap list
+    broadcasts. Everything is Catalyst (bit ops + bit_count), zero
+    Python.
+    """
+    assert 0 <= max_hamming <= 3, "4-block scheme is exact only for distance <= 3"
+    fps = simhash_fingerprints(df, id_col, text_col).select(
+        F.col(id_col).alias("_id"), "simhash"
+    ).cache()
+    blocks = fps.select(
+        "_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("blk"),
+                        F.shiftrightunsigned("simhash", 16 * i)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("key"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select("_id", "simhash", F.col("bk.blk").alias("blk"), F.col("bk.key").alias("key"))
+
+    big = (
+        blocks.groupBy("blk", "key")
+        .agg(F.count(F.lit(1)).alias("_bn"))
+        .where(F.col("_bn") > max_bucket_size)
+    )
+    n_sub = F.coalesce(
+        F.ceil(F.col("_bn") / F.lit(max_bucket_size)).cast("long"), F.lit(1).cast("long")
+    )
+    blocks = blocks.join(F.broadcast(big), on=["blk", "key"], how="left").select(
+        "_id", "simhash", "blk", "key",
+        F.pmod(F.xxhash64("_id", F.col("blk")), n_sub).alias("sub"),
+    )
+
+    a, b = blocks.alias("a"), blocks.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.sub") == F.col("b.sub"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).cast("int"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"), "hamming")
+        .distinct()
+    )
+
+
 def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFrame:
     """(id, simhash bigint, prefix16 int) — 64-bit SimHash over
     whitespace tokens. prefix16 (top 16 bits) is a ready-made

@@ -235,3 +235,53 @@ def test_connected_components_long_chain(spark):
     got = connected_components(pairs, max_iter=15).toPandas()
     assert len(got) == 201
     assert set(got.canonical_id) == {0}
+
+
+def test_simhash_neighbors_exact_vs_bruteforce(spark):
+    """The 4×16-bit block join is EXACT for Hamming distance ≤ 3
+    (pigeonhole: ≤3 differing bits leave ≥1 of 4 blocks identical):
+    the blocked pairs must equal the brute-force Hamming pairs over
+    the real documents fixture — no misses, no false positives."""
+    import numpy as np
+
+    from bdqc_spark.operators.dedup import simhash_fingerprints, simhash_neighbors
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    fps = simhash_fingerprints(df, "doc_id", "text").collect()
+    ids = np.array([r.doc_id for r in fps])
+    hs = np.array([r.simhash for r in fps], dtype=np.uint64)
+    x = hs[:, None] ^ hs[None, :]
+    dist = np.zeros(x.shape, dtype=np.int64)
+    for _ in range(64):
+        dist += (x & np.uint64(1)).astype(np.int64)
+        x >>= np.uint64(1)
+    iu = np.triu_indices(len(ids), k=1)
+    close = dist[iu] <= 3
+    expected = {
+        (min(a, b), max(a, b), int(d))
+        for a, b, d in zip(ids[iu[0]][close], ids[iu[1]][close], dist[iu][close])
+    }
+    assert expected, "fixture has no near-dup simhash pairs — test would be vacuous"
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in simhash_neighbors(df, "doc_id", "text", max_hamming=3).collect()
+    }
+    assert got == expected
+
+
+def test_simhash_neighbors_feed_connected_components(spark):
+    """The pairs schema plugs straight into cluster resolution."""
+    from bdqc_spark.operators.dedup import connected_components, simhash_neighbors
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma delta epsilon zeta"),   # identical → dist 0
+        (3, "alpha beta gamma delta epsilon zetaa"),  # near twin
+        (4, "totally different content on another topic entirely now"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = simhash_neighbors(df, "doc_id", "text", max_hamming=3)
+    assert (1, 2) in {(r.id_a, r.id_b) for r in pairs.collect()}
+    comp = {r.id: r.canonical_id for r in connected_components(pairs).collect()}
+    assert comp.get(1) == comp.get(2) == 1
+    assert 4 not in comp
