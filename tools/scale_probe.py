@@ -80,8 +80,7 @@ def main() -> None:
     profile_clips(tbl.read(spark).limit(256)).write.format("noop").mode("overwrite").save()
 
     pinned = sorted(os.sched_getaffinity(0))
-    best = float("inf")
-    best_steal = None
+    draws = []
     for _ in range(args.runs):
         out = f"/tmp/bdqc_scale_out_{os.getpid()}_{int(time.time() * 1000)}"
         shutil.rmtree(out, ignore_errors=True)
@@ -93,15 +92,12 @@ def main() -> None:
         # hypervisor steal on OUR cores during the run — co-tenant
         # bursts show up here, annotating noisy draws in the artifact
         steal = round((s1 - s0) / max(tt1 - tt0, 1), 4)
-        if dt < best:
-            best, best_steal = dt, steal
+        draws.append(
+            {"cpus": args.cpus, "wall_sec": round(dt, 3), "steal_frac": steal}
+        )
         shutil.rmtree(out, ignore_errors=True)
     spark.stop()
-    print(
-        json.dumps(
-            {"cpus": args.cpus, "wall_sec": round(best, 3), "steal_frac": best_steal}
-        )
-    )
+    print(json.dumps({"cpus": args.cpus, "draws": draws}))
 
 
 if __name__ == "__main__":
