@@ -58,8 +58,15 @@ def oracle_labels(clips: pd.DataFrame) -> pd.DataFrame:
             continue
         pcm_ok[i] = True
         dur_dec[i] = int(round(len(pcm) * 1000.0 / sr))
-        rms[i] = float(np.sqrt(np.mean(np.square(pcm), dtype=np.float64))) if len(pcm) else 0.0
-        clip_rate[i] = float(np.mean(np.abs(pcm) >= 0.999, dtype=np.float64)) if len(pcm) else 0.0
+        # IDENTICAL fused formula to the engine's profile stage
+        # (plans/profile.py): float32 BLAS dot + count_nonzero, so
+        # engine and oracle cannot drift even in the last float digits
+        if len(pcm):
+            rms[i] = float(np.sqrt(float(np.dot(pcm, pcm)) / len(pcm)))
+            clip_rate[i] = (
+                int(np.count_nonzero(pcm >= 0.999))
+                + int(np.count_nonzero(pcm <= -0.999))
+            ) / len(pcm)
         pcm_sha[i] = hashlib.sha256(np.ascontiguousarray(pcm).tobytes()).hexdigest()
 
     lang = predict_batch(clips["transcript"])
