@@ -23,6 +23,13 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--snapshot", default=None, help="pin an input snapshot id")
     ap.add_argument("--exact-models", action="store_true", help="exact quantiles (test scale)")
     ap.add_argument("--master", default=None, help="override master (local runs)")
+    ap.add_argument(
+        "--html-report",
+        default=None,
+        metavar="PATH",
+        help="also render the run's metrics as a self-contained HTML report "
+        "(the reference's --writeHTML entry point)",
+    )
     args = ap.parse_args(argv)
 
     from bdqc_spark.session import build_session
@@ -43,6 +50,11 @@ def main(argv: list[str] | None = None) -> int:
         exact_models=args.exact_models,
         all_buckets=tbl.bucket_ids(),
     )
+    report_path = None
+    if args.html_report:
+        from bdqc_spark.plans.report import write_html_report
+
+        report_path = write_html_report(spark, args.out, args.html_report)
     print(
         json.dumps(
             {
@@ -54,6 +66,7 @@ def main(argv: list[str] | None = None) -> int:
                 # under spark-submit this must be the submitted value,
                 # not a local[] default)
                 "master": spark.sparkContext.master,
+                "html_report": report_path,
             }
         )
     )
