@@ -1,5 +1,6 @@
 from bdqc_spark.streaming.windows import (
     dedup_within_watermark,
+    running_cohort_stats,
     sessionize,
     sliding_counts,
     tumbling_counts,
@@ -11,6 +12,7 @@ __all__ = [
     "sliding_counts",
     "sessionize",
     "dedup_within_watermark",
+    "running_cohort_stats",
     "make_batch_writer",
     "stream_decide",
 ]

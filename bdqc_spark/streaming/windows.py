@@ -86,6 +86,74 @@ def sessionize(
     )
 
 
+def running_cohort_stats(
+    df: DataFrame,
+    key: str = "codec",
+    value_col: str = "dur_ms",
+) -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState:
+    per-cohort RUNNING count/mean/variance across micro-batches — the
+    live-ingest twin of the batch cohort-model fit (an ops monitor
+    can watch a cohort's distribution drift without refitting).
+
+    State per key is three scalars (n, mean, M2). Each micro-batch is
+    reduced with numpy first and merged into state with the parallel
+    Welford/Chan merge formula — the Python loop is per-KEY per
+    batch, never per row. Emits the updated running stats for every
+    key seen in the batch (update mode).
+
+    Works on a static DataFrame too (plain aggregate — identical
+    observable semantics), which is how the batch-equivalence test
+    verifies it.
+    """
+    if not df.isStreaming:
+        return (
+            df.where(F.col(value_col).isNotNull())
+            .groupBy(key)
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.avg(F.col(value_col).cast("double")).alias("mean"),
+                (
+                    F.var_pop(F.col(value_col).cast("double")) * F.count(F.lit(1))
+                ).alias("m2"),
+            )
+        )
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def _update(key_tuple, pdfs, state: GroupState):
+        n, mean, m2 = state.get if state.exists else (0, 0.0, 0.0)
+        for pdf in pdfs:
+            v = pd.to_numeric(pdf[value_col], errors="coerce").dropna().to_numpy(
+                dtype=np.float64
+            )
+            bn = int(v.size)
+            if bn == 0:
+                continue
+            bmean = float(v.mean())
+            bm2 = float(((v - bmean) ** 2).sum())
+            # Chan et al. parallel merge of (n, mean, M2) pairs
+            delta = bmean - mean
+            tot = n + bn
+            mean = mean + delta * bn / tot
+            m2 = m2 + bm2 + delta * delta * n * bn / tot
+            n = tot
+        state.update((n, float(mean), float(m2)))
+        yield pd.DataFrame(
+            [{key: key_tuple[0], "n": n, "mean": float(mean), "m2": float(m2)}]
+        )
+
+    return df.groupBy(key).applyInPandasWithState(
+        _update,
+        outputStructType=f"{key} string, n long, mean double, m2 double",
+        stateStructType="n long, mean double, m2 double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def dedup_within_watermark(
     df: DataFrame,
     keys: list[str],

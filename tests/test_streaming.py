@@ -197,3 +197,42 @@ def test_batch_writer_retry_is_idempotent(spark, tmp_path):
     # lineage: one committed record per attempt, keyed on batch_id
     lineage = spark.read.parquet(f"{out}/lineage").toPandas()
     assert sorted(lineage.partition_id) == [7, 7, 8]
+
+
+def test_running_cohort_stats_stream_equals_batch(spark, tmp_path):
+    """Custom stateful operator (applyInPandasWithState): running
+    per-cohort Welford stats must survive micro-batch boundaries and
+    converge to the batch aggregate over the same input."""
+    import math
+
+    from bdqc_spark.streaming import running_cohort_stats
+    from bdqc_spark.synth.clips import generate_clips_df
+
+    clips = generate_clips_df(spark, 400, seed=17).select("clip_id", "codec", "dur_ms")
+    batch = {
+        r.codec: r
+        for r in running_cohort_stats(clips, key="codec", value_col="dur_ms").collect()
+    }
+
+    # one source file per micro-batch so state must survive batch
+    # boundaries (a single availableNow batch would be vacuous)
+    src = os.path.join(str(tmp_path), "src")
+    clips.repartition(3).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(clips.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    sdf = running_cohort_stats(stream, key="codec", value_col="dur_ms")
+    got = _run_to_memory(spark, sdf, "t_cohort_stats", mode="update").toPandas()
+    # update mode emits a row per key per batch: the final state is the
+    # row with the largest n per key
+    final = got.sort_values("n").groupby("codec").last()
+    assert set(final.index) == set(batch)
+    for codec, row in final.iterrows():
+        assert row.n == batch[codec].n
+        assert math.isclose(row["mean"], batch[codec].mean, rel_tol=1e-9)
+        assert math.isclose(row.m2, batch[codec].m2, rel_tol=1e-6)
+    # state genuinely crossed micro-batches: some key must have been
+    # emitted more than once with growing n
+    assert (got.groupby("codec").size() > 1).any()
