@@ -112,14 +112,20 @@ def q_qc_documents_keepdrop_approx(spark, sf_dir):
     (which buffers every group value — a memory cliff at 100×).
     Rows-only: sketch medians differ from DuckDB's interpolated exact
     quantiles in the last decimals; the exact variant stays the
-    oracle-checked correctness query, this one is the bench headline."""
+    oracle-checked correctness query, this one is the bench headline.
+
+    The profile projection is persisted: it feeds three consumers
+    (median agg, MAD agg, scoring join) and would otherwise be
+    recomputed — tokenizing regex included — three times. Same shape
+    at 100 TB: profile once, reuse for every model pass (the clips
+    pipeline checkpoints profiles to parquet for this reason)."""
     docs = _t(spark, sf_dir, "documents")
     prof = docs.select(
         "doc_id",
         "lang",
         F.length("text").cast("double").alias("n_chars_obs"),
         TX.n_tokens(F.col("text")).alias("n_tokens"),
-    )
+    ).persist()
     med = prof.groupBy("lang").agg(F.percentile_approx("n_chars_obs", 0.5, 2000).alias("med"))
     mad = (
         prof.join(F.broadcast(med), "lang")
