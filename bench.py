@@ -14,10 +14,12 @@ Two parts:
    (tools/scale_probe.py) — the faithful stand-in for N vs 4N
    executor clusters. Unpinned local[N] consumes up to ~2N cores
    (JVM task threads + Python workers), inflating the small-N
-   baseline. The 2/8 pair sits in this host's physical-core region;
-   8→32 is SMT-capped (~0.70 even for perfect code — BENCH.md).
-   Levels are interleaved, best-of-3 per level (damps the ±25%
-   noisy-neighbor steal; identical job + input).
+   baseline. Both corpora are page-cache-primed before any draw so
+   every draw sees the same warm-I/O state. Levels interleave:
+   2 draws per 8-core subprocess × SCALE_RUNS (draws share one
+   warmup) and 2 single-draw 2-core probes; best per level is the
+   criterion estimator (co-tenant noise is one-sided-slow), with a
+   median-based ratio and every raw draw recorded alongside.
 
 Prints ONE JSON line:
   {"metric": "headline_total_sec", "value": <sec>, "unit": "sec",
