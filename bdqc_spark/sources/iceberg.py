@@ -132,12 +132,101 @@ class IcebergishTable:
         return self._commit_snapshot(manifest)
 
     # -- read -------------------------------------------------------------
-    def read(self, spark: SparkSession, buckets: list[int] | None = None) -> DataFrame:
-        """Scan the table; optional bucket pruning (directory-level)."""
-        df = spark.read.parquet(self.data_dir)
+    def _schema_ddl(self, snap: dict) -> str:
+        """Manifest schema as DDL, always including the partition-
+        derived bucket column (the manifest records the writer's
+        schema, which may or may not have carried it explicitly)."""
+        cols = [e.split(":", 1) for e in snap["schema"]]
+        ddl = ", ".join(f"{n} {t}" for n, t in cols)
+        if not any(n == BUCKET_COL for n, _ in cols):
+            ddl += f", {BUCKET_COL} int"
+        return ddl
+
+    def read(
+        self,
+        spark: SparkSession,
+        buckets: list[int] | None = None,
+        snapshot_id: str | None = None,
+    ) -> DataFrame:
+        """Scan the table AT A SNAPSHOT (default: current) — the file
+        list comes from the manifest, never from directory listing,
+        which is what gives real snapshot semantics:
+
+        - snapshot isolation: orphan files from a crashed append
+          (data written, manifest never committed) are invisible;
+        - time travel: pass an older ``snapshot_id`` to read the
+          table as of that commit;
+        - manifest-level pruning: a ``buckets`` filter prunes the
+          FILE LIST itself (the reader never lists, opens or plans
+          the other buckets' files — Iceberg's manifest pruning,
+          stronger than a partition-directory predicate).
+
+        ``basePath`` keeps the directory-derived ``bucket`` partition
+        column in the schema.
+        """
+        snap = self.snapshot(snapshot_id)
+        if snap is None:
+            raise ValueError(f"no snapshot at {self.root}")
+        files_by_bucket = snap["bucket_files"]
         if buckets is not None:
-            df = df.where(F.col(BUCKET_COL).isin([int(b) for b in buckets]))
-        return df
+            keys = {str(int(b)) for b in buckets}
+            files_by_bucket = {k: v for k, v in files_by_bucket.items() if k in keys}
+        paths = [
+            os.path.join(self.data_dir, rel)
+            for fs in files_by_bucket.values()
+            for rel in fs
+        ]
+        if not paths:
+            return spark.createDataFrame([], self._schema_ddl(snap))
+        return spark.read.option("basePath", self.data_dir).parquet(*paths)
+
+    def read_incremental(
+        self,
+        spark: SparkSession,
+        from_snapshot_id: str | None,
+        to_snapshot_id: str | None = None,
+    ) -> DataFrame:
+        """Rows committed AFTER ``from_snapshot_id`` up to
+        ``to_snapshot_id`` (default: current) — the manifest diff, an
+        append-only table's changelog. This is the 100 TB incremental
+        pattern: a downstream job remembers the snapshot it last
+        processed and reads only the new files, never rescanning the
+        table (``from_snapshot_id=None`` degrades to a full read of
+        the target snapshot)."""
+        new = self.snapshot(to_snapshot_id)
+        if new is None:
+            raise ValueError(f"no snapshot at {self.root}")
+        old = self.snapshot(from_snapshot_id) if from_snapshot_id else None
+        old_files = (
+            {rel for fs in old["bucket_files"].values() for rel in fs} if old else set()
+        )
+        paths = [
+            os.path.join(self.data_dir, rel)
+            for fs in new["bucket_files"].values()
+            for rel in fs
+            if rel not in old_files
+        ]
+        if not paths:
+            return spark.createDataFrame([], self._schema_ddl(new))
+        return spark.read.option("basePath", self.data_dir).parquet(*paths)
+
+    def history(self) -> list[dict]:
+        """Snapshot lineage, newest first (walks parent pointers)."""
+        out = []
+        sid = self.current_snapshot_id()
+        while sid is not None:
+            snap = self.snapshot(sid)
+            out.append(
+                {
+                    "snapshot_id": snap["snapshot_id"],
+                    "parent_snapshot_id": snap["parent_snapshot_id"],
+                    "timestamp_ms": snap["timestamp_ms"],
+                    "operation": snap["operation"],
+                    "total_rows": snap["summary"]["total_rows"],
+                }
+            )
+            sid = snap["parent_snapshot_id"]
+        return out
 
     def exists(self) -> bool:
         return self.current_snapshot_id() is not None

@@ -132,3 +132,54 @@ def test_resume_after_crash_between_stages_refits_models(spark, tmp_path):
         .reset_index(drop=True)
     )
     assert a.equals(b)
+
+
+def test_time_travel_and_manifest_isolation(spark, tmp_path):
+    """read() is manifest-driven: snapshot pinning gives time travel,
+    and files never committed to a manifest (a crashed append's
+    orphans) are invisible — directory listing would leak them."""
+    import os
+
+    from bdqc_spark.sources.iceberg import IcebergishTable
+    from bdqc_spark.synth.clips import generate_clips_df
+
+    root = str(tmp_path / "tt_tbl")
+    tbl = IcebergishTable(root, num_buckets=4)
+    s1 = tbl.append(generate_clips_df(spark, 100, seed=3))
+    s2 = tbl.append(generate_clips_df(spark, 60, seed=5).withColumn(
+        "clip_id", F.concat(F.lit("b2_"), F.col("clip_id"))
+    ))
+
+    assert tbl.read(spark).count() == 160
+    assert tbl.read(spark, snapshot_id=s1).count() == 100  # time travel
+    assert tbl.read(spark, snapshot_id=s2).count() == 160
+
+    # incremental: exactly the rows committed between s1 and s2
+    inc = tbl.read_incremental(spark, s1)
+    assert inc.count() == 60
+    assert all(r.clip_id.startswith("b2_") for r in inc.select("clip_id").collect())
+    # no-op increment and full-read degradation
+    assert tbl.read_incremental(spark, s2).count() == 0
+    assert tbl.read_incremental(spark, None).count() == 160
+
+    # orphan parquet (crashed append: data written, manifest never
+    # committed) must be invisible to manifest-driven readers
+    stray_dir = os.path.join(root, "data", "bucket=0")
+    stray = tbl.read(spark, buckets=[0]).limit(5)
+    stray.write.mode("append").parquet(os.path.join(str(tmp_path), "_stray"))
+    import glob as _glob
+    import shutil as _shutil
+
+    src = _glob.glob(os.path.join(str(tmp_path), "_stray", "*.parquet"))[0]
+    _shutil.copy(src, os.path.join(stray_dir, "part-orphan.parquet"))
+    assert tbl.read(spark).count() == 160  # still the committed view
+    assert spark.read.parquet(os.path.join(root, "data")).count() > 160  # the leak a listing scan would see
+
+    # history walks the parent chain, newest first
+    hist = tbl.history()
+    assert [h["snapshot_id"] for h in hist] == [s2, s1]
+    assert hist[0]["total_rows"] == 160 and hist[1]["total_rows"] == 100
+
+    # manifest-level pruning returns only the requested buckets
+    pruned = tbl.read(spark, buckets=[1, 2])
+    assert set(r.bucket for r in pruned.select("bucket").distinct().collect()) <= {1, 2}
