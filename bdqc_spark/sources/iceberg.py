@@ -147,6 +147,7 @@ class IcebergishTable:
         spark: SparkSession,
         buckets: list[int] | None = None,
         snapshot_id: str | None = None,
+        merge_schema: bool = False,
     ) -> DataFrame:
         """Scan the table AT A SNAPSHOT (default: current) — the file
         list comes from the manifest, never from directory listing,
@@ -162,7 +163,10 @@ class IcebergishTable:
           stronger than a partition-directory predicate).
 
         ``basePath`` keeps the directory-derived ``bucket`` partition
-        column in the schema.
+        column in the schema. ``merge_schema=True`` reconciles files
+        written under evolved schemas (a later append that ADDED a
+        column): old files surface the new column as null — Iceberg's
+        add-column evolution semantics.
         """
         snap = self.snapshot(snapshot_id)
         if snap is None:
@@ -178,7 +182,10 @@ class IcebergishTable:
         ]
         if not paths:
             return spark.createDataFrame([], self._schema_ddl(snap))
-        return spark.read.option("basePath", self.data_dir).parquet(*paths)
+        reader = spark.read.option("basePath", self.data_dir)
+        if merge_schema:
+            reader = reader.option("mergeSchema", "true")
+        return reader.parquet(*paths)
 
     def read_incremental(
         self,

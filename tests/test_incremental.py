@@ -183,3 +183,27 @@ def test_time_travel_and_manifest_isolation(spark, tmp_path):
     # manifest-level pruning returns only the requested buckets
     pruned = tbl.read(spark, buckets=[1, 2])
     assert set(r.bucket for r in pruned.select("bucket").distinct().collect()) <= {1, 2}
+
+
+def test_schema_evolution_add_column(spark, tmp_path):
+    """Iceberg add-column evolution: a later append carries a new
+    column; merge_schema reads reconcile — old files surface it as
+    null, and time-traveling to the pre-evolution snapshot shows the
+    old schema."""
+    from bdqc_spark.sources.iceberg import IcebergishTable
+    from bdqc_spark.synth.clips import generate_clips_df
+
+    tbl = IcebergishTable(str(tmp_path / "evo_tbl"), num_buckets=4)
+    s1 = tbl.append(generate_clips_df(spark, 80, seed=7))
+    evolved = generate_clips_df(spark, 40, seed=9).withColumn(
+        "clip_id", F.concat(F.lit("v2_"), F.col("clip_id"))
+    ).withColumn("speaker_id", F.xxhash64("clip_id") % 100)
+    tbl.append(evolved)
+
+    got = tbl.read(spark, merge_schema=True)
+    assert "speaker_id" in got.columns
+    assert got.count() == 120
+    assert got.where(F.col("speaker_id").isNull()).count() == 80  # pre-evolution rows
+    assert got.where(F.col("speaker_id").isNotNull()).count() == 40
+    # the pre-evolution snapshot has no such column
+    assert "speaker_id" not in tbl.read(spark, snapshot_id=s1).columns
