@@ -1581,6 +1581,31 @@ def q_clips_explain(spark, sf_dir):
     )
 
 
+def q_clips_audio_features(spark, sf_dir):
+    """Framed log-mel audio feature extraction (rows-only: FFT/mel
+    features have no SQL twin; tone-centroid parity + determinism are
+    pytest-gated in tests/test_audio.py). Scalar columns only — the
+    driver canonicalizer can't hash array cells; the mel vectors are
+    summarized by their argmax band + L2 norm."""
+    ensure_shipped(spark)
+    from bdqc_spark.functions.audio_features import extract_audio_features
+
+    feats = extract_audio_features(_clips_df(spark))
+    mel_norm = F.sqrt(
+        F.aggregate("mel_mean", F.lit(0.0), lambda a, x: a + x.cast("double") * x.cast("double"))
+    )
+    return feats.select(
+        "clip_id",
+        "feat_ok",
+        "n_frames",
+        F.expr("array_position(mel_mean, array_max(mel_mean))").alias("peak_mel_band"),
+        F.round(mel_norm, 4).alias("mel_norm"),
+        F.round("spectral_centroid", 2).alias("spectral_centroid"),
+        F.round("spectral_rolloff", 2).alias("spectral_rolloff"),
+        F.round("spectral_flatness", 6).alias("spectral_flatness"),
+    )
+
+
 def q_doc_langid(spark, sf_dir):
     ensure_shipped(spark)
     from pyspark.sql.functions import pandas_udf
@@ -1767,6 +1792,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conditional": q_conditional,
         "split_explode": q_split_explode,
         # remaining rows-only (pytest-gated) operators
+        "clips_audio_features": q_clips_audio_features,
         "simhash_buckets": q_simhash_buckets,
         "simhash_neighbors": q_simhash_neighbors,
         "ann_ivf_topk": q_ann_ivf_topk,
