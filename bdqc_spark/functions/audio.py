@@ -20,10 +20,6 @@ import pandas as pd
 
 CODECS = ("pcm_s16le", "pcm_f32le", "ulaw", "alaw")
 
-_MU = 255.0
-_A = 87.6
-_LN_A = 1.0 + np.log(_A)
-
 AUDIO_PROFILE_SCHEMA = (
     "pcm_ok boolean, n_samples int, dur_ms_decoded int, rms double, "
     "peak double, clip_rate double, dc_off double"
@@ -31,24 +27,90 @@ AUDIO_PROFILE_SCHEMA = (
 
 
 # --------------------------------------------------------------------------
+# Wire-format ITU-T G.711 µ-law / A-law, as 256-entry decode LUTs and
+# 64K-entry encode LUTs (one gather per sample, no transcendental math).
+#
+# Byte layout per the standard (and the classic Sun Microsystems g711.c
+# that every interop stack ships): sign | 3-bit segment | 4-bit mantissa,
+# µ-law with bias 0x84 and full bit complement on the wire, A-law with
+# even-bit inversion (XOR 0x55). Built from the segmented-companding
+# definition below; tests cross-check every entry of all four tables
+# against CPython's `audioop` (which embeds the Sun/ITU tables).
+# --------------------------------------------------------------------------
+_U_SEG_END = np.array([0x3F, 0x7F, 0xFF, 0x1FF, 0x3FF, 0x7FF, 0xFFF, 0x1FFF])
+_A_SEG_END = np.array([0x1F, 0x3F, 0x7F, 0xFF, 0x1FF, 0x3FF, 0x7FF, 0xFFF])
+
+
+def _build_ulaw_dec() -> np.ndarray:
+    u = np.arange(256, dtype=np.int32) ^ 0xFF          # wire complement
+    t = ((u & 0x0F) << 3) + 0x84
+    t = t << ((u & 0x70) >> 4)
+    return np.where(u & 0x80, 0x84 - t, t - 0x84).astype(np.int16)
+
+
+def _build_alaw_dec() -> np.ndarray:
+    a = np.arange(256, dtype=np.int32) ^ 0x55          # even-bit inversion
+    t = (a & 0x0F) << 4
+    seg = (a & 0x70) >> 4
+    t = np.where(seg == 0, t + 8, (t + 0x108) << np.maximum(seg - 1, 0))
+    return np.where(a & 0x80, t, -t).astype(np.int16)
+
+
+def _build_ulaw_enc() -> np.ndarray:
+    """uint8 code for every int16 sample, indexed by sample.view(uint16)."""
+    x = np.arange(-32768, 32768, dtype=np.int32) >> 2  # 14-bit domain
+    mask = np.where(x < 0, 0x7F, 0xFF)
+    mag = np.minimum(np.abs(x), 8159) + 33             # bias = 0x84 >> 2
+    seg = np.searchsorted(_U_SEG_END, mag, side="left")
+    uval = (seg << 4) | ((mag >> (seg + 1)) & 0x0F)
+    code = np.where(seg >= 8, 0x7F, uval) ^ mask
+    # index by the uint16 bit pattern of the sample (two's complement)
+    out = np.empty(65536, dtype=np.uint8)
+    out[np.arange(-32768, 32768).astype(np.int16).view(np.uint16)] = code.astype(np.uint8)
+    return out
+
+
+def _build_alaw_enc() -> np.ndarray:
+    x = np.arange(-32768, 32768, dtype=np.int32) >> 3  # 13-bit domain
+    mask = np.where(x >= 0, 0xD5, 0x55)
+    mag = np.where(x < 0, -x - 1, x)
+    seg = np.searchsorted(_A_SEG_END, mag, side="left")
+    shift = np.where(seg < 2, 1, np.minimum(seg, 7))
+    aval = (np.minimum(seg, 7) << 4) | ((mag >> shift) & 0x0F)
+    code = np.where(seg >= 8, 0x7F, aval) ^ mask
+    out = np.empty(65536, dtype=np.uint8)
+    out[np.arange(-32768, 32768).astype(np.int16).view(np.uint16)] = code.astype(np.uint8)
+    return out
+
+
+_ULAW_DEC = _build_ulaw_dec()
+_ALAW_DEC = _build_alaw_dec()
+_ULAW_ENC = _build_ulaw_enc()
+_ALAW_ENC = _build_alaw_enc()
+# float32 decode tables: one gather straight to [-1, 1] PCM (hot path)
+_ULAW_DEC_F32 = (_ULAW_DEC.astype(np.float32) / np.float32(32768.0))
+_ALAW_DEC_F32 = (_ALAW_DEC.astype(np.float32) / np.float32(32768.0))
+
+
+def _to_i16(pcm: np.ndarray) -> np.ndarray:
+    x = np.clip(np.asarray(pcm, dtype=np.float64), -1.0, 1.0)
+    return np.clip(np.round(x * 32768.0), -32768, 32767).astype(np.int16)
+
+
+# --------------------------------------------------------------------------
 # Encoders (used by the synthetic generator) — float32 PCM in [-1, 1] → bytes
 # --------------------------------------------------------------------------
 def encode(pcm: np.ndarray, codec: str) -> bytes:
-    x = np.clip(np.asarray(pcm, dtype=np.float64), -1.0, 1.0)
     if codec == "pcm_s16le":
+        x = np.clip(np.asarray(pcm, dtype=np.float64), -1.0, 1.0)
         return (np.round(x * 32767.0).astype("<i2")).tobytes()
     if codec == "pcm_f32le":
+        x = np.clip(np.asarray(pcm, dtype=np.float64), -1.0, 1.0)
         return x.astype("<f4").tobytes()
     if codec == "ulaw":
-        # Continuous µ-law compand, quantized to 8-bit signed magnitude.
-        y = np.sign(x) * np.log1p(_MU * np.abs(x)) / np.log1p(_MU)
-        q = np.round(y * 127.0).astype(np.int8)
-        return q.tobytes()
+        return _ULAW_ENC[_to_i16(pcm).view(np.uint16)].tobytes()
     if codec == "alaw":
-        ax = np.abs(x)
-        y = np.where(ax < 1.0 / _A, _A * ax / _LN_A, (1.0 + np.log(_A * np.maximum(ax, 1e-12))) / _LN_A)
-        q = np.round(np.sign(x) * y * 127.0).astype(np.int8)
-        return q.tobytes()
+        return _ALAW_ENC[_to_i16(pcm).view(np.uint16)].tobytes()
     raise ValueError(f"unknown codec {codec!r}")
 
 
@@ -73,21 +135,11 @@ def decode(raw: bytes, codec: str) -> np.ndarray:
     if codec == "ulaw":
         if len(raw) == 0:
             raise ValueError("empty ulaw payload")
-        y = np.frombuffer(raw, dtype=np.int8).astype(np.float32) / np.float32(127.0)
-        return (np.sign(y) * np.expm1(np.abs(y) * np.float32(np.log1p(_MU))) / np.float32(_MU)).astype(
-            np.float32
-        )
+        return _ULAW_DEC_F32[np.frombuffer(raw, dtype=np.uint8)]
     if codec == "alaw":
         if len(raw) == 0:
             raise ValueError("empty alaw payload")
-        y = np.frombuffer(raw, dtype=np.int8).astype(np.float32) / np.float32(127.0)
-        ay = np.abs(y)
-        mag = np.where(
-            ay < 1.0 / _LN_A,
-            ay * np.float32(_LN_A / _A),
-            np.exp(ay * np.float32(_LN_A) - np.float32(1.0)) / np.float32(_A),
-        )
-        return (np.sign(y) * mag).astype(np.float32)
+        return _ALAW_DEC_F32[np.frombuffer(raw, dtype=np.uint8)]
     raise ValueError(f"unknown codec {codec!r}")
 
 
@@ -128,21 +180,11 @@ def decode_arrow_slice(data: np.ndarray, start: int, end: int, codec: str) -> np
     if codec == "ulaw":
         if n == 0:
             raise ValueError("empty ulaw payload")
-        y = data[start:end].view(np.int8).astype(np.float32) / np.float32(127.0)
-        return (np.sign(y) * np.expm1(np.abs(y) * np.float32(np.log1p(_MU))) / np.float32(_MU)).astype(
-            np.float32
-        )
+        return _ULAW_DEC_F32[data[start:end]]
     if codec == "alaw":
         if n == 0:
             raise ValueError("empty alaw payload")
-        y = data[start:end].view(np.int8).astype(np.float32) / np.float32(127.0)
-        ay = np.abs(y)
-        mag = np.where(
-            ay < 1.0 / _LN_A,
-            ay * np.float32(_LN_A / _A),
-            np.exp(ay * np.float32(_LN_A) - np.float32(1.0)) / np.float32(_A),
-        )
-        return (np.sign(y) * mag).astype(np.float32)
+        return _ALAW_DEC_F32[data[start:end]]
     raise ValueError(f"unknown codec {codec!r}")
 
 

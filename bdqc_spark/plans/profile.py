@@ -55,7 +55,11 @@ def _profile_arrow(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch
         offsets, data = _binary_buffers(barr)
         nulls = pa.compute.is_null(barr).to_numpy(zero_copy_only=False)
         codec = batch.column(batch.schema.get_field_index("codec")).to_pylist()
-        sr = batch.column(batch.schema.get_field_index("sr_hz")).to_numpy(zero_copy_only=False)
+        sr_arr = batch.column(batch.schema.get_field_index("sr_hz"))
+        # null ints surface as NaN after to_numpy — consult the validity
+        # bitmap, not the values (a NaN passes neither `is None` nor `<= 0`)
+        sr_null = pa.compute.is_null(sr_arr).to_numpy(zero_copy_only=False)
+        sr = sr_arr.to_numpy(zero_copy_only=False)
 
         pcm_ok = np.zeros(n, dtype=bool)
         n_samples = np.zeros(n, dtype=np.int32)
@@ -66,7 +70,7 @@ def _profile_arrow(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch
         dc_off = np.zeros(n, dtype=np.float64)
 
         for i in range(n):
-            if nulls[i] or codec[i] not in CODECS or sr[i] is None or sr[i] <= 0:
+            if nulls[i] or codec[i] not in CODECS or sr_null[i] or not (sr[i] > 0):
                 continue
             try:
                 pcm = decode_arrow_slice(data, int(offsets[i]), int(offsets[i + 1]), codec[i])
