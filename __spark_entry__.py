@@ -114,7 +114,9 @@ def q_qc_documents_keepdrop_approx(spark, sf_dir):
     quantiles in the last decimals; the exact variant stays the
     oracle-checked correctness query, this one is the bench headline.
 
-    The profile projection is persisted: it feeds three consumers
+    The profile projection is localCheckpoint'd (GC-cleaned when the
+    DataFrame drops, unlike an unreachable-unpersist .persist() in a
+    long-lived driver — r3 ADVICE): it feeds three consumers
     (median agg, MAD agg, scoring join) and would otherwise be
     recomputed — tokenizing regex included — three times. Same shape
     at 100 TB: profile once, reuse for every model pass (the clips
@@ -125,7 +127,7 @@ def q_qc_documents_keepdrop_approx(spark, sf_dir):
         "lang",
         F.length("text").cast("double").alias("n_chars_obs"),
         TX.n_tokens(F.col("text")).alias("n_tokens"),
-    ).persist()
+    ).localCheckpoint(eager=False)
     med = prof.groupBy("lang").agg(F.percentile_approx("n_chars_obs", 0.5, 2000).alias("med"))
     mad = (
         prof.join(F.broadcast(med), "lang")

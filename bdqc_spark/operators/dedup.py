@@ -92,7 +92,11 @@ def minhash_lsh_pairs(
     """
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, num_hashes, k).cache()
+    # localCheckpoint, not cache: two consumers (band keys + signature
+    # re-join) share one materialization, and the checkpoint RDD is
+    # GC-cleaned when this DataFrame goes out of scope — a .cache()
+    # here is unreachable-unpersist for callers (r3 ADVICE).
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, k).localCheckpoint(eager=False)
 
     band_keys = sig.select(
         "_id",
@@ -251,9 +255,11 @@ def simhash_neighbors(
     Python.
     """
     assert 0 <= max_hamming <= 3, "4-block scheme is exact only for distance <= 3"
+    # localCheckpoint, not cache — see minhash_lsh_pairs note (GC-cleaned
+    # vs unreachable-unpersist).
     fps = simhash_fingerprints(df, id_col, text_col).select(
         F.col(id_col).alias("_id"), "simhash"
-    ).cache()
+    ).localCheckpoint(eager=False)
     blocks = fps.select(
         "_id",
         "simhash",

@@ -28,20 +28,25 @@ def salted_join(
 ) -> DataFrame:
     """Skew-resistant equi-join: salt the fact side, explode the dim side.
 
-    fact gets salt = pmod(xxhash64(all fact cols' stable surrogate), K)
-    — we use a random-free deterministic spread over the join key plus
-    a row-local component (monotonically_increasing_id is avoided: not
-    stable across retries; instead hash the full row's first non-key
-    column when present, else use spark_partition_id()).
+    fact gets salt = pmod(xxhash64(partition_id, key cols, ALL hashable
+    non-key cols), K) — random-free and stable across task retries
+    (monotonically_increasing_id is avoided: not stable across retries;
+    spark_partition_id() is, for a deterministic input partitioning).
+    Hashing every non-key column (not just the first — r3 ADVICE: a
+    low-cardinality first payload column pinned a hot key to ≤|distinct|
+    salts) plus the partition id means even fully-duplicated hot-key
+    rows spread across salts as long as they span input partitions.
 
     dim is exploded K× (dim is small by construction — this is a
     dimension join), so every (key, salt) pair exists on the build side.
     """
     if how not in ("inner", "left"):
         raise ValueError(f"salted_join supports inner/left, got {how}")
-    non_key = [c for c in fact.columns if c not in on]
-    # Deterministic per-row spread: hash key cols + first non-key col.
-    spread_cols = [F.col(c) for c in on] + ([F.col(non_key[0])] if non_key else [])
+    # Hash everything hashable; map columns aren't xxhash64-able.
+    hashable = [
+        f.name for f in fact.schema.fields if not f.dataType.typeName().startswith("map")
+    ]
+    spread_cols = [F.spark_partition_id()] + [F.col(c) for c in hashable]
     salted_fact = fact.withColumn(_SALT, F.pmod(F.xxhash64(*spread_cols), F.lit(num_salts)).cast("int"))
     salts = F.explode(F.sequence(F.lit(0), F.lit(num_salts - 1))).alias(_SALT)
     salted_dim = dim.select("*", salts)

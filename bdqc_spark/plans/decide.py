@@ -123,7 +123,12 @@ def decide(
     # PPL_LOG_Z); ln(+inf) = +inf so no-evidence rows score z = inf.
     flat = flat.withColumn("log_ppl", F.log(F.col("ppl")))
 
-    sc_key = id(profiles.sparkSession.sparkContext._jsc)
+    # Monotonic session token (r3 ADVICE): id(_jsc) can be reused by a
+    # new gateway object after the old one is GC'd, silently serving
+    # Columns bound to a dead JVM. (applicationId, startTime) is unique
+    # per SparkContext and changes on every in-process restart.
+    sc = profiles.sparkSession.sparkContext
+    sc_key = (sc.applicationId, sc.startTime)
     static_hits, deviation_hits, categorical_hits, scrub, n_edits = _static_decide_exprs(
         sc_key, static_rules, deviation_rules, categorical_rules
     )
