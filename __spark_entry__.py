@@ -1722,6 +1722,21 @@ def q_type_inference(spark, sf_dir):
     return infer_column_types(_t(spark, sf_dir, "documents"))
 
 
+def q_scrub_unicode_documents(spark, sf_dir):
+    """Unicode-aware scrub chain (SURVEY §2.B F2 fallback; rows-only:
+    \\p{L}/\\p{N}/\\p{Lu} classes and Unicode \\b disagree between the
+    `regex` engine and DuckDB's RE2, so exact-match is pytest-gated
+    against the single-node twin instead —
+    tests/test_text_models.py::test_unicode_scrub_twin_and_idempotence)."""
+    ensure_shipped(spark)
+    from bdqc_spark.functions.scrub import scrub_unicode_columns
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return scrub_unicode_columns(d, "text").select(
+        "doc_id", "scrubbed_text", "n_scrub_edits", "scrub_hits"
+    )
+
+
 # ===========================================================================
 # Registry
 # ===========================================================================
@@ -1801,6 +1816,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_distinct": q_approx_distinct,
         "type_inference": q_type_inference,
         "doc_bpe_tokens": q_doc_bpe_tokens,
+        "scrub_unicode_documents": q_scrub_unicode_documents,
     }
 
 

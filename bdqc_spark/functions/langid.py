@@ -24,6 +24,17 @@ LANGS = ("en", "es", "de", "fr", "zh")
 UNKNOWN = "und"
 HASH_DIM = 1 << 16
 
+# Out-of-domain floor on ABSOLUTE evidence (mean best log-prob per
+# trigram), not softmax margin: unseen trigrams score the smoothing
+# floor log(k/(N+k·D)) ≈ -12.5, so genuinely out-of-lexicon text sits
+# ≤ -10.9 while in-domain text sits ≥ -6.6 and even 50/50 two-language
+# mixes ≥ -8.5 (measured, seed-0 calibration — tests pin all three
+# bands). Text below the floor → `und`. A softmax floor would be the
+# wrong tool: mixed-language rows have low relative confidence but
+# high absolute evidence, and must keep their argmax prediction for
+# the lang_conf_low deviation rule to score them.
+OOD_MEAN_LP_FLOOR = -10.0
+
 # Per-language word lexicons for deterministic corpus synthesis.
 # (Common-word lists are public knowledge; zh is pinyin-romanized.)
 LEXICONS: dict[str, tuple[str, ...]] = {
@@ -146,6 +157,7 @@ def predict_batch(
     p = np.exp(z)
     conf = p[np.arange(n), best] / p.sum(axis=1)
     preds = np.array(LANGS, dtype=object)[best]
-    preds[n_tris == 0] = UNKNOWN
-    conf = np.where(n_tris == 0, 0.0, conf)
+    no_evidence = (n_tris == 0) | (mean_lp[np.arange(n), best] < OOD_MEAN_LP_FLOOR)
+    preds[no_evidence] = UNKNOWN
+    conf = np.where(no_evidence, 0.0, conf)
     return pd.DataFrame({"pred": preds, "conf": conf})

@@ -110,3 +110,96 @@ def scrub_python(text: str, rules: tuple[ScrubRule, ...] = SCRUB_RULES) -> tuple
         edits += n
         out = new
     return out, edits, sorted(hits)
+
+
+# --------------------------------------------------------------------------
+# Unicode-aware scrub chain (SURVEY.md §2.B F2 fallback; VERDICT r3 #5).
+#
+# The default ASCII chain above is the oracle-checked fast path (pure
+# Catalyst, Java/RE2/`re` all agree). Real multilingual PII — accented
+# addresses, non-ASCII digits, honorific+name pairs — needs Unicode
+# character classes (\p{L}, \p{N}, \p{Lu}) that Java regex and RE2
+# disagree on, so this chain runs through the `regex` package inside an
+# Arrow-batched pandas UDF instead. Config-selectable: callers pick the
+# chain; rules stay data. The single-node twin scrub_unicode_python is
+# the test oracle (exact match + idempotence, tests/test_text_models).
+# --------------------------------------------------------------------------
+UNICODE_SCRUB_RULES: tuple[ScrubRule, ...] = (
+    ScrubRule(
+        "pii.email.uni",
+        r"[\p{L}\p{N}._%+-]+@[\p{L}\p{N}.-]+\.\p{L}{2,}",
+        "<EMAIL>",
+    ),
+    ScrubRule(
+        "pii.phone.uni",
+        r"(\+?\p{N}{1,3}[-.\s])?\(?\p{N}{3}\)?[-.\s]\p{N}{3}[-.\s]\p{N}{4}\b",
+        "<PHONE>",
+    ),
+    ScrubRule("pii.ssn.uni", r"\p{N}{3}-\p{N}{2}-\p{N}{4}", "<SSN>"),
+    ScrubRule("pii.ip.uni", r"\b\p{N}{1,3}\.\p{N}{1,3}\.\p{N}{1,3}\.\p{N}{1,3}\b", "<IP>"),
+    ScrubRule("pii.id16.uni", r"\b\p{N}{16}\b", "<ID>"),
+    # honorific + capitalized name (any script with casing)
+    ScrubRule(
+        "pii.name.uni",
+        r"\b(?:Herr|Frau|Sr\.?|Sra\.?|M\.|Mme|Dr\.?|Mr\.?|Mrs\.?|Ms\.?)\s+\p{Lu}\p{L}+",
+        "<NAME>",
+    ),
+    ScrubRule("tox.lexicon.uni", r"(?i)\b(frak|gorram|smeg|belgium)\b", "<TOX>"),
+)
+
+
+def scrub_unicode_python(
+    text: str, rules: tuple[ScrubRule, ...] = UNICODE_SCRUB_RULES
+) -> tuple[str, int, list[str]]:
+    """Single-node Unicode twin of scrub_python (the test oracle)."""
+    import regex
+
+    edits = 0
+    hits = []
+    out = text if isinstance(text, str) else ""
+    for r in rules:
+        new, n = regex.subn(r.pattern, r.replacement, out)
+        if n:
+            hits.append(r.rule_id)
+        edits += n
+        out = new
+    return out, edits, sorted(hits)
+
+
+def scrub_unicode_columns(df, text_col: str, rules: tuple[ScrubRule, ...] = UNICODE_SCRUB_RULES):
+    """df + text_col → df with scrubbed_text / n_scrub_edits /
+    scrub_hits columns appended, via ONE Arrow-batched mapInPandas
+    pass (the `regex` engine is Python-only, so this is deliberately
+    off the Catalyst fast path; the batch loop compiles each rule
+    once and runs C-regex per row — no per-row Spark dispatch)."""
+
+    def _scrub(batches):
+        import regex
+
+        compiled = [(r.rule_id, regex.compile(r.pattern), r.replacement) for r in rules]
+        for b in batches:
+            texts, n_edits, hit_lists = [], [], []
+            for t in b[text_col]:
+                cur = t if isinstance(t, str) else ""
+                edits, hits = 0, []
+                for rid, pat, repl in compiled:
+                    cur, n = pat.subn(repl, cur)
+                    if n:
+                        hits.append(rid)
+                    edits += n
+                texts.append(cur)
+                n_edits.append(edits)
+                hit_lists.append(sorted(hits))
+            b = b.copy()
+            b["scrubbed_text"] = texts
+            b["n_scrub_edits"] = n_edits
+            b["scrub_hits"] = hit_lists
+            yield b
+
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+    return df.mapInPandas(
+        _scrub,
+        f"{schema}, scrubbed_text string, n_scrub_edits int, scrub_hits array<string>",
+    )

@@ -64,3 +64,73 @@ def test_scrub_clean_text_untouched():
     s = "a perfectly ordinary sentence with no secrets"
     out, edits, hits = scrub_python(s)
     assert out == s and edits == 0 and hits == []
+
+
+def test_langid_out_of_domain_returns_und():
+    """VERDICT r3 ask #8: genuinely out-of-lexicon text (random a-z,
+    random printable gibberish) must return `und` via the absolute-
+    evidence floor, while in-domain and even 50/50 mixed-language text
+    keeps its argmax prediction (the lang_conf_low rule needs it)."""
+    rng = np.random.default_rng(5)
+    rand_az = pd.Series(
+        ["".join(chr(int(c)) for c in rng.integers(97, 123, size=60)) for _ in range(50)]
+    )
+    gibberish = pd.Series(
+        ["".join(chr(int(c)) for c in rng.integers(33, 126, size=80)) for _ in range(50)]
+    )
+    assert (langid.predict_batch(rand_az)["pred"] == langid.UNKNOWN).mean() >= 0.95
+    assert (langid.predict_batch(gibberish)["pred"] == langid.UNKNOWN).mean() >= 0.95
+
+    # in-domain accuracy is untouched by the floor
+    texts, labels = [], []
+    for lang in langid.LANGS:
+        for _ in range(40):
+            texts.append(langid.synth_sentence(rng, lang))
+            labels.append(lang)
+    res = langid.predict_batch(pd.Series(texts))
+    assert (res["pred"].to_numpy() == np.array(labels)).mean() >= 0.98
+
+    # mixed-language stays in-domain: argmax kept, never und
+    mixed = pd.Series(
+        [
+            langid.synth_sentence(rng, "en", 8) + " " + langid.synth_sentence(rng, "es", 8)
+            for _ in range(40)
+        ]
+    )
+    assert (langid.predict_batch(mixed)["pred"] != langid.UNKNOWN).all()
+
+
+def test_unicode_scrub_twin_and_idempotence(spark):
+    """VERDICT r3 #5: Unicode chain (regex pkg, pandas UDF) must
+    exact-match its single-node twin, be idempotent, and catch
+    non-ASCII PII the ASCII chain misses."""
+    from bdqc_spark.functions.scrub import (
+        scrub_python,
+        scrub_unicode_columns,
+        scrub_unicode_python,
+    )
+
+    rows = [
+        ("a", "écrivez à rené.müller@exämple.de s'il vous plaît"),
+        ("b", "appelez le ٠١٢-٣٤٥-٦٧٨٩ avant midi"),
+        ("c", "guten Tag Herr Müller, frak nochmal"),
+        ("d", "plain bob@x.com and 555-123-4567 and 123-45-6789"),
+        ("e", "nothing to scrub here"),
+        ("f", None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    got = {r.doc_id: r for r in scrub_unicode_columns(df, "text").collect()}
+
+    for doc_id, text in rows:
+        exp_text, exp_edits, exp_hits = scrub_unicode_python(text)
+        assert got[doc_id].scrubbed_text == exp_text, doc_id
+        assert got[doc_id].n_scrub_edits == exp_edits, doc_id
+        assert got[doc_id].scrub_hits == exp_hits, doc_id
+        # idempotence: scrubbing the scrubbed text is a no-op
+        again, n2, _ = scrub_unicode_python(exp_text)
+        assert again == exp_text and n2 == 0, doc_id
+
+    # the ASCII chain does NOT catch the non-ASCII email; unicode does
+    ascii_out, _, _ = scrub_python(rows[0][1])
+    assert "@" in ascii_out          # missed by ASCII chain
+    assert "<EMAIL>" in got["a"].scrubbed_text
