@@ -5,22 +5,23 @@ Contract: media lives as an opaque `binary` column plus typed
 metadata columns; per-modality feature extraction runs as Arrow-
 batched `mapInPandas` over (bytes, metadata). The Spark-side shape —
 schema, batch flow, partitioning, null/corrupt handling — is real
-and tested; the pixel/frame DECODERS are stubs because no image/
-video codec libraries exist in this sandbox:
+and tested.
 
-- `decode_image` raises NotImplementedError unless the payload is in
-  the engine's raw RGB8 debug format (deterministic fake used by
-  tests: 8-byte header "RGB8" + w:u16 + h:u16, then w*h*3 bytes).
-- `decode_video_frames` samples frames from the same debug format
-  concatenated per frame.
-
-Swapping in real decoders (PIL/ffmpeg) changes ONE function each;
+Image decoding is REAL for PNG: a from-scratch decoder (stdlib zlib
+inflate + chunk parse + scanline filter reconstruction per the PNG
+spec — sub/up/average/paeth) handles 8-bit grayscale/RGB/RGBA/
+palette, plus the engine's raw RGB8 debug format (8-byte header
+"RGB8" + w:u16 + h:u16, then w*h*3 bytes). JPEG and video containers
+(mp4/webm) remain NotImplementedError stubs — no DCT/ffmpeg libs in
+this sandbox; `decode_video_frames` samples concatenated RGB8
+frames. Swapping in real decoders changes ONE function each;
 every Spark-facing schema and UDF signature stays fixed.
 """
 
 from __future__ import annotations
 
 import struct
+import zlib
 from typing import Iterator
 
 import numpy as np
@@ -42,13 +43,178 @@ def encode_image_rgb8(arr: np.ndarray) -> bytes:
     return _MAGIC + struct.pack("<HH", w, h) + arr.tobytes()
 
 
+# --------------------------------------------------------------------------
+# From-scratch PNG codec (PNG spec, RFC 2083): chunk parse, zlib
+# inflate, per-scanline filter reconstruction. 8-bit depth, color
+# types 0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA),
+# non-interlaced. Everything numpy + stdlib zlib.
+# --------------------------------------------------------------------------
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _png_chunks(raw: bytes):
+    pos = 8
+    while pos + 8 <= len(raw):
+        (length,) = struct.unpack(">I", raw[pos : pos + 4])
+        ctype = raw[pos + 4 : pos + 8]
+        data = raw[pos + 8 : pos + 8 + length]
+        if len(data) != length:
+            raise ValueError("truncated PNG chunk")
+        crc = raw[pos + 8 + length : pos + 12 + length]
+        if len(crc) == 4 and struct.unpack(">I", crc)[0] != zlib.crc32(ctype + data):
+            raise ValueError(f"PNG chunk CRC mismatch in {ctype!r}")
+        yield ctype, data
+        pos += 12 + length
+        if ctype == b"IEND":
+            return
+
+
+def _unfilter(decomp: np.ndarray, h: int, w: int, bpp: int) -> np.ndarray:
+    """Invert per-scanline filters. Returns (h, w*bpp) uint8.
+
+    Sub/Average/Paeth carry a within-row serial dependency, so rows
+    with those filters run a per-pixel loop; Up/None are vectorized.
+    (Per-clip images are small; the batch loop above is the unit of
+    parallelism, same as the audio path.)"""
+    stride = w * bpp + 1
+    if decomp.size != h * stride:
+        raise ValueError("PNG data size mismatch")
+    rows = decomp.reshape(h, stride)
+    out = np.zeros((h, w * bpp), dtype=np.uint8)
+    for y in range(h):
+        ftype = int(rows[y, 0])
+        cur = rows[y, 1:].astype(np.int32)
+        prev = out[y - 1].astype(np.int32) if y > 0 else np.zeros(w * bpp, np.int32)
+        if ftype == 0:  # None
+            rec = cur
+        elif ftype == 2:  # Up
+            rec = (cur + prev) & 0xFF
+        elif ftype in (1, 3, 4):
+            rec = np.zeros(w * bpp, np.int32)
+            for x in range(w * bpp):
+                a = rec[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                if ftype == 1:  # Sub
+                    pred = a
+                elif ftype == 3:  # Average
+                    pred = (a + b) >> 1
+                else:  # Paeth
+                    c = prev[x - bpp] if x >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                rec[x] = (cur[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        out[y] = rec.astype(np.uint8)
+    return out
+
+
+def decode_png(raw: bytes) -> np.ndarray:
+    """PNG bytes → (h, w, 3) uint8 RGB (alpha dropped, gray/palette
+    expanded). 8-bit non-interlaced only — the overwhelmingly common
+    case; 16-bit/interlaced raise ValueError (degrades, not crashes)."""
+    if not raw.startswith(PNG_SIG):
+        raise ValueError("not a PNG signature")
+    ihdr = None
+    palette = None
+    idat = []
+    for ctype, data in _png_chunks(raw):
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"PLTE":
+            palette = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat.append(data)
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, ctype_i, comp, filt, interlace = ihdr
+    if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+        raise ValueError("unsupported PNG variant (16-bit/interlaced)")
+    if ctype_i not in _PNG_CHANNELS or w == 0 or h == 0:
+        raise ValueError(f"unsupported PNG color type {ctype_i}")
+    bpp = _PNG_CHANNELS[ctype_i]
+    try:
+        decomp = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+    except zlib.error as e:  # corrupt stream degrades like any bad payload
+        raise ValueError(f"PNG inflate failed: {e}") from e
+    flat = _unfilter(decomp, h, w, bpp)
+    px = flat.reshape(h, w, bpp)
+    if ctype_i == 2:
+        return np.ascontiguousarray(px)
+    if ctype_i == 6:
+        return np.ascontiguousarray(px[:, :, :3])
+    if ctype_i == 0:
+        return np.repeat(px, 3, axis=2)
+    if ctype_i == 4:
+        return np.repeat(px[:, :, :1], 3, axis=2)
+    # palette
+    if palette is None:
+        raise ValueError("palette PNG missing PLTE")
+    idx = px[:, :, 0]
+    if int(idx.max(initial=0)) >= palette.shape[0]:
+        raise ValueError("palette index out of range")
+    return palette[idx]
+
+
+def encode_png(arr: np.ndarray, filter_type: int = 0) -> bytes:
+    """(h, w, 3|4) uint8 → minimal valid PNG. `filter_type` applies one
+    filter to every scanline (0/1/2/3/4) — the encoder exists so tests
+    can exercise every reconstruction path without external libs."""
+    h, w, c = arr.shape
+    assert arr.dtype == np.uint8 and c in (3, 4)
+    ctype_i = 2 if c == 3 else 6
+    img = arr.astype(np.int32)
+    flat = img.reshape(h, w * c)
+    lines = []
+    for y in range(h):
+        cur = flat[y]
+        prev = flat[y - 1] if y > 0 else np.zeros(w * c, np.int32)
+        a = np.concatenate([np.zeros(c, np.int32), cur[:-c]])
+        b = prev
+        cc = np.concatenate([np.zeros(c, np.int32), prev[:-c]])
+        if filter_type == 0:
+            enc = cur
+        elif filter_type == 1:
+            enc = cur - a
+        elif filter_type == 2:
+            enc = cur - b
+        elif filter_type == 3:
+            enc = cur - ((a + b) >> 1)
+        elif filter_type == 4:
+            p = a + b - cc
+            pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - cc)
+            pred = np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, cc))
+            enc = cur - pred
+        else:
+            raise ValueError(f"bad filter type {filter_type}")
+        lines.append(bytes([filter_type]) + (enc & 0xFF).astype(np.uint8).tobytes())
+    idat = zlib.compress(b"".join(lines))
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype_i, 0, 0, 0)
+    return PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
+
+
 def decode_image(raw: bytes) -> np.ndarray:
-    """bytes → (h, w, 3) uint8. Real codecs (JPEG/PNG) are NOT
-    available in this sandbox — only the RGB8 debug format decodes;
-    anything else raises NotImplementedError (callers treat it as
+    """bytes → (h, w, 3) uint8. PNG decodes for real (from-scratch
+    decoder above); the RGB8 debug format decodes; JPEG/other formats
+    raise NotImplementedError (callers treat any raise as
     decode_ok=False, same as corrupt audio)."""
+    if raw[:8] == PNG_SIG:
+        return decode_png(raw)
     if len(raw) < 8 or raw[:4] != _MAGIC:
-        raise NotImplementedError("only the RGB8 debug format is decodable in this sandbox")
+        raise NotImplementedError(
+            "only PNG and the RGB8 debug format are decodable in this sandbox"
+        )
     w, h = struct.unpack("<HH", raw[4:8])
     body = np.frombuffer(raw, dtype=np.uint8, offset=8)
     if body.size != w * h * 3:

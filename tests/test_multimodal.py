@@ -1,6 +1,6 @@
-"""Multimodal plumbing tests: schema, batch flow, corrupt handling.
-Decoders are sandbox stubs (RGB8 debug format) — the Spark-side
-contract is what's under test."""
+"""Multimodal tests: schema, batch flow, corrupt handling, and the
+from-scratch PNG codec (real decoder; JPEG/video remain sandbox
+stubs on the RGB8 debug format)."""
 
 from __future__ import annotations
 
@@ -28,8 +28,71 @@ def test_rgb8_roundtrip():
 def test_unknown_format_raises_not_implemented():
     import pytest
 
+    # JPEG: genuinely undecodable in this sandbox
     with pytest.raises(NotImplementedError):
+        decode_image(b"\xff\xd8\xff\xe0\x00\x10JFIF" + b"\x00" * 64)
+    # PNG signature with garbage body: decodable format, corrupt file
+    with pytest.raises(ValueError):
         decode_image(b"\x89PNG\r\n\x1a\n" + b"\x00" * 64)
+
+
+def test_png_roundtrip_all_filters_and_color_types():
+    """From-scratch PNG codec (VERDICT r3 #6): encoder applies one
+    filter to every scanline; the decoder must invert all five
+    reconstruction paths (None/Sub/Up/Average/Paeth), for RGB and
+    RGBA, via an independent serial implementation."""
+    from bdqc_spark.functions.multimodal import decode_png, encode_png
+
+    rng = np.random.default_rng(11)
+    rgb = rng.integers(0, 256, size=(23, 17, 3), dtype=np.uint8)
+    rgba = rng.integers(0, 256, size=(9, 31, 4), dtype=np.uint8)
+    for ft in range(5):
+        assert np.array_equal(decode_png(encode_png(rgb, ft)), rgb), ft
+        assert np.array_equal(decode_png(encode_png(rgba, ft)), rgba[:, :, :3]), ft
+    # gradient image (smooth content — the regime Paeth/Average target)
+    grad = (
+        np.stack(np.meshgrid(np.arange(40), np.arange(30), indexing="ij"), -1).sum(-1) % 256
+    )
+    img = np.repeat(grad[:, :, None], 3, 2).astype(np.uint8)
+    assert np.array_equal(decode_png(encode_png(img, 4)), img)
+    # 1x1 edge case
+    one = np.array([[[7, 8, 9]]], dtype=np.uint8)
+    assert np.array_equal(decode_png(encode_png(one, 1)), one)
+
+
+def test_png_corruption_degrades():
+    import pytest
+
+    from bdqc_spark.functions.multimodal import decode_png, encode_png
+
+    raw = bytearray(encode_png(_img(2)))
+    raw[40] ^= 0xFF  # flip a byte inside IDAT → CRC mismatch
+    with pytest.raises(ValueError):
+        decode_png(bytes(raw))
+    with pytest.raises(ValueError):
+        decode_png(encode_png(_img(2))[:30])  # truncated
+
+
+def test_profile_images_decodes_real_png(spark):
+    """PNG payloads flow through the same mapInPandas plumbing as RGB8
+    and corrupt bytes; decode_ok rates reflect payload health."""
+    from bdqc_spark.functions.multimodal import encode_png
+
+    imgs = [_img(i, w=12, h=7) for i in range(4)]
+    rows = [(i, bytearray(encode_png(img, filter_type=i % 5))) for i, img in enumerate(imgs)]
+    rows.append((50, bytearray(encode_image_rgb8(_img(50)))))
+    corrupt = bytearray(encode_png(_img(9)))
+    corrupt[45] ^= 0x7F
+    rows.append((99, corrupt))
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["image_id", "bytes"]))
+    out = profile_images(df).toPandas().set_index("image_id")
+    assert out.loc[range(4), "decode_ok"].all()
+    assert (out.loc[range(4), "width"] == 12).all()
+    assert (out.loc[range(4), "height"] == 7).all()
+    exp = imgs[0].reshape(-1, 3).mean(axis=0)
+    assert abs(out.loc[0, "mean_g"] - exp[1]) < 1e-9
+    assert out.loc[50, "decode_ok"]
+    assert not out.loc[99, "decode_ok"]
 
 
 def test_profile_images_spark(spark):
@@ -54,3 +117,44 @@ def test_video_frame_sampling():
     sampled = decode_video_frames(raw, every_k=2)
     assert len(sampled) == 3  # frames 0, 2, 4
     assert np.array_equal(sampled[1], frames[2])
+
+
+def test_png_gray_and_palette_decode():
+    import struct
+    import zlib
+
+    from bdqc_spark.functions.multimodal import PNG_SIG, decode_png
+
+    def chunk(ctype, data):
+        return struct.pack(">I", len(data)) + ctype + data + struct.pack(
+            ">I", zlib.crc32(ctype + data)
+        )
+
+    # 3x2 grayscale (color type 0), filter 0 rows
+    gray = np.array([[0, 128, 255], [10, 20, 30]], dtype=np.uint8)
+    idat = zlib.compress(b"\x00" + gray[0].tobytes() + b"\x00" + gray[1].tobytes())
+    raw = (
+        PNG_SIG
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 3, 2, 8, 0, 0, 0, 0))
+        + chunk(b"IDAT", idat)
+        + chunk(b"IEND", b"")
+    )
+    out = decode_png(raw)
+    assert out.shape == (2, 3, 3)
+    assert np.array_equal(out[:, :, 0], gray) and np.array_equal(out[:, :, 2], gray)
+
+    # 2x2 palette (color type 3)
+    plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])  # red, green, blue
+    idx = np.array([[0, 1], [2, 0]], dtype=np.uint8)
+    idat = zlib.compress(b"\x00" + idx[0].tobytes() + b"\x00" + idx[1].tobytes())
+    raw = (
+        PNG_SIG
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0))
+        + chunk(b"PLTE", plte)
+        + chunk(b"IDAT", idat)
+        + chunk(b"IEND", b"")
+    )
+    out = decode_png(raw)
+    assert np.array_equal(out[0, 0], [255, 0, 0])
+    assert np.array_equal(out[0, 1], [0, 255, 0])
+    assert np.array_equal(out[1, 0], [0, 0, 255])
