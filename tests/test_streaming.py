@@ -236,3 +236,51 @@ def test_running_cohort_stats_stream_equals_batch(spark, tmp_path):
     # state genuinely crossed micro-batches: some key must have been
     # emitted more than once with growing n
     assert (got.groupby("codec").size() > 1).any()
+
+
+def test_incremental_stream_from_manifest_diff(spark, tmp_path):
+    """VERDICT r3 ask #7 (S2 × T3): IcebergishTable snapshots feed the
+    streaming decide path through the manifest-diff Python data source.
+    Appending a snapshot must emit exactly the new clips' decisions;
+    restarting the query without a new snapshot is a no-op (idempotent
+    under retry via checkpoint + immutable manifests)."""
+    from bdqc_spark.plans.models import fit_cohort_models
+    from bdqc_spark.plans.profile import profile_clips
+    from bdqc_spark.sources.iceberg import IcebergishTable
+    from bdqc_spark.streaming.incremental_source import clips_incremental_stream
+    from bdqc_spark.synth.clips import generate_clips_df
+
+    table = IcebergishTable(str(tmp_path / "tbl"), num_buckets=4)
+    first = generate_clips_df(spark, 200, seed=21)
+    table.append(first)
+    models = spark.createDataFrame(
+        fit_cohort_models(profile_clips(table.read(spark))).collect()
+    )
+
+    out = str(tmp_path / "inc_out")
+    ckpt = str(tmp_path / "inc_ckpt")
+
+    q = clips_incremental_stream(spark, table.root, models, out, ckpt)
+    q.awaitTermination(180)
+    got1 = spark.read.parquet(f"{out}/decisions").toPandas()
+    first_ids = {r.clip_id for r in first.select("clip_id").collect()}
+    assert set(got1.clip_id) == first_ids
+
+    # append a second snapshot with DISJOINT clip ids
+    second = generate_clips_df(spark, 100, seed=21, start=200)
+    table.append(second)
+    q = clips_incremental_stream(spark, table.root, models, out, ckpt)
+    q.awaitTermination(180)
+    got2 = spark.read.parquet(f"{out}/decisions").toPandas()
+    second_ids = {r.clip_id for r in second.select("clip_id").collect()}
+    assert set(got2.clip_id) == first_ids | second_ids
+    assert len(got2) == 300  # no duplicates: each snapshot scored once
+    new_rows = got2[~got2.clip_id.isin(got1.clip_id)]
+    assert set(new_rows.clip_id) == second_ids
+
+    # retry/no-op: restart with NO new snapshot → nothing re-emitted
+    q = clips_incremental_stream(spark, table.root, models, out, ckpt)
+    q.awaitTermination(180)
+    got3 = spark.read.parquet(f"{out}/decisions").toPandas()
+    assert len(got3) == 300
+    assert sorted(got3.clip_id) == sorted(got2.clip_id)
