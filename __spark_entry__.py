@@ -1733,7 +1733,11 @@ def q_scrub_unicode_documents(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     return scrub_unicode_columns(d, "text").select(
-        "doc_id", "scrubbed_text", "n_scrub_edits", "scrub_hits"
+        "doc_id",
+        "scrubbed_text",
+        "n_scrub_edits",
+        # driver canonicalizer can't hash list cells — flatten to csv
+        F.concat_ws(",", "scrub_hits").alias("scrub_hits_csv"),
     )
 
 

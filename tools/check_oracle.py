@@ -6,10 +6,18 @@ order-insensitive exact value comparison (rows sorted after
 stringifying). Usage:
 
     python tools/check_oracle.py [query ...]
+    python tools/check_oracle.py --json CORRECTNESS_LOCAL_r04.json
+
+With --json, writes a driver-shaped artifact covering EVERY registry
+entry (VERDICT r3 ask #3) — including the ones past the external
+driver's 50-entry recording window — so each query has committed,
+diffable evidence each round: oracle-backed entries get
+rows/schema/values verdicts, rows-only entries get spark_rows.
 """
 
 from __future__ import annotations
 
+import json
 import os
 import sys
 import time
@@ -44,7 +52,14 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def main() -> int:
-    only = set(sys.argv[1:])
+    args = sys.argv[1:]
+    json_path = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_path = args[i + 1]
+        args = args[:i] + args[i + 2 :]
+    only = set(args)
+    report: dict[str, dict] = {}
     spark = build_session(app_name="oracle-check")
     con = duckdb.connect()
     for t in TABLE_NAMES:
@@ -64,6 +79,8 @@ def main() -> int:
         except Exception:
             print(f"FAIL {name}: spark query raised")
             traceback.print_exc()
+            report[name] = {"rows_match": None, "schema_match": None, "hash_match": None,
+                            "spark_rows": None, "oracle_rows": None, "err": "spark_raised"}
             n_fail += 1
             continue
         # The driver canonicalizer sorts cells via pandas; list/array cells are
@@ -77,10 +94,14 @@ def main() -> int:
         ]
         if listcols:
             print(f"FAIL {name}: list-valued cells in {listcols} would crash the driver canonicalizer")
+            report[name] = {"rows_match": None, "schema_match": None, "hash_match": None,
+                            "spark_rows": len(spark_pd), "oracle_rows": None, "err": "list_cells"}
             n_fail += 1
             continue
         if name not in oracles:
             print(f"rows-only {name}: {len(spark_pd)} rows  ({time.time()-t0:.1f}s)")
+            report[name] = {"rows_match": None, "schema_match": None, "hash_match": None,
+                            "spark_rows": len(spark_pd), "oracle_rows": None, "err": "no_oracle"}
             n_rows_only += 1
             continue
         try:
@@ -88,6 +109,8 @@ def main() -> int:
         except Exception:
             print(f"FAIL {name}: oracle SQL raised")
             traceback.print_exc()
+            report[name] = {"rows_match": None, "schema_match": None, "hash_match": None,
+                            "spark_rows": len(spark_pd), "oracle_rows": None, "err": "oracle_raised"}
             n_fail += 1
             continue
         problems = []
@@ -114,15 +137,24 @@ def main() -> int:
                 problems.append(f"values differ in {int(neq.sum())}/{len(a)} rows")
                 ex = a[neq].head(3).to_dict("records"), b[neq].head(3).to_dict("records")
                 problems.append(f"spark={ex[0]}\n  duck={ex[1]}")
+        rows_ok = len(spark_pd) == len(duck_pd)
+        schema_ok = sorted(spark_pd.columns) == sorted(duck_pd.columns)
+        report[name] = {"rows_match": rows_ok, "schema_match": schema_ok,
+                        "hash_match": not problems, "spark_rows": len(spark_pd),
+                        "oracle_rows": len(duck_pd), "err": None}
         if problems:
             print(f"FAIL {name}: " + "; ".join(problems[:1]))
-            for p in problems[1:]:
-                print("  " + p)
+            for prob in problems[1:]:
+                print("  " + prob)
             n_fail += 1
         else:
             print(f"PASS {name}: {len(spark_pd)} rows  ({time.time()-t0:.1f}s)")
             n_pass += 1
     print(f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only")
+    if json_path:
+        with open(json_path, "w") as f:
+            json.dump(report, f, indent=1)
+        print(f"wrote {json_path} ({len(report)} entries)")
     spark.stop()
     return 1 if n_fail else 0
 
