@@ -70,6 +70,14 @@ def build_session(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # Deterministic timestamp behaviour for oracle comparison.
         .config("spark.sql.session.timeZone", "UTC")
+        # File listing: manifest-driven reads pass EXPLICIT file lists
+        # (sources/iceberg.py), and above 32 paths Spark launches a
+        # whole listing job — 2048 tiny stat tasks cost seconds of
+        # serial-path time per read on a local FS where a driver-side
+        # stat is microseconds. Real clusters with object-store
+        # latencies lower this back (it is a per-deploy knob, not an
+        # engine invariant).
+        .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "16384")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("BDQC_DRIVER_MEM", "16g"))
         # Throughput GC: the audio `bytes` column allocates millions of

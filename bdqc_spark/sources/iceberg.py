@@ -95,8 +95,17 @@ class IcebergishTable:
 
         bucketed = df if BUCKET_COL in df.columns else self.with_bucket(df)
         # One directory per bucket → scans with a bucket predicate
-        # read only that directory (partition pruning).
-        bucketed.write.mode("append").partitionBy(BUCKET_COL).parquet(self.data_dir)
+        # read only that directory (partition pruning). Cluster the
+        # write by bucket first (Iceberg write.distribution-mode=hash):
+        # without it every writer task emits a file into every bucket
+        # dir — T×B small files whose per-path planning cost lands on
+        # the serial path of every subsequent read.
+        (
+            bucketed.repartition(self.num_buckets, BUCKET_COL)
+            .write.mode("append")
+            .partitionBy(BUCKET_COL)
+            .parquet(self.data_dir)
+        )
 
         bucket_files: dict[str, list[str]] = {k: list(v) for k, v in prev_files.items()}
         known = {f for files in prev_files.values() for f in files}
@@ -184,7 +193,14 @@ class IcebergishTable:
             return spark.createDataFrame([], self._schema_ddl(snap))
         reader = spark.read.option("basePath", self.data_dir)
         if merge_schema:
+            # evolved-schema reconciliation needs footer inference
             reader = reader.option("mergeSchema", "true")
+        else:
+            # The manifest IS the schema authority (the Iceberg way):
+            # supplying it skips the footer-inference job that
+            # otherwise sits on the serial path of every read. Files
+            # written before an added column surface it as null.
+            reader = reader.schema(self._schema_ddl(snap))
         return reader.parquet(*paths)
 
     def read_incremental(
@@ -215,7 +231,11 @@ class IcebergishTable:
         ]
         if not paths:
             return spark.createDataFrame([], self._schema_ddl(new))
-        return spark.read.option("basePath", self.data_dir).parquet(*paths)
+        return (
+            spark.read.option("basePath", self.data_dir)
+            .schema(self._schema_ddl(new))
+            .parquet(*paths)
+        )
 
     def history(self) -> list[dict]:
         """Snapshot lineage, newest first (walks parent pointers)."""
