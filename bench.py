@@ -47,7 +47,7 @@ N_CLIPS = int(os.environ.get("BDQC_BENCH_CLIPS", "200000"))
 # 10^12-clip job would see. 400k keeps the sandbox run under ~12 min
 # while pushing the fixed share below ~5%.
 SCALE_CLIPS = int(os.environ.get("BDQC_SCALE_CLIPS", "400000"))
-SCALE_RUNS = int(os.environ.get("BDQC_SCALE_RUNS", "3"))
+SCALE_RUNS = int(os.environ.get("BDQC_SCALE_RUNS", "4"))
 CLIPS_CACHE = f"/tmp/bdqc_bench_clips_n{N_CLIPS}"
 SCALE_CACHE = f"/tmp/bdqc_bench_clips_n{SCALE_CLIPS}"
 
@@ -195,11 +195,16 @@ def main() -> None:
     # Best per level is the estimator — noise only ever ADDS time, so
     # the minimum is the least-contaminated sample of the true cost
     # (and best-t2 is the conservative side of the ratio).
+    # r4 note: the 2-cpu level is NOT immune to co-tenant bursts after
+    # all (observed 327s vs 206s clean on the same corpus) — both
+    # levels are bimodal, so both get multiple interleaved draws and
+    # the best-based ratio stays the criterion estimator, with the
+    # median ratio recorded alongside.
     draws_8, draws_2 = [], []
     for i in range(SCALE_RUNS):
         draws_8.extend(_probe(8, runs=2))
         if i < 2:
-            draws_2.extend(_probe(2, runs=1))
+            draws_2.extend(_probe(2, runs=2 if i == 0 else 1))
     t_4n = min(d["wall_sec"] for d in draws_8)
     t_n = min(d["wall_sec"] for d in draws_2)
     cps_n, cps_4n = SCALE_CLIPS / t_n, SCALE_CLIPS / t_4n
