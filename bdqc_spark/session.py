@@ -78,6 +78,14 @@ def build_session(
         # latencies lower this back (it is a per-deploy knob, not an
         # engine invariant).
         .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "16384")
+        # Vectorized parquet scan batch: the default 4096 rows is sized
+        # for scalar columns; audio `bytes` rows are ~10-300 KB, so a
+        # 4096-row columnar batch is up to ~1 GB PER TASK and 32
+        # concurrent scan tasks OOM any sane heap once row groups are
+        # large enough to fill it. 1024 rows bounds a wide-binary batch
+        # at ~70 MB/task while costing scalar-table scans nothing
+        # measurable. Same discipline as ARROW_MAX_RECORDS_PER_BATCH.
+        .config("spark.sql.parquet.columnarReaderBatchSize", "1024")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("BDQC_DRIVER_MEM", "16g"))
         # Throughput GC: the audio `bytes` column allocates millions of
