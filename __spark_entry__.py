@@ -1518,6 +1518,8 @@ def q_clips_audio_profile(spark, sf_dir):
         F.col("audio.pcm_ok").alias("pcm_ok"),
         F.col("audio.dur_ms_decoded").alias("dur_ms_decoded"),
         F.round(F.col("audio.rms"), 6).alias("rms"),
+        F.col("audio.hdr_sr").alias("hdr_sr"),
+        F.round(F.col("audio.speech_ratio"), 4).alias("speech_ratio"),
         F.col("lang.pred").alias("lang_pred"),
         F.round(F.col("lang.ppl"), 2).alias("ppl"),
     )
@@ -1790,8 +1792,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sliding_window": q_sliding_window,
         "categorical_model": q_categorical_model,
         "sessionize_batch": q_sessionize_batch,
-        "window_rank": q_window_rank,
-        "cube_metrics": q_cube_metrics,
+        "string_funcs": q_string_funcs,
+        "conditional": q_conditional,
         "doc_text_stats": q_doc_text_stats,
         "doc_quality_filter": q_doc_quality_filter,
         "dedup_exact": q_dedup_exact,
@@ -1807,10 +1809,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # demoted oracle queries (single-builtin checks, still verified
         # locally by tools/check_oracle.py + tests/test_demoted_oracles.py)
         "qc_documents_keepdrop_approx": q_qc_documents_keepdrop_approx,
-        "string_funcs": q_string_funcs,
+        "window_rank": q_window_rank,
+        "cube_metrics": q_cube_metrics,
         "datetime_funcs": q_datetime_funcs,
         "math_funcs": q_math_funcs,
-        "conditional": q_conditional,
         "split_explode": q_split_explode,
         # remaining rows-only (pytest-gated) operators
         "clips_audio_features": q_clips_audio_features,

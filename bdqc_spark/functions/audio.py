@@ -18,7 +18,13 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-CODECS = ("pcm_s16le", "pcm_f32le", "ulaw", "alaw")
+CODECS = ("pcm_s16le", "pcm_f32le", "ulaw", "alaw", "wav")
+
+# Energy-threshold VAD (frame RMS gate). Frozen: the keep/drop rule
+# audio.low_speech (plans/rules.py) and the single-node oracle both
+# consume speech_ratio computed with these exact constants.
+VAD_FRAME_MS = 20
+VAD_RMS_MIN = 0.02
 
 AUDIO_PROFILE_SCHEMA = (
     "pcm_ok boolean, n_samples int, dur_ms_decoded int, rms double, "
@@ -100,7 +106,9 @@ def _to_i16(pcm: np.ndarray) -> np.ndarray:
 # --------------------------------------------------------------------------
 # Encoders (used by the synthetic generator) — float32 PCM in [-1, 1] → bytes
 # --------------------------------------------------------------------------
-def encode(pcm: np.ndarray, codec: str) -> bytes:
+def encode(pcm: np.ndarray, codec: str, sr: int = 16000) -> bytes:
+    if codec == "wav":
+        return encode_wav(pcm, sr)  # 16-bit PCM RIFF with defaults
     if codec == "pcm_s16le":
         x = np.clip(np.asarray(pcm, dtype=np.float64), -1.0, 1.0)
         return (np.round(x * 32767.0).astype("<i2")).tobytes()
@@ -140,7 +148,199 @@ def decode(raw: bytes, codec: str) -> np.ndarray:
         if len(raw) == 0:
             raise ValueError("empty alaw payload")
         return _ALAW_DEC_F32[np.frombuffer(raw, dtype=np.uint8)]
+    if codec == "wav":
+        d = np.frombuffer(raw, dtype=np.uint8)
+        return _decode_wav(d, 0, len(d))
     raise ValueError(f"unknown codec {codec!r}")
+
+
+# --------------------------------------------------------------------------
+# WAV (RIFF) container — wire-format per the Microsoft/IBM RIFF spec:
+# 'RIFF' <u32 size> 'WAVE', then even-aligned <4cc><u32 size> chunks;
+# 'fmt ' carries (format_tag u16, channels u16, sample_rate u32,
+# byte_rate u32, block_align u16, bits u16), 'data' carries samples.
+# Supported format tags: 1 PCM (8-bit unsigned / 16-bit signed),
+# 3 IEEE float32, 6 A-law, 7 µ-law. Multi-channel payloads are
+# downmixed to mono (mean over channels) — the profile/QC semantics
+# are per-clip, not per-channel. The header's sample rate is surfaced
+# as hdr_sr so the audio.hdr_sr_mismatch rule can cross-check it
+# against the catalog's sr_hz column.
+# --------------------------------------------------------------------------
+_WAV_TAG_PCM, _WAV_TAG_F32, _WAV_TAG_ALAW, _WAV_TAG_ULAW = 1, 3, 6, 7
+
+
+def _u16(d: np.ndarray, o: int) -> int:
+    return int(d[o]) | (int(d[o + 1]) << 8)
+
+
+def _u32(d: np.ndarray, o: int) -> int:
+    return (
+        int(d[o])
+        | (int(d[o + 1]) << 8)
+        | (int(d[o + 2]) << 16)
+        | (int(d[o + 3]) << 24)
+    )
+
+
+def _parse_wav(data: np.ndarray, start: int, end: int) -> dict:
+    """Validate the RIFF structure at data[start:end] and locate the
+    fmt/data chunks. Returns {fmt_tag, hdr_sr, channels, bits,
+    data_start, data_end}; raises ValueError on malformed input."""
+    n = end - start
+    if n < 44:
+        raise ValueError("wav payload shorter than minimal header")
+    if bytes(data[start : start + 4]) != b"RIFF" or bytes(data[start + 8 : start + 12]) != b"WAVE":
+        raise ValueError("wav payload missing RIFF/WAVE magic")
+    fmt = None
+    dat = None
+    o = start + 12
+    while o + 8 <= end:
+        cid = bytes(data[o : o + 4])
+        csz = _u32(data, o + 4)
+        body = o + 8
+        if body + csz > end:
+            raise ValueError("wav chunk overruns payload")
+        if cid == b"fmt ":
+            if csz < 16:
+                raise ValueError("wav fmt chunk too short")
+            fmt = (
+                _u16(data, body),       # format tag
+                _u16(data, body + 2),   # channels
+                _u32(data, body + 4),   # sample rate
+                _u16(data, body + 14),  # bits per sample
+            )
+        elif cid == b"data":
+            dat = (body, body + csz)
+        o = body + csz + (csz & 1)  # chunks are word-aligned
+    if fmt is None or dat is None:
+        raise ValueError("wav payload missing fmt or data chunk")
+    tag, ch, sr, bits = fmt
+    if not (1 <= ch <= 8):
+        raise ValueError(f"wav channel count {ch} unsupported")
+    if sr <= 0:
+        raise ValueError("wav header sample rate <= 0")
+    ok = (
+        (tag == _WAV_TAG_PCM and bits in (8, 16))
+        or (tag == _WAV_TAG_F32 and bits == 32)
+        or (tag in (_WAV_TAG_ALAW, _WAV_TAG_ULAW) and bits == 8)
+    )
+    if not ok:
+        raise ValueError(f"wav format tag {tag} / {bits}-bit unsupported")
+    return {
+        "fmt_tag": tag,
+        "hdr_sr": sr,
+        "channels": ch,
+        "bits": bits,
+        "data_start": dat[0],
+        "data_end": dat[1],
+    }
+
+
+def wav_info(raw: bytes) -> dict:
+    """Header fields of a WAV payload (fmt_tag, hdr_sr, channels,
+    bits, data_start, data_end). Raises ValueError when malformed."""
+    d = np.frombuffer(raw, dtype=np.uint8)
+    return _parse_wav(d, 0, len(d))
+
+
+def _decode_wav(data: np.ndarray, start: int, end: int) -> np.ndarray:
+    info = _parse_wav(data, start, end)
+    tag, ch, bits = info["fmt_tag"], info["channels"], info["bits"]
+    body = data[info["data_start"] : info["data_end"]]
+    nb = body.shape[0]
+    bps = bits // 8
+    if nb == 0 or nb % (bps * ch) != 0:
+        raise ValueError("wav data chunk not a whole number of frames")
+    if tag == _WAV_TAG_PCM and bits == 16:
+        pcm = body.view("<i2").astype(np.float32) / np.float32(32767.0)
+    elif tag == _WAV_TAG_PCM:  # 8-bit unsigned, midpoint 128
+        pcm = (body.astype(np.float32) - np.float32(128.0)) / np.float32(127.0)
+    elif tag == _WAV_TAG_F32:
+        pcm = body.view("<f4")
+        if not np.all(np.isfinite(pcm)) or np.max(np.abs(pcm), initial=0.0) > 4.0:
+            raise ValueError("wav float payload out of range / non-finite")
+    elif tag == _WAV_TAG_ALAW:
+        pcm = _ALAW_DEC_F32[body]
+    else:  # µ-law
+        pcm = _ULAW_DEC_F32[body]
+    if ch > 1:
+        pcm = pcm.reshape(-1, ch).mean(axis=1, dtype=np.float32)
+    return pcm
+
+
+def encode_wav(
+    pcm: np.ndarray,
+    sr: int,
+    inner: str = "pcm_s16le",
+    channels: int = 1,
+    hdr_sr: int | None = None,
+) -> bytes:
+    """float32 mono PCM in [-1, 1] → RIFF/WAV bytes. `inner` picks the
+    sample encoding (pcm_s16le, pcm_u8, pcm_f32le, ulaw, alaw);
+    `channels` > 1 duplicates the mono signal per channel (the decoder
+    downmixes back losslessly); `hdr_sr` overrides the header rate
+    (used by the synthetic corpus to make lying headers)."""
+    if inner == "pcm_s16le":
+        tag, bits = _WAV_TAG_PCM, 16
+        body = encode(pcm, "pcm_s16le")
+    elif inner == "pcm_u8":
+        tag, bits = _WAV_TAG_PCM, 8
+        x = np.clip(np.asarray(pcm, dtype=np.float64), -1.0, 1.0)
+        body = (np.clip(np.round(x * 127.0), -127, 127) + 128).astype(np.uint8).tobytes()
+    elif inner == "pcm_f32le":
+        tag, bits = _WAV_TAG_F32, 32
+        body = encode(pcm, "pcm_f32le")
+    elif inner == "ulaw":
+        tag, bits = _WAV_TAG_ULAW, 8
+        body = encode(pcm, "ulaw")
+    elif inner == "alaw":
+        tag, bits = _WAV_TAG_ALAW, 8
+        body = encode(pcm, "alaw")
+    else:
+        raise ValueError(f"unknown wav inner encoding {inner!r}")
+    if channels > 1:
+        frame = np.frombuffer(body, dtype=np.uint8).reshape(-1, bits // 8)
+        body = np.repeat(frame, channels, axis=0).tobytes()
+    rate = int(hdr_sr if hdr_sr is not None else sr)
+    bps = bits // 8
+    block = bps * channels
+    hdr = b"".join(
+        [
+            b"RIFF",
+            (36 + len(body) + (len(body) & 1)).to_bytes(4, "little"),
+            b"WAVE",
+            b"fmt ",
+            (16).to_bytes(4, "little"),
+            tag.to_bytes(2, "little"),
+            channels.to_bytes(2, "little"),
+            rate.to_bytes(4, "little"),
+            (rate * block).to_bytes(4, "little"),
+            block.to_bytes(2, "little"),
+            bits.to_bytes(2, "little"),
+            b"data",
+            len(body).to_bytes(4, "little"),
+        ]
+    )
+    pad = b"\x00" if len(body) & 1 else b""
+    return hdr + body + pad
+
+
+def speech_ratio(pcm: np.ndarray, sr: int) -> float:
+    """Fraction of VAD_FRAME_MS frames whose RMS clears VAD_RMS_MIN —
+    the energy-gate VAD feeding the audio.low_speech rule. float32
+    einsum accumulation on purpose: this exact leaf is shared with
+    the single-node oracle, so engine and oracle cannot drift."""
+    n = pcm.shape[0]
+    if n == 0 or sr <= 0:
+        return 0.0
+    w = max(int(sr * VAD_FRAME_MS) // 1000, 1)
+    nf = n // w
+    thr = np.float32(VAD_RMS_MIN) ** 2
+    if nf == 0:
+        return 1.0 if float(np.dot(pcm, pcm)) / n >= thr else 0.0
+    x = pcm[: nf * w].reshape(nf, w)
+    e = np.einsum("ij,ij->i", x, x) / np.float32(w)
+    return float(np.count_nonzero(e >= thr)) / nf
 
 
 def snr_db(ref: np.ndarray, est: np.ndarray) -> float:
@@ -185,6 +385,8 @@ def decode_arrow_slice(data: np.ndarray, start: int, end: int, codec: str) -> np
         if n == 0:
             raise ValueError("empty alaw payload")
         return _ALAW_DEC_F32[data[start:end]]
+    if codec == "wav":
+        return _decode_wav(data, start, end)
     raise ValueError(f"unknown codec {codec!r}")
 
 

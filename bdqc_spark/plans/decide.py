@@ -44,6 +44,8 @@ def flatten_profiles(profiles: DataFrame) -> DataFrame:
         F.col("audio.dur_ms_decoded").alias("dur_ms_decoded"),
         F.col("audio.rms").alias("rms"),
         F.col("audio.clip_rate").alias("clip_rate"),
+        F.col("audio.hdr_sr").alias("hdr_sr"),
+        F.col("audio.speech_ratio").alias("speech_ratio"),
         F.col("text.n_tokens").alias("n_tokens"),
         F.col("text.max_run").alias("max_run"),
     )

@@ -42,6 +42,8 @@ _STATIC_ATTR = {
     "audio.dur_mismatch": "dur_ms_decoded",
     "audio.silent": "rms",
     "audio.clipping": "clip_rate",
+    "audio.hdr_sr_mismatch": "hdr_sr",
+    "audio.low_speech": "speech_ratio",
     "meta.sr_invalid": "sr_hz",
     "text.empty": "n_tokens",
     "text.high_ppl": "ppl",

@@ -31,6 +31,7 @@ from bdqc_spark.functions import text as T
 _PROFILE_FIELDS = (
     "pcm_ok boolean, n_samples int, dur_ms_decoded int, rms double, "
     "peak double, clip_rate double, dc_off double, "
+    "hdr_sr int, speech_ratio double, "
     "lang_pred string, lang_conf double, ppl double"
 )
 
@@ -45,7 +46,12 @@ def _binary_buffers(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
 
 def _profile_arrow(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
     # Worker-side imports; models are lru_cached per worker process.
-    from bdqc_spark.functions.audio import CODECS, decode_arrow_slice
+    from bdqc_spark.functions.audio import (
+        CODECS,
+        _parse_wav,
+        decode_arrow_slice,
+        speech_ratio,
+    )
     from bdqc_spark.functions.langid import predict_batch
     from bdqc_spark.functions.lm import perplexity_batch
 
@@ -68,6 +74,8 @@ def _profile_arrow(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch
         peak = np.zeros(n, dtype=np.float64)
         clip_rate = np.zeros(n, dtype=np.float64)
         dc_off = np.zeros(n, dtype=np.float64)
+        hdr_sr = np.zeros(n, dtype=np.int32)
+        sp_ratio = np.zeros(n, dtype=np.float64)
 
         for i in range(n):
             if nulls[i] or codec[i] not in CODECS or sr_null[i] or not (sr[i] > 0):
@@ -97,6 +105,12 @@ def _profile_arrow(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch
                     + int(np.count_nonzero(pcm <= -0.999))
                 ) / ns
                 dc_off[i] = float(pcm.sum(dtype=np.float64)) / ns
+                sp_ratio[i] = speech_ratio(pcm, int(sr[i]))
+            if codec[i] == "wav":
+                # decode succeeded so the header re-parse cannot fail;
+                # surfaces the container's own sample rate for the
+                # audio.hdr_sr_mismatch catalog cross-check
+                hdr_sr[i] = _parse_wav(data, int(offsets[i]), int(offsets[i + 1]))["hdr_sr"]
 
         transcripts = batch.column(batch.schema.get_field_index("transcript")).to_pandas()
         lang = predict_batch(transcripts)
@@ -117,6 +131,8 @@ def _profile_arrow(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch
                 "peak": pa.array(peak),
                 "clip_rate": pa.array(clip_rate),
                 "dc_off": pa.array(dc_off),
+                "hdr_sr": pa.array(hdr_sr, pa.int32()),
+                "speech_ratio": pa.array(sp_ratio),
                 "lang_pred": pa.array(lang["pred"].to_numpy(), pa.string()),
                 "lang_conf": pa.array(lang["conf"].to_numpy(), pa.float64()),
                 "ppl": pa.array(ppl),  # +inf for no-evidence rows (Arrow-safe)
@@ -145,6 +161,8 @@ def profile_clips(clips: DataFrame) -> DataFrame:
             F.col("peak"),
             F.col("clip_rate"),
             F.col("dc_off"),
+            F.col("hdr_sr"),
+            F.col("speech_ratio"),
         ).alias("audio"),
         T.profile_struct(F.col("transcript")).alias("text"),
         F.struct(

@@ -24,6 +24,13 @@ PPL_MAX = 50_000.0
 CONF_MIN = 0.5
 MAX_RUN = 20
 VALID_SR = (8000, 16000, 22050, 44100)
+# Energy-gate VAD keep/drop: a clip of at least MIN_SPEECH_DUR_MS
+# whose speech_ratio (functions/audio.py VAD leaf — frozen frame
+# size/threshold live there) falls below this is mostly silence.
+# Clean synthetic clips sit at ~1.0 (tones span the whole clip, beat
+# nulls excepted); the silence-padded anomaly class sits at ≤0.2.
+SPEECH_RATIO_MIN = 0.5
+MIN_SPEECH_DUR_MS = 1000
 ROBUST_Z = 6.0
 # Perplexity is a multiplicative quantity with a fat clean tail even
 # in log space (PII/digit insertions legitimately raise char-LM ppl):
@@ -69,6 +76,14 @@ STATIC_RULES: tuple[StaticRule, ...] = (
     ),
     StaticRule("audio.silent", f"pcm_ok AND rms < {RMS_SILENT}"),
     StaticRule("audio.clipping", f"pcm_ok AND clip_rate > {CLIP_RATE_MAX}"),
+    # Container header cross-check: a WAV payload whose fmt-chunk rate
+    # disagrees with the catalog's sr_hz column (hdr_sr = 0 for raw
+    # codecs — no container, no evidence).
+    StaticRule("audio.hdr_sr_mismatch", "pcm_ok AND hdr_sr > 0 AND hdr_sr != sr_hz"),
+    StaticRule(
+        "audio.low_speech",
+        f"pcm_ok AND dur_ms_decoded >= {MIN_SPEECH_DUR_MS} AND speech_ratio < {SPEECH_RATIO_MIN}",
+    ),
     StaticRule("meta.sr_invalid", f"sr_hz NOT IN {VALID_SR}"),
     StaticRule("text.empty", "n_tokens = 0"),
     StaticRule("text.high_ppl", f"ppl > {PPL_MAX}"),

@@ -15,6 +15,8 @@ class drawn first, one per clip:
   C gibberish/empty text → text.high_ppl / text.empty
   D metadata mismatch    → audio.dur_mismatch / meta.sr_invalid
   E mixed-language text  → text.lang_conf_low (same scorer both sides)
+  G lying WAV header     → audio.hdr_sr_mismatch (fmt-chunk rate ≠ sr_hz)
+  H silence-padded clip  → audio.low_speech (speech burst ≤15% of clip)
   F = clean rows with PII/toxicity injected (keep=True, scrub edits>0)
 """
 
@@ -25,10 +27,25 @@ from typing import Iterator
 import numpy as np
 import pandas as pd
 
-from bdqc_spark.functions.audio import encode
+from bdqc_spark.functions.audio import encode, encode_wav
 from bdqc_spark.functions.langid import LANGS, LEXICONS, synth_sentence
 
-CODECS_P = (("pcm_s16le", 0.80), ("pcm_f32le", 0.10), ("ulaw", 0.05), ("alaw", 0.05))
+CODECS_P = (
+    ("pcm_s16le", 0.70),
+    ("wav", 0.10),
+    ("pcm_f32le", 0.10),
+    ("ulaw", 0.05),
+    ("alaw", 0.05),
+)
+# Inner sample encoding for WAV-container clips (format tags 1/3/6/7,
+# 8- and 16-bit PCM) — exercises every wire-format branch.
+WAV_INNER_P = (
+    ("pcm_s16le", 0.50),
+    ("pcm_u8", 0.15),
+    ("pcm_f32le", 0.10),
+    ("ulaw", 0.125),
+    ("alaw", 0.125),
+)
 LANGS_P = (("en", 0.60), ("es", 0.15), ("de", 0.10), ("fr", 0.10), ("zh", 0.05))
 SR_P = ((8000, 0.10), (16000, 0.70), (22050, 0.10), (44100, 0.10))
 
@@ -72,9 +89,23 @@ def _gen_one(seed: int, i: int) -> dict:
 
     u = rng.random()
     anomaly = ""
-    for cls, lo in (("A", 0.0), ("B", 1.0), ("C", 2.0), ("D", 3.0), ("E", 4.0)):
+    for cls, lo in (
+        ("A", 0.0),
+        ("B", 1.0),
+        ("C", 2.0),
+        ("D", 3.0),
+        ("E", 4.0),
+        ("G", 5.0),
+        ("H", 6.0),
+    ):
         if lo * ANOMALY_P <= u < (lo + 1) * ANOMALY_P:
             anomaly = cls
+    if anomaly == "G":
+        # header lies are a container-only failure mode
+        codec = "wav"
+    elif anomaly == "H":
+        # long enough that the audio.low_speech duration gate applies
+        dur_ms = max(dur_ms, 2500)
     if anomaly == "B":
         # Cohort outlier duration; keep sr low to bound payload size.
         sr = 8000
@@ -115,7 +146,24 @@ def _gen_one(seed: int, i: int) -> dict:
             transcript = " ".join(words)
 
     pcm = _synth_pcm(rng, sr, dur_ms)
-    raw = encode(pcm, codec)
+    if anomaly == "H":
+        # Silence-pad: keep one short speech burst (5-15% of the
+        # clip), flat-line the rest at a level far under the VAD
+        # frame gate yet loud enough globally to dodge audio.silent.
+        f = float(rng.uniform(0.05, 0.15))
+        n = len(pcm)
+        keep_n = max(int(n * f), 1)
+        at = int(rng.integers(0, n - keep_n + 1))
+        quiet = rng.normal(0.0, 2e-4, size=n)
+        quiet[at : at + keep_n] = pcm[at : at + keep_n]
+        pcm = np.clip(quiet, -1.0, 1.0)
+    if codec == "wav":
+        inner = _choice(rng, WAV_INNER_P)
+        channels = 2 if rng.random() < 0.2 else 1
+        hdr_sr = sr * 2 if anomaly == "G" else None
+        raw = encode_wav(pcm, sr, inner=inner, channels=channels, hdr_sr=hdr_sr)
+    else:
+        raw = encode(pcm, codec)
 
     if anomaly == "A":
         # Corrupt payload: empty or odd-length truncation.

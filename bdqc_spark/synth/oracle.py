@@ -45,6 +45,8 @@ def oracle_labels(clips: pd.DataFrame) -> pd.DataFrame:
     dur_dec = np.zeros(n, dtype=np.int64)
     rms = np.zeros(n)
     clip_rate = np.zeros(n)
+    hdr_sr = np.zeros(n, dtype=np.int64)
+    sp_ratio = np.zeros(n)
     pcm_sha = np.empty(n, dtype=object)
     for i, (raw, codec, sr) in enumerate(
         zip(clips["bytes"].to_numpy(object), clips["codec"], clips["sr_hz"])
@@ -67,6 +69,10 @@ def oracle_labels(clips: pd.DataFrame) -> pd.DataFrame:
                 int(np.count_nonzero(pcm >= 0.999))
                 + int(np.count_nonzero(pcm <= -0.999))
             ) / len(pcm)
+            # shared VAD leaf — identical frame math to the engine
+            sp_ratio[i] = audio.speech_ratio(pcm, int(sr))
+        if codec == "wav":
+            hdr_sr[i] = audio.wav_info(bytes(raw))["hdr_sr"]
         pcm_sha[i] = hashlib.sha256(np.ascontiguousarray(pcm).tobytes()).hexdigest()
 
     lang = predict_batch(clips["transcript"])
@@ -89,6 +95,8 @@ def oracle_labels(clips: pd.DataFrame) -> pd.DataFrame:
             "dur_ms_decoded": dur_dec,
             "rms": rms,
             "clip_rate": clip_rate,
+            "hdr_sr": hdr_sr,
+            "speech_ratio": sp_ratio,
             "n_tokens": n_tokens,
             "max_run": max_run,
             "pcm_sha256": pcm_sha,
@@ -160,6 +168,16 @@ def oracle_labels(clips: pd.DataFrame) -> pd.DataFrame:
     )
     add(df["pcm_ok"] & (df["rms"] < R.RMS_SILENT), "audio.silent")
     add(df["pcm_ok"] & (df["clip_rate"] > R.CLIP_RATE_MAX), "audio.clipping")
+    add(
+        df["pcm_ok"] & (df["hdr_sr"] > 0) & (df["hdr_sr"] != df["sr_hz"]),
+        "audio.hdr_sr_mismatch",
+    )
+    add(
+        df["pcm_ok"]
+        & (df["dur_ms_decoded"] >= R.MIN_SPEECH_DUR_MS)
+        & (df["speech_ratio"] < R.SPEECH_RATIO_MIN),
+        "audio.low_speech",
+    )
     add(~df["sr_hz"].isin(R.VALID_SR), "meta.sr_invalid")
     add(df["n_tokens"] == 0, "text.empty")
     add(df["ppl"] > R.PPL_MAX, "text.high_ppl")

@@ -249,3 +249,113 @@ def test_null_sr_hz_in_raw_clips_degrades_not_crashes(spark):
     feats = extract_audio_features(clips).toPandas()
     assert len(feats) == 60
     assert not feats[feats.clip_id.isin(nulled)].feat_ok.any()
+
+
+# --------------------------------------------------------------------------
+# WAV (RIFF) container — wire format per the RIFF/WAVE spec
+# --------------------------------------------------------------------------
+@pytest.mark.parametrize("inner", ["pcm_s16le", "pcm_u8", "pcm_f32le", "ulaw", "alaw"])
+@pytest.mark.parametrize("channels", [1, 2])
+def test_wav_roundtrip_all_format_tags(inner, channels):
+    pcm = _tone()
+    raw = audio.encode_wav(pcm, 16000, inner=inner, channels=channels)
+    dec = audio.decode(raw, "wav")
+    assert dec.shape == pcm.shape  # stereo downmixes back to mono
+    assert audio.snr_db(pcm, dec) >= 30.0
+    info = audio.wav_info(raw)
+    assert info["hdr_sr"] == 16000
+    assert info["channels"] == channels
+
+
+def test_wav_header_structure():
+    """Byte-level layout: any compliant third-party reader must agree."""
+    pcm = _tone(dur_s=0.1)
+    raw = audio.encode_wav(pcm, 8000, inner="pcm_s16le")
+    assert raw[0:4] == b"RIFF" and raw[8:12] == b"WAVE"
+    assert raw[12:16] == b"fmt " and raw[36:40] == b"data"
+    assert int.from_bytes(raw[16:20], "little") == 16  # fmt chunk size
+    assert int.from_bytes(raw[20:22], "little") == 1   # PCM tag
+    assert int.from_bytes(raw[24:28], "little") == 8000
+    assert int.from_bytes(raw[34:36], "little") == 16  # bits
+    n = int.from_bytes(raw[40:44], "little")
+    assert n == 2 * len(pcm)
+    # stdlib wave reader accepts our output byte-for-byte
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(raw)) as w:
+        assert w.getframerate() == 8000
+        assert w.getnchannels() == 1
+        assert w.getsampwidth() == 2
+        assert w.getnframes() == len(pcm)
+        ref = np.frombuffer(w.readframes(len(pcm)), dtype="<i2")
+    assert np.array_equal(ref, np.frombuffer(raw[44:44 + n], dtype="<i2"))
+
+
+def test_wav_stdlib_wave_interop_decode():
+    """Files written by the stdlib `wave` module decode identically."""
+    import io
+    import wave
+
+    pcm = _tone()
+    body = audio.encode(pcm, "pcm_s16le")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        w.writeframes(body)
+    dec = audio.decode(buf.getvalue(), "wav")
+    assert np.array_equal(dec, audio.decode(body, "pcm_s16le"))
+
+
+def test_wav_rejects_malformed():
+    pcm = _tone(dur_s=0.05)
+    raw = audio.encode_wav(pcm, 16000)
+    for bad in (
+        b"",
+        raw[:20],                      # truncated header
+        b"RIFX" + raw[4:],             # wrong magic
+        raw[:-50],                     # data chunk overrun
+        raw[:20] + b"\x00" * (len(raw) - 20),  # clobbered chunk table
+    ):
+        with pytest.raises(ValueError):
+            audio.decode(bad, "wav")
+    # unsupported format tag (2 = ADPCM)
+    bad_tag = bytearray(raw)
+    bad_tag[20] = 2
+    with pytest.raises(ValueError):
+        audio.decode(bytes(bad_tag), "wav")
+
+
+def test_wav_header_sr_lie_is_surfaced():
+    pcm = _tone()
+    raw = audio.encode_wav(pcm, 16000, hdr_sr=32000)
+    assert audio.wav_info(raw)["hdr_sr"] == 32000
+    # payload still decodes — the mismatch is a *rule*, not a decode error
+    assert audio.snr_db(pcm, audio.decode(raw, "wav")) >= 30.0
+
+
+def test_wav_arrow_slice_parity():
+    pcm = _tone()
+    raw = audio.encode_wav(pcm, 16000, inner="ulaw", channels=2)
+    buf = np.frombuffer(b"pad" + raw + b"tail", dtype=np.uint8)
+    a = audio.decode_arrow_slice(buf, 3, 3 + len(raw), "wav")
+    assert np.array_equal(a, audio.decode(raw, "wav"))
+
+
+# --------------------------------------------------------------------------
+# Energy-gate VAD (speech_ratio leaf)
+# --------------------------------------------------------------------------
+def test_speech_ratio_bounds():
+    sr = 16000
+    full = _tone(dur_s=1.0, amp=0.5, noise=0.0)
+    assert audio.speech_ratio(full.astype(np.float32), sr) >= 0.95
+    silence = np.zeros(sr, dtype=np.float32)
+    assert audio.speech_ratio(silence, sr) == 0.0
+    # burst occupying 10% of the clip → ratio ≈ 0.1
+    padded = np.zeros(sr, dtype=np.float32)
+    padded[: sr // 10] = full[: sr // 10]
+    r = audio.speech_ratio(padded, sr)
+    assert 0.05 <= r <= 0.15
+    assert audio.speech_ratio(np.zeros(0, dtype=np.float32), sr) == 0.0

@@ -17,11 +17,16 @@ from bdqc_spark.sources.tables import TABLE_NAMES
 
 SF_DIR = os.environ.get("SF_DIR_SMOKE", "/root/testdata/sf0.001")
 
+# r4 rotation (r3 ADVICE #4): string_funcs + conditional moved back
+# inside the driver's recording window so external evidence keeps
+# sampling cheap oracle-backed scalar-function queries; window_rank +
+# cube_metrics (each redundant with an in-window sibling —
+# topk_per_group / rollup_metrics) took their demoted slots.
 DEMOTED_ORACLE_QUERIES = [
-    "string_funcs",
+    "window_rank",
+    "cube_metrics",
     "datetime_funcs",
     "math_funcs",
-    "conditional",
     "split_explode",
 ]
 
