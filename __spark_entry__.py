@@ -918,6 +918,89 @@ GROUP BY 1, 2
 # ===========================================================================
 
 # ---- text analysis: per-doc stats ------------------------------------------
+def q_doc_length_drift(spark, sf_dir):
+    """Temporal-QC drift check (plans/drift.py numeric_drift shape,
+    oracle-expressible): treat the even/odd doc_id halves of the
+    documents table as two snapshots, fit exact per-lang median/MAD
+    of n_chars on each, and score the robust drift z between them.
+    Same-distribution halves → z ≈ 0, drifted = false everywhere;
+    every intermediate (n, medians, MAD, z) is value-hashed vs DuckDB."""
+    d = _t(spark, sf_dir, "documents").select(
+        "lang", (F.col("doc_id") % 2).alias("half"), F.col("n_chars").cast("double").alias("v")
+    )
+    med = d.groupBy("lang", "half").agg(
+        F.count("v").alias("n"), F.expr("percentile(v, 0.5)").alias("med")
+    )
+    mad = (
+        d.join(F.broadcast(med), ["lang", "half"])
+        .withColumn("absdev", F.abs(F.col("v") - F.col("med")))
+        .groupBy("lang", "half")
+        .agg(F.expr("percentile(absdev, 0.5)").alias("mad"))
+    )
+    m = med.join(mad, ["lang", "half"])
+    old = m.where(F.col("half") == 0).select(
+        "lang",
+        F.col("n").alias("n_old"),
+        F.col("med").alias("median_old"),
+        F.col("mad").alias("mad_old"),
+    )
+    new = m.where(F.col("half") == 1).select(
+        "lang",
+        F.col("n").alias("n_new"),
+        F.col("med").alias("median_new"),
+    )
+    z = F.when(
+        F.col("mad_old") > 0,
+        F.abs(F.col("median_new") - F.col("median_old")) / (F.lit(1.4826) * F.col("mad_old")),
+    ).otherwise(
+        F.when(F.col("median_new") == F.col("median_old"), F.lit(0.0)).otherwise(
+            F.lit(float("inf"))
+        )
+    )
+    return (
+        old.join(new, "lang")
+        .select(
+            "lang",
+            "n_old",
+            "n_new",
+            F.round("median_old", 4).alias("median_old"),
+            F.round("median_new", 4).alias("median_new"),
+            F.round("mad_old", 4).alias("mad_old"),
+            F.round(z, 4).alias("drift_z"),
+            (z > F.lit(3.0)).alias("drifted"),
+        )
+    )
+
+
+ORACLE_DOC_LENGTH_DRIFT = """
+WITH d AS (
+  SELECT lang, doc_id % 2 AS half, CAST(n_chars AS DOUBLE) AS v FROM documents
+),
+med AS (
+  SELECT lang, half, COUNT(v) AS n, quantile_cont(v, 0.5) AS med
+  FROM d GROUP BY lang, half
+),
+mad AS (
+  SELECT d.lang, d.half, quantile_cont(abs(d.v - med.med), 0.5) AS mad
+  FROM d JOIN med ON d.lang = med.lang AND d.half = med.half
+  GROUP BY d.lang, d.half
+),
+m AS (SELECT med.*, mad.mad FROM med JOIN mad ON med.lang = mad.lang AND med.half = mad.half),
+o AS (SELECT lang, n AS n_old, med AS median_old, mad AS mad_old FROM m WHERE half = 0),
+nw AS (SELECT lang, n AS n_new, med AS median_new FROM m WHERE half = 1)
+SELECT o.lang, n_old, n_new,
+  round(median_old, 4) AS median_old,
+  round(median_new, 4) AS median_new,
+  round(mad_old, 4) AS mad_old,
+  round(CASE WHEN mad_old > 0 THEN abs(median_new - median_old) / (1.4826 * mad_old)
+             WHEN median_new = median_old THEN 0.0
+             ELSE 1e308 * 10 END, 4) AS drift_z,
+  CASE WHEN mad_old > 0 THEN abs(median_new - median_old) / (1.4826 * mad_old) > 3.0
+       ELSE median_new != median_old END AS drifted
+FROM o JOIN nw ON o.lang = nw.lang
+"""
+
+
 def q_doc_text_stats(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     t = F.col("text")
@@ -1610,6 +1693,26 @@ def q_clips_audio_features(spark, sf_dir):
     )
 
 
+def q_clips_resample(spark, sf_dir):
+    """Sample-rate normalization to 16 kHz (rows-only: windowed-sinc
+    anti-alias + linear interpolation has no SQL twin; SNR/alias
+    bounds and profile composition are pytest-gated in
+    tests/test_audio.py). Payload bytes stay inside the stage — only
+    scalar resample metadata is returned."""
+    ensure_shipped(spark)
+    from bdqc_spark.functions.resample import resample_clips
+
+    out = resample_clips(_clips_df(spark), target_sr=16000)
+    return out.select(
+        "clip_id",
+        "resample_ok",
+        "sr_hz",
+        "codec",
+        "n_samples",
+        "src_sr",
+    )
+
+
 def q_doc_langid(spark, sf_dir):
     ensure_shipped(spark)
     from pyspark.sql.functions import pandas_udf
@@ -1823,6 +1926,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "type_inference": q_type_inference,
         "doc_bpe_tokens": q_doc_bpe_tokens,
         "scrub_unicode_documents": q_scrub_unicode_documents,
+        "clips_resample": q_clips_resample,
+        "doc_length_drift": q_doc_length_drift,
     }
 
 
@@ -1867,6 +1972,7 @@ def oracle_sql() -> dict[str, str]:
         "cube_metrics": ORACLE_CUBE,
         "split_explode": ORACLE_SPLIT_EXPLODE,
         "doc_text_stats": ORACLE_DOC_STATS,
+        "doc_length_drift": ORACLE_DOC_LENGTH_DRIFT,
         "doc_quality_filter": ORACLE_DOC_QUALITY,
         "dedup_exact": ORACLE_DEDUP_EXACT,
         "dedup_fingerprint": ORACLE_DEDUP_FP,

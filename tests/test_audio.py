@@ -359,3 +359,68 @@ def test_speech_ratio_bounds():
     r = audio.speech_ratio(padded, sr)
     assert 0.05 <= r <= 0.15
     assert audio.speech_ratio(np.zeros(0, dtype=np.float32), sr) == 0.0
+
+
+# --------------------------------------------------------------------------
+# Sample-rate normalization (functions/resample.py)
+# --------------------------------------------------------------------------
+def test_resample_linear_quality():
+    from bdqc_spark.functions.resample import resample_linear
+
+    def tone(sr, f=440.0, dur=1.0, amp=0.5):
+        t = np.arange(int(sr * dur)) / sr
+        return (amp * np.sin(2 * np.pi * f * t)).astype(np.float32)
+
+    up = resample_linear(tone(8000), 8000, 16000)
+    ref = tone(16000)
+    assert len(up) == 16000
+    assert audio.snr_db(ref, up) >= 35.0
+    dn = resample_linear(tone(44100, f=880), 44100, 16000)
+    assert len(dn) == 16000
+    assert audio.snr_db(tone(16000, f=880), dn) >= 50.0
+    # identity fast-path and empty input
+    x = tone(44100)
+    assert resample_linear(x, 44100, 44100) is x
+    assert len(resample_linear(np.zeros(0, np.float32), 8000, 16000)) == 0
+
+
+def test_resample_antialias_suppresses_above_target_nyquist():
+    from bdqc_spark.functions.resample import resample_linear
+
+    t = np.arange(44100) / 44100
+    x = (0.5 * np.sin(2 * np.pi * 10000 * t)).astype(np.float32)  # > 8 kHz Nyquist
+    y = resample_linear(x, 44100, 16000)
+    assert np.sqrt(np.mean(y**2)) < 0.02 * np.sqrt(np.mean(x**2))
+
+
+def test_resample_clips_spark_end_to_end(spark):
+    from bdqc_spark.functions.resample import resample_clips
+    from bdqc_spark.plans.profile import profile_clips
+    from bdqc_spark.synth.clips import generate_clips_df
+
+    clips = generate_clips_df(spark, 120, seed=47, include_labels=True)
+    out = resample_clips(clips, target_sr=16000).cache()
+    pdf = out.drop("bytes").toPandas()
+    try:
+        corrupt = set(pdf[pdf.anomaly == "A"].clip_id)
+        # every decodable clip resamples; corrupt ones degrade to ok=false
+        assert not pdf[pdf.clip_id.isin(corrupt)].resample_ok.any()
+        good = pdf[~pdf.clip_id.isin(corrupt)]
+        assert good.resample_ok.all()
+        assert (good.sr_hz == 16000).all()
+        assert (good.codec == "pcm_s16le").all()
+        # sample counts match the rate ratio (length preserved in
+        # time); class D clips lie about dur_ms by construction
+        honest = good[good.anomaly != "D"]
+        secs = honest.n_samples / 16000.0
+        assert np.allclose(secs, honest.dur_ms / 1000.0, atol=0.05)
+        # the normalized corpus composes with the profile stage
+        prof = (
+            profile_clips(out.drop("resample_ok", "n_samples", "src_sr"))
+            .select("clip_id", "audio.pcm_ok")
+            .toPandas()
+        )
+        m = prof.merge(pdf[["clip_id", "resample_ok"]], on="clip_id")
+        assert (m.pcm_ok == m.resample_ok).all()
+    finally:
+        out.unpersist()

@@ -28,6 +28,7 @@ DEMOTED_ORACLE_QUERIES = [
     "datetime_funcs",
     "math_funcs",
     "split_explode",
+    "doc_length_drift",
 ]
 
 
