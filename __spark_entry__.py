@@ -1713,6 +1713,20 @@ def q_clips_resample(spark, sf_dir):
     )
 
 
+def q_clips_segment(spark, sf_dir):
+    """Fixed-length training-segment windowing (rows-only: byte-slice
+    segmentation has no SQL twin; slice-exactness, overlap counts and
+    WAV unwrap/downmix are pytest-gated in tests/test_segment.py).
+    Scalar metadata only — payload bytes stay inside the stage."""
+    ensure_shipped(spark)
+    from bdqc_spark.functions.segment import segment_clips
+
+    segs = segment_clips(_clips_df(spark), win_ms=1000)
+    return segs.select(
+        "clip_id", "seg_id", "seg_index", "seg_codec", "seg_n_samples", "seg_ms"
+    )
+
+
 def q_doc_langid(spark, sf_dir):
     ensure_shipped(spark)
     from pyspark.sql.functions import pandas_udf
@@ -1928,6 +1942,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scrub_unicode_documents": q_scrub_unicode_documents,
         "clips_resample": q_clips_resample,
         "doc_length_drift": q_doc_length_drift,
+        "clips_segment": q_clips_segment,
     }
 
 

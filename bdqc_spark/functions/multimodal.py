@@ -11,11 +11,19 @@ Image decoding is REAL for PNG: a from-scratch decoder (stdlib zlib
 inflate + chunk parse + scanline filter reconstruction per the PNG
 spec — sub/up/average/paeth) handles 8-bit grayscale/RGB/RGBA/
 palette, plus the engine's raw RGB8 debug format (8-byte header
-"RGB8" + w:u16 + h:u16, then w*h*3 bytes). JPEG and video containers
-(mp4/webm) remain NotImplementedError stubs — no DCT/ffmpeg libs in
-this sandbox; `decode_video_frames` samples concatenated RGB8
-frames. Swapping in real decoders changes ONE function each;
-every Spark-facing schema and UDF signature stays fixed.
+"RGB8" + w:u16 + h:u16, then w*h*3 bytes).
+
+Video decoding is REAL for Y4M (YUV4MPEG2): the mjpegtools stream
+format every ffmpeg ships — an ASCII "YUV4MPEG2 W.. H.. F.. C..\\n"
+stream header followed by "FRAME\\n" + raw planar YUV per frame. The
+parser handles C420*/C422/C444/Cmono chroma modes, frame-samples
+every k-th Y (luma) plane without touching the skipped bytes, and
+feeds profile_videos (per-clip luma stats + inter-frame motion).
+Compressed containers (mp4/webm/JPEG) remain NotImplementedError
+stubs — no DCT/ffmpeg libs in this sandbox; `decode_video_frames`
+samples the concatenated-RGB8 debug format. Swapping in real
+decoders changes ONE function each; every Spark-facing schema and
+UDF signature stays fixed.
 """
 
 from __future__ import annotations
@@ -288,3 +296,186 @@ def decode_video_frames(raw: bytes, every_k: int = 2) -> list[np.ndarray]:
         pos = end
         idx += 1
     return frames
+
+
+# --------------------------------------------------------------------------
+# Y4M (YUV4MPEG2) — wire-format uncompressed video streams
+# --------------------------------------------------------------------------
+_Y4M_MAGIC = b"YUV4MPEG2"
+# chroma tag → (x subsample, y subsample); planes are Y then U then V
+_Y4M_CHROMA = {
+    "420": (2, 2),
+    "420jpeg": (2, 2),
+    "420paldv": (2, 2),
+    "420mpeg2": (2, 2),
+    "422": (2, 1),
+    "444": (1, 1),
+    "mono": None,
+}
+
+
+def parse_y4m_header(raw: bytes) -> dict:
+    """Stream header → {width, height, fps, chroma, frame_bytes,
+    data_start}. Raises ValueError when malformed."""
+    if not raw.startswith(_Y4M_MAGIC):
+        raise ValueError("not a YUV4MPEG2 stream")
+    nl = raw.find(b"\n", 0, 512)
+    if nl < 0:
+        raise ValueError("y4m stream header unterminated")
+    w = h = 0
+    fps = 0.0
+    chroma = "420jpeg"  # the spec's default when no C tag is present
+    for tok in raw[len(_Y4M_MAGIC) : nl].split(b" "):
+        if not tok:
+            continue
+        tag, val = chr(tok[0]), tok[1:].decode("ascii", "replace")
+        if tag == "W":
+            w = int(val)
+        elif tag == "H":
+            h = int(val)
+        elif tag == "F":
+            num, den = val.split(":")
+            fps = int(num) / max(int(den), 1)
+        elif tag == "C":
+            chroma = val
+    if w <= 0 or h <= 0:
+        raise ValueError("y4m header missing W/H")
+    if chroma not in _Y4M_CHROMA:
+        raise ValueError(f"y4m chroma mode {chroma!r} unsupported")
+    sub = _Y4M_CHROMA[chroma]
+    luma = w * h
+    if sub is None:
+        frame_bytes = luma
+    else:
+        sx, sy = sub
+        # chroma plane dims round UP for odd sizes (ceil division)
+        cw, ch = (w + sx - 1) // sx, (h + sy - 1) // sy
+        frame_bytes = luma + 2 * cw * ch
+    return {
+        "width": w,
+        "height": h,
+        "fps": fps,
+        "chroma": chroma,
+        "frame_bytes": frame_bytes,
+        "data_start": nl + 1,
+    }
+
+
+def decode_y4m_frames(raw: bytes, every_k: int = 1) -> tuple[dict, list[np.ndarray]]:
+    """(header, [luma planes as (h, w) uint8 arrays] for every k-th
+    frame). Skipped frames are never copied — the walk advances by
+    offset arithmetic only. Raises ValueError on truncated frames or
+    a missing FRAME marker."""
+    info = parse_y4m_header(raw)
+    w, h, fb = info["width"], info["height"], info["frame_bytes"]
+    frames: list[np.ndarray] = []
+    pos = info["data_start"]
+    idx = 0
+    n = len(raw)
+    while pos < n:
+        if raw[pos : pos + 5] != b"FRAME":
+            raise ValueError("y4m FRAME marker missing")
+        nl = raw.find(b"\n", pos, pos + 256)
+        if nl < 0:
+            raise ValueError("y4m frame header unterminated")
+        body = nl + 1
+        if body + fb > n:
+            raise ValueError("y4m frame truncated")
+        if idx % every_k == 0:
+            frames.append(
+                np.frombuffer(raw, dtype=np.uint8, count=w * h, offset=body).reshape(h, w)
+            )
+        pos = body + fb
+        idx += 1
+    info["n_frames"] = idx
+    return info, frames
+
+
+def encode_y4m(
+    frames: list[np.ndarray], fps: float = 25.0, chroma: str = "420jpeg"
+) -> bytes:
+    """Luma planes (h, w) uint8 → Y4M stream; chroma planes are
+    written neutral (128). Used by the synthetic corpus and tests."""
+    if not frames:
+        raise ValueError("no frames")
+    h, w = frames[0].shape
+    sub = _Y4M_CHROMA[chroma]
+    num = int(round(fps * 1000))
+    head = f"YUV4MPEG2 W{w} H{h} F{num}:1000 Ip A1:1 C{chroma}\n".encode()
+    if sub is None:
+        pad = b""
+    else:
+        sx, sy = sub
+        pad = b"\x80" * (2 * (((w + sx - 1) // sx) * ((h + sy - 1) // sy)))
+    out = [head]
+    for f in frames:
+        if f.shape != (h, w):
+            raise ValueError("inconsistent frame dims")
+        out.append(b"FRAME\n")
+        out.append(np.ascontiguousarray(f, dtype=np.uint8).tobytes())
+        out.append(pad)
+    return b"".join(out)
+
+
+VIDEO_FEATURES_SCHEMA = (
+    "decode_ok boolean, width int, height int, n_frames int, fps double, "
+    "chroma string, sampled_frames int, luma_mean double, luma_std double, "
+    "motion double"
+)
+
+
+def video_features_batches(
+    batches: Iterator[pd.DataFrame], every_k: int = 5
+) -> Iterator[pd.DataFrame]:
+    """(id, bytes [, meta...]) → per-video stats over every k-th luma
+    plane: brightness mean/std and `motion` = mean |Δ| between
+    consecutive sampled frames (scene-change / static-slate signal).
+    Corrupt rows degrade to decode_ok=false."""
+    for pdf in batches:
+        n = len(pdf)
+        out = {
+            "decode_ok": np.zeros(n, bool),
+            "width": np.zeros(n, np.int32),
+            "height": np.zeros(n, np.int32),
+            "n_frames": np.zeros(n, np.int32),
+            "fps": np.zeros(n, np.float64),
+            "chroma": [""] * n,
+            "sampled_frames": np.zeros(n, np.int32),
+            "luma_mean": np.zeros(n, np.float64),
+            "luma_std": np.zeros(n, np.float64),
+            "motion": np.zeros(n, np.float64),
+        }
+        for i, raw in enumerate(pdf["bytes"]):
+            if raw is None:
+                continue
+            try:
+                info, frames = decode_y4m_frames(bytes(raw), every_k=every_k)
+            except (ValueError, NotImplementedError):
+                continue
+            if not frames:
+                continue
+            stack = np.stack(frames).astype(np.float64)
+            out["decode_ok"][i] = True
+            out["width"][i] = info["width"]
+            out["height"][i] = info["height"]
+            out["n_frames"][i] = info["n_frames"]
+            out["fps"][i] = info["fps"]
+            out["chroma"][i] = info["chroma"]
+            out["sampled_frames"][i] = len(frames)
+            out["luma_mean"][i] = float(stack.mean())
+            out["luma_std"][i] = float(stack.std())
+            if len(frames) > 1:
+                out["motion"][i] = float(np.abs(np.diff(stack, axis=0)).mean())
+        keep = pdf.drop(columns=["bytes"])
+        yield pd.concat([keep.reset_index(drop=True), pd.DataFrame(out)], axis=1)
+
+
+def profile_videos(videos: DataFrame, id_col: str = "video_id") -> DataFrame:
+    """videos(id, bytes [, meta...]) → per-video feature rows; same
+    contract as profile_images (bytes never leaves the stage)."""
+    passthrough = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in videos.schema.fields
+        if f.name != "bytes"
+    )
+    return videos.mapInPandas(video_features_batches, f"{passthrough}, {VIDEO_FEATURES_SCHEMA}")

@@ -5,6 +5,7 @@ stubs on the RGB8 debug format)."""
 from __future__ import annotations
 
 import numpy as np
+import pytest
 import pandas as pd
 
 from bdqc_spark.functions.multimodal import (
@@ -158,3 +159,86 @@ def test_png_gray_and_palette_decode():
     assert np.array_equal(out[0, 0], [255, 0, 0])
     assert np.array_equal(out[0, 1], [0, 255, 0])
     assert np.array_equal(out[1, 0], [0, 0, 255])
+
+
+# --------------------------------------------------------------------------
+# Y4M (YUV4MPEG2) — real wire-format uncompressed video
+# --------------------------------------------------------------------------
+def _y4m_frames(n=12, h=48, w=64, seed=0):
+    rng = np.random.default_rng(seed)
+    return [
+        (np.full((h, w), (20 * i) % 256, np.uint8) + rng.integers(0, 8, (h, w)).astype(np.uint8))
+        for i in range(n)
+    ]
+
+
+def test_y4m_roundtrip_all_chroma_modes():
+    from bdqc_spark.functions.multimodal import decode_y4m_frames, encode_y4m
+
+    frames = _y4m_frames()
+    for chroma in ("420jpeg", "420", "422", "444", "mono"):
+        raw = encode_y4m(frames, fps=30.0, chroma=chroma)
+        info, got = decode_y4m_frames(raw, every_k=1)
+        assert info["n_frames"] == 12
+        assert info["fps"] == 30.0
+        assert info["chroma"] == chroma
+        assert len(got) == 12
+        assert all(np.array_equal(a, b) for a, b in zip(got, frames))
+
+
+def test_y4m_frame_sampling_skips_bytes():
+    from bdqc_spark.functions.multimodal import decode_y4m_frames, encode_y4m
+
+    frames = _y4m_frames(n=20)
+    raw = encode_y4m(frames)
+    info, got = decode_y4m_frames(raw, every_k=7)
+    assert len(got) == 3  # frames 0, 7, 14
+    assert np.array_equal(got[1], frames[7])
+    assert info["n_frames"] == 20
+
+
+def test_y4m_header_is_interoperable_ascii():
+    """The header must be the exact mjpegtools token layout any
+    third-party Y4M reader parses."""
+    from bdqc_spark.functions.multimodal import encode_y4m
+
+    raw = encode_y4m(_y4m_frames(n=1), fps=29.97, chroma="420jpeg")
+    head = raw.split(b"\n", 1)[0].decode()
+    toks = head.split(" ")
+    assert toks[0] == "YUV4MPEG2"
+    assert "W64" in toks and "H48" in toks
+    assert any(t.startswith("F29970:1000") for t in toks)
+    assert "C420jpeg" in toks
+
+
+def test_y4m_malformed_degrades():
+    from bdqc_spark.functions.multimodal import decode_y4m_frames, encode_y4m
+
+    raw = encode_y4m(_y4m_frames())
+    for bad in (b"", b"JUNK" + raw, raw[:40], raw[:-5], raw.replace(b"FRAME", b"FRAMX", 1)):
+        with pytest.raises(ValueError):
+            decode_y4m_frames(bad)
+
+
+def test_profile_videos_spark(spark):
+    from bdqc_spark.functions.multimodal import encode_y4m, profile_videos
+
+    static = encode_y4m([_y4m_frames(n=1)[0]] * 10, fps=25.0)  # no motion
+    moving = encode_y4m(_y4m_frames(n=10, seed=3), fps=25.0)
+    rows = [
+        ("static", static),
+        ("moving", moving),
+        ("corrupt", b"YUV4MPEG2 W0 H0\nFRAME\n"),
+        ("null", None),
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["video_id", "bytes"]))
+    out = profile_videos(df).toPandas().set_index("video_id")
+    assert bool(out.loc["static", "decode_ok"]) and bool(out.loc["moving", "decode_ok"])
+    assert not bool(out.loc["corrupt", "decode_ok"])
+    assert not bool(out.loc["null", "decode_ok"])
+    assert out.loc["static", "n_frames"] == 10
+    assert out.loc["static", "width"] == 64 and out.loc["static", "height"] == 48
+    # sampled every 5th of 10 frames → 2 sampled
+    assert out.loc["static", "sampled_frames"] == 2
+    assert out.loc["static", "motion"] == 0.0
+    assert out.loc["moving", "motion"] > 5.0
