@@ -97,14 +97,21 @@ def main() -> None:
         shutil.rmtree(out, ignore_errors=True)
         s0, tt0 = _cpu_ticks(pinned)
         t0 = time.time()
-        run_pipeline(spark, tbl.read(spark), out, all_buckets=tbl.bucket_ids())
+        res = run_pipeline(spark, tbl.read(spark), out, all_buckets=tbl.bucket_ids())
         dt = time.time() - t0
         s1, tt1 = _cpu_ticks(pinned)
         # hypervisor steal on OUR cores during the run — co-tenant
         # bursts show up here, annotating noisy draws in the artifact
         steal = round((s1 - s0) / max(tt1 - tt0, 1), 4)
         draws.append(
-            {"cpus": args.cpus, "wall_sec": round(dt, 3), "steal_frac": steal}
+            {
+                "cpus": args.cpus,
+                "wall_sec": round(dt, 3),
+                "steal_frac": steal,
+                # per-stage split so the artifact shows WHICH stage
+                # caps the N-vs-4N ratio, not just the total
+                "stages": dict(res.stage_seconds),
+            }
         )
         shutil.rmtree(out, ignore_errors=True)
     spark.stop()
