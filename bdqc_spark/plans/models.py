@@ -95,11 +95,22 @@ def collect_cohort_models(
     """Fit and collect the KB-sized model table in one pass over the
     profiles: the flat 8-scalar projection is persisted so the three
     aggregation branches (wide quantiles, MAD, categorical histogram)
-    scan the profiles table ONCE, then unpersisted."""
+    scan the profiles table ONCE, then unpersisted.
+
+    If `profiles` is itself already cached (the pipeline's fresh-run
+    path hands in the persisted stage-A output), the branches read
+    that cache directly — persisting a projection OF a cached plan
+    both wastes storage memory and trips Spark's nested
+    InMemoryRelation canonicalization (`key not found: <attr>` in
+    InMemoryRelation.withOutput)."""
     from pyspark import StorageLevel
 
-    flat = _flat_attrs(profiles).persist(StorageLevel.MEMORY_ONLY)
+    flat = _flat_attrs(profiles)
+    input_cached = profiles.storageLevel != StorageLevel.NONE
+    if not input_cached:
+        flat = flat.persist(StorageLevel.MEMORY_ONLY)
     try:
         return _fit(flat, exact, accuracy).collect()
     finally:
-        flat.unpersist()
+        if not input_cached:
+            flat.unpersist()

@@ -234,29 +234,81 @@ def run_pipeline(
     done_profile = _completed(lineage_dir, input_snapshot, "profiled")
     pending = [b for b in all_buckets if b not in done_profile]
     attempt = 2 if done_profile else 1  # informational (resume marker)
+    # Fresh run (no prior profiles on disk, every bucket pending): the
+    # repartitioned stage-A output is locally checkpointed and handed
+    # straight to stages B and C, so the profile table is scanned from
+    # memory — no parquet re-read job in B, no second shuffle in C.
+    # Those are fixed costs on the serial path of every run (~2-4s at
+    # 8 cores), which is exactly what caps the N-vs-4N ratio. Resume
+    # and incremental runs keep the parquet path: the cache would hold
+    # only the newly profiled rows, not the table.
+    fresh_run = not os.path.isdir(profiles_dir) and list(pending) == list(all_buckets)
+    prof_cached = None
     if pending:
         to_profile = clips.where(F.col("bucket").isin(pending))
         if os.path.isdir(profiles_dir):
             existing = spark.read.parquet(profiles_dir).select("clip_id")
             to_profile = to_profile.join(existing, on="clip_id", how="left_anti")
-        prof = profile_clips(to_profile)
-        (
-            # one task == one bucket == one output file per run. This
-            # shuffle moves only profile SCALARS (bytes was consumed
-            # map-side) and is load-bearing: it fixes the profiles
-            # layout at 64 well-sized files, which is what keeps the
-            # downstream stages parallel — the profile table is so
-            # small on disk that a size-based scan of an uncontrolled
-            # layout coalesces to 1-3 tasks (measured: A/B probe of a
-            # map-only write cost +10s on stages B+C at 8 cores).
-            prof.repartition(len(all_buckets), "bucket")
+        # one task == one bucket == one output file per run. This
+        # shuffle moves only profile SCALARS (bytes was consumed
+        # map-side) and is load-bearing: it fixes the profiles
+        # layout at 64 well-sized files, which is what keeps the
+        # downstream stages parallel — the profile table is so
+        # small on disk that a size-based scan of an uncontrolled
+        # layout coalesces to 1-3 tasks (measured: A/B probe of a
+        # map-only write cost +10s on stages B+C at 8 cores).
+        prof = (
+            profile_clips(to_profile)
+            .repartition(len(all_buckets), "bucket")
             .sortWithinPartitions("clip_id")
-            .write.mode("append")
-            .partitionBy("bucket")
-            .parquet(profiles_dir)
         )
+        if fresh_run:
+            # localCheckpoint, NOT persist: a persisted plan containing
+            # the mapInArrow profile node trips Spark's InMemoryRelation
+            # canonicalization when stage B's parameterized fit SQL
+            # references it twice (`key not found: <attr>` in
+            # InMemoryRelation.withOutput). The checkpoint truncates the
+            # lineage to a LogicalRDD, which the SQL analyzer handles
+            # fine; blocks are MEMORY_AND_DISK and are dropped by the
+            # ContextCleaner when the DataFrame goes out of scope. On a
+            # real cluster a lost block fails the run — and the restart
+            # resumes from the committed profiles parquet, which is the
+            # pipeline's recovery story anyway.
+            prof_cached = prof.localCheckpoint(eager=False)
+            prof = prof_cached
+        prof.write.mode("append").partitionBy("bucket").parquet(profiles_dir)
         _append_lineage(lineage_dir, pending, input_snapshot, attempt, t0, "profiled")
     t_stage = _tick(result, "A_profile", t_stage)
+    try:
+        return _finish_pipeline(
+            spark, result, profiles_dir, models_dir, decisions_dir, metrics_dir,
+            lineage_dir, input_snapshot, exact_models, fail_after_stage,
+            all_buckets, pending, attempt, prof_cached, t_stage,
+        )
+    finally:
+        if prof_cached is not None:
+            # no-op for checkpoint blocks (ContextCleaner owns those);
+            # kept so a future switch back to persist() cannot leak
+            prof_cached.unpersist()
+
+
+def _finish_pipeline(
+    spark: SparkSession,
+    result: PipelineResult,
+    profiles_dir: str,
+    models_dir: str,
+    decisions_dir: str,
+    metrics_dir: str,
+    lineage_dir: str,
+    input_snapshot: str,
+    exact_models: bool,
+    fail_after_stage: str | None,
+    all_buckets: list[int],
+    pending: list[int],
+    attempt: int,
+    prof_cached,
+    t_stage: float,
+) -> PipelineResult:
     if fail_after_stage == "profile":
         raise RuntimeError("injected failure after profile stage")
 
@@ -273,7 +325,9 @@ def run_pipeline(
     # cohort stats.
     models_status = f"models_fit_{'exact' if exact_models else 'approx'}"
     models_current = bool(_completed(lineage_dir, input_snapshot, models_status))
-    profiles = spark.read.parquet(profiles_dir)
+    # Fresh run: the profile table IS the cached stage-A output — no
+    # parquet re-read job (the cache was materialized by A's write).
+    profiles = prof_cached if prof_cached is not None else spark.read.parquet(profiles_dir)
     if not pending and models_current and os.path.isdir(models_dir):
         models = spark.read.parquet(models_dir)
     else:
@@ -299,10 +353,13 @@ def run_pipeline(
         # disk, so its scan coalesces to a few tasks — repartitioning
         # the profile rows (pre-scrub, the smaller side) lets the rule
         # evaluation + scrub regex chain run bucket-parallel, and the
-        # write stays map-side (one sorted file per bucket).
-        src = profiles.where(F.col("bucket").isin(pending_d)).repartition(
-            len(all_buckets), "bucket"
-        )
+        # write stays map-side (one sorted file per bucket). On the
+        # fresh-run cached path the stage-A output is ALREADY hash-
+        # partitioned by bucket into |buckets| partitions — reuse that
+        # partitioning, no second shuffle.
+        src = profiles.where(F.col("bucket").isin(pending_d))
+        if prof_cached is None:
+            src = src.repartition(len(all_buckets), "bucket")
         # Persist the decisions (bytes never reached this stage, so a
         # partition is just scalars + transcripts — MBs, not GBs): the
         # write materializes the cache and the metrics aggregation
@@ -322,7 +379,7 @@ def run_pipeline(
         t_stage = _tick(result, "C_decide", t_stage)
         wall_ms = int((time.time() - t1) * 1000)
         metrics = metrics_table(
-            decisions, "bucket", run_id=run_id, wall_ms=wall_ms, attempt=attempt
+            decisions, "bucket", run_id=result.run_id, wall_ms=wall_ms, attempt=attempt
         )
         metrics.write.mode("append").parquet(metrics_dir)
         decisions.unpersist()

@@ -86,6 +86,15 @@ def build_session(
         # at ~70 MB/task while costing scalar-table scans nothing
         # measurable. Same discipline as ARROW_MAX_RECORDS_PER_BATCH.
         .config("spark.sql.parquet.columnarReaderBatchSize", "1024")
+        # Off-heap columnar vectors for the parquet scan: with on-heap
+        # vectors every ~70 KB audio `bytes` cell lives in a young-gen
+        # byte[] that survives collections while its 1024-row batch is
+        # in flight — measured 6s of STW pause per 23s scan draw of
+        # the 28 GB bench corpus (26% of wall, and an Amdahl serial
+        # term that caps N-vs-4N scaling: GC pause time scales with
+        # bytes scanned, not with cores). Off-heap vectors halve total
+        # pause time and cut scan wall ~12% (BENCH.md §4).
+        .config("spark.sql.columnVector.offheap.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("BDQC_DRIVER_MEM", "16g"))
         # Throughput GC: the audio `bytes` column allocates millions of
