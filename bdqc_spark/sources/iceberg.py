@@ -237,6 +237,162 @@ class IcebergishTable:
             .parquet(*paths)
         )
 
+    # -- maintenance ------------------------------------------------------
+    # The three table-maintenance actions every long-lived Iceberg
+    # deployment schedules (Iceberg's rewrite_data_files /
+    # expire_snapshots / remove_orphan_files). At 10^12 clips with
+    # streaming/incremental appends the small-file problem is not
+    # cosmetic: per-file open/plan cost sits on the serial path of
+    # every read, and an append-only table never reclaims a byte
+    # without snapshot expiry + orphan removal.
+
+    def compact(
+        self,
+        spark: SparkSession,
+        min_files: int = 2,
+        sort_within: bool = True,
+    ) -> str | None:
+        """Rewrite every bucket holding ≥ ``min_files`` data files into
+        one file per bucket and commit a ``rewrite`` snapshot whose
+        manifest swaps the rewritten buckets' file lists. Row-
+        preserving by construction (asserted against parquet footers);
+        readers pinned to older snapshots still see the OLD files —
+        they are not deleted here (that is ``remove_orphans``' job,
+        after ``expire_snapshots`` retires the manifests referencing
+        them).
+
+        Returns the new snapshot id, or None if nothing to compact.
+
+        Crash safety: output files land next to live data but the
+        manifest is committed last, so a crashed compaction is
+        invisible to every reader; its half-written files are swept by
+        ``remove_orphans``. New files are attributed by a before/after
+        directory diff (NOT "any unknown file" — that would let a
+        later append absorb a crashed compaction's duplicates).
+        """
+        snap = self.snapshot()
+        if snap is None:
+            raise ValueError(f"no snapshot at {self.root}")
+        victims = sorted(
+            int(k) for k, fs in snap["bucket_files"].items() if len(fs) >= min_files
+        )
+        if not victims:
+            return None
+
+        before = self._data_listing()
+        df = self.read(spark, buckets=victims)
+        df = df.repartition(len(victims), BUCKET_COL)
+        if sort_within:
+            df = df.sortWithinPartitions(self.bucket_key)
+        df.write.mode("append").partitionBy(BUCKET_COL).parquet(self.data_dir)
+        new_by_bucket: dict[str, list[str]] = {}
+        for rel in sorted(self._data_listing() - before):
+            new_by_bucket.setdefault(rel.split("/", 1)[0].split("=", 1)[1], []).append(rel)
+
+        import pyarrow.parquet as pq
+
+        bucket_files = {k: list(v) for k, v in snap["bucket_files"].items()}
+        old_rows = new_rows = 0
+        for k in victims:
+            olds = bucket_files[str(k)]
+            news = new_by_bucket.get(str(k), [])
+            old_rows += sum(
+                pq.ParquetFile(os.path.join(self.data_dir, r)).metadata.num_rows for r in olds
+            )
+            new_rows += sum(
+                pq.ParquetFile(os.path.join(self.data_dir, r)).metadata.num_rows for r in news
+            )
+            bucket_files[str(k)] = news
+        if old_rows != new_rows:  # refuse to commit a lossy rewrite
+            raise RuntimeError(
+                f"compaction row mismatch: {old_rows} -> {new_rows}; not committing"
+            )
+
+        manifest = {
+            "snapshot_id": uuid.uuid4().hex[:16],
+            "parent_snapshot_id": snap["snapshot_id"],
+            "timestamp_ms": int(time.time() * 1000),
+            "operation": "rewrite",
+            "bucket_key": self.bucket_key,
+            "num_buckets": self.num_buckets,
+            "schema": snap["schema"],
+            "bucket_files": bucket_files,
+            "summary": {
+                "total_rows": snap["summary"]["total_rows"],
+                "compacted_buckets": victims,
+            },
+        }
+        return self._commit_snapshot(manifest)
+
+    def expire_snapshots(self, keep_last: int = 1) -> list[str]:
+        """Retire all but the newest ``keep_last`` snapshots in the
+        current lineage: their manifest files are deleted (time travel
+        to them now fails), making the data files only they referenced
+        eligible for ``remove_orphans``. The current snapshot is
+        always retained. Returns the expired snapshot ids."""
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        lineage = [h["snapshot_id"] for h in self.history()]
+        keep = set(lineage[:keep_last])
+        expired = []
+        for entry in os.listdir(self.meta_dir):
+            if not (entry.startswith("snap-") and entry.endswith(".json")):
+                continue
+            sid = entry[len("snap-") : -len(".json")]
+            if sid in keep:
+                continue
+            os.remove(os.path.join(self.meta_dir, entry))
+            expired.append(sid)
+        if expired:
+            # sever the dangling parent pointer of the oldest retained
+            # manifest so history() stops at the retention boundary
+            oldest = self.snapshot(lineage[keep_last - 1])
+            if oldest and oldest["parent_snapshot_id"] not in (None, *keep):
+                oldest["parent_snapshot_id"] = None
+                path = os.path.join(self.meta_dir, f"snap-{oldest['snapshot_id']}.json")
+                tmp = path + ".tmp"
+                with open(tmp, "w") as f:
+                    json.dump(oldest, f, indent=1, sort_keys=True)
+                os.rename(tmp, path)
+        return sorted(expired)
+
+    def remove_orphans(self, older_than_s: float = 3 * 24 * 3600) -> list[str]:
+        """Delete data files referenced by NO retained snapshot
+        manifest. ``older_than_s`` is the same safety window real
+        Iceberg applies (default 3 days): a file younger than it is
+        assumed to belong to an in-flight, not-yet-committed write and
+        is left alone. Pass 0 only when no writer can be active.
+        Returns the deleted relative paths."""
+        referenced: set[str] = set()
+        for entry in os.listdir(self.meta_dir):
+            if entry.startswith("snap-") and entry.endswith(".json"):
+                with open(os.path.join(self.meta_dir, entry)) as f:
+                    m = json.load(f)
+                for fs in m["bucket_files"].values():
+                    referenced.update(fs)
+        cutoff = time.time() - older_than_s
+        removed = []
+        for rel in sorted(self._data_listing() - referenced):
+            path = os.path.join(self.data_dir, rel)
+            if os.path.getmtime(path) <= cutoff:
+                os.remove(path)
+                removed.append(rel)
+        return removed
+
+    def _data_listing(self) -> set[str]:
+        """Relative paths of every parquet data file on disk."""
+        out: set[str] = set()
+        if not os.path.isdir(self.data_dir):
+            return out
+        for entry in os.listdir(self.data_dir):
+            if not entry.startswith(f"{BUCKET_COL}="):
+                continue
+            sub = os.path.join(self.data_dir, entry)
+            for fn in os.listdir(sub):
+                if fn.endswith(".parquet"):
+                    out.add(f"{entry}/{fn}")
+        return out
+
     def history(self) -> list[dict]:
         """Snapshot lineage, newest first (walks parent pointers)."""
         out = []

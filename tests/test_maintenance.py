@@ -1,0 +1,121 @@
+"""Table-maintenance actions: compaction, snapshot expiry, orphan
+removal (Iceberg's rewrite_data_files / expire_snapshots /
+remove_orphan_files, re-expressed for the Iceberg-shaped adapter).
+
+Invariants held here are the ones a 10^12-clip deployment relies on:
+compaction is row-preserving and invisible to pinned readers; expiry
+never touches the current snapshot; orphan removal deletes exactly
+the unreferenced files and respects the in-flight safety window.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from bdqc_spark.sources.iceberg import IcebergishTable
+
+
+def _mk_table(spark, root, appends=3, rows_per=120, buckets=8):
+    tbl = IcebergishTable(str(root), num_buckets=buckets)
+    for i in range(appends):
+        df = spark.range(i * rows_per, (i + 1) * rows_per).select(
+            F.concat(F.lit("clip-"), F.col("id")).alias("clip_id"),
+            (F.col("id") % 7).cast("double").alias("x"),
+        )
+        tbl.append(df)
+    return tbl
+
+
+def _collect_sorted(spark, tbl, **kw):
+    return [
+        (r.clip_id, r.x, r.bucket)
+        for r in tbl.read(spark, **kw).orderBy("clip_id").collect()
+    ]
+
+
+def test_compact_row_preserving_single_file_per_bucket(spark, tmp_path):
+    tbl = _mk_table(spark, tmp_path / "t")
+    pre_snap = tbl.current_snapshot_id()
+    expected = _collect_sorted(spark, tbl)
+    files_before = {k: len(v) for k, v in tbl.snapshot()["bucket_files"].items()}
+    assert any(n >= 2 for n in files_before.values())
+
+    sid = tbl.compact(spark)
+    assert sid == tbl.current_snapshot_id()
+    snap = tbl.snapshot()
+    assert snap["operation"] == "rewrite"
+    # every bucket that had >=2 files now has exactly 1
+    for k, n in files_before.items():
+        if n >= 2:
+            assert len(snap["bucket_files"][k]) == 1
+    assert _collect_sorted(spark, tbl) == expected
+    assert snap["summary"]["total_rows"] == 3 * 120
+
+    # pinned reader: time travel to the pre-compaction snapshot still
+    # reads the OLD file list, identically
+    assert _collect_sorted(spark, tbl, snapshot_id=pre_snap) == expected
+
+
+def test_compact_noop_when_already_compacted(spark, tmp_path):
+    tbl = _mk_table(spark, tmp_path / "t")
+    assert tbl.compact(spark) is not None
+    before = tbl.current_snapshot_id()
+    assert tbl.compact(spark) is None  # nothing left with >=2 files
+    assert tbl.current_snapshot_id() == before
+
+
+def test_expire_snapshots_keeps_current_and_severs_history(spark, tmp_path):
+    tbl = _mk_table(spark, tmp_path / "t")
+    lineage = [h["snapshot_id"] for h in tbl.history()]
+    assert len(lineage) == 3
+    expired = tbl.expire_snapshots(keep_last=1)
+    assert sorted(expired) == sorted(lineage[1:])
+    # current still reads fine; history stops at the retention boundary
+    assert len(tbl.read(spark).collect()) == 3 * 120
+    assert [h["snapshot_id"] for h in tbl.history()] == lineage[:1]
+    # time travel to an expired snapshot now fails
+    with pytest.raises(FileNotFoundError):
+        tbl.read(spark, snapshot_id=expired[0])
+
+
+def test_remove_orphans_after_compact_and_expire(spark, tmp_path):
+    tbl = _mk_table(spark, tmp_path / "t")
+    expected = _collect_sorted(spark, tbl)
+    old_files = {
+        rel for fs in tbl.snapshot()["bucket_files"].values() for rel in fs
+    }
+    tbl.compact(spark)
+    tbl.expire_snapshots(keep_last=1)
+
+    # safety window: nothing younger than older_than_s is touched
+    assert tbl.remove_orphans(older_than_s=3600) == []
+    removed = tbl.remove_orphans(older_than_s=0)
+    assert set(removed) == old_files  # exactly the pre-compaction files
+    assert _collect_sorted(spark, tbl) == expected
+    on_disk = tbl._data_listing()
+    referenced = {rel for fs in tbl.snapshot()["bucket_files"].values() for rel in fs}
+    assert on_disk == referenced  # no unreferenced bytes left
+
+
+def test_crashed_compaction_is_invisible_and_swept(spark, tmp_path):
+    tbl = _mk_table(spark, tmp_path / "t", appends=2)
+    expected = _collect_sorted(spark, tbl)
+    # simulate a compaction that wrote output but died before commit:
+    # drop a stray parquet file into a bucket directory
+    bdir = os.path.join(tbl.data_dir, "bucket=0")
+    os.makedirs(bdir, exist_ok=True)
+    stray = os.path.join(bdir, "part-crashed-deadbeef.parquet")
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table({"clip_id": pa.array(["zz"]), "x": pa.array([1.0])}), stray
+    )
+    # manifest-driven read: the stray file is invisible
+    assert _collect_sorted(spark, tbl) == expected
+    removed = tbl.remove_orphans(older_than_s=0)
+    assert "bucket=0/part-crashed-deadbeef.parquet" in removed
+    assert _collect_sorted(spark, tbl) == expected

@@ -92,9 +92,30 @@ def main() -> None:
 
     pinned = sorted(os.sched_getaffinity(0))
     draws = []
+
+    def _host_speed() -> int:
+        """Iterations of a fixed decode-shaped numpy kernel in 1s on
+        one pinned core — a host-health reading taken right before
+        each draw. Co-tenant load on the PHYSICAL host shows up as
+        frequency/bandwidth loss that /proc/stat steal does not see
+        (measured: the same draw ranges 75s on a 22.3k-iter host to
+        500+s on a 17k-iter host); recording it makes a degraded draw
+        self-documenting in the artifact."""
+        import numpy as np
+
+        x = (np.random.default_rng(0).integers(-32768, 32767, 400_000)).astype(np.int16)
+        t0 = time.time()
+        it = 0
+        while time.time() - t0 < 1.0:
+            f = x.astype(np.float32) / np.float32(32767.0)
+            float(np.dot(f, f))
+            it += 1
+        return it
+
     for _ in range(args.runs):
         out = f"/tmp/bdqc_scale_out_{os.getpid()}_{int(time.time() * 1000)}"
         shutil.rmtree(out, ignore_errors=True)
+        speed = _host_speed()
         s0, tt0 = _cpu_ticks(pinned)
         t0 = time.time()
         res = run_pipeline(spark, tbl.read(spark), out, all_buckets=tbl.bucket_ids())
@@ -108,6 +129,7 @@ def main() -> None:
                 "cpus": args.cpus,
                 "wall_sec": round(dt, 3),
                 "steal_frac": steal,
+                "host_speed": speed,
                 # per-stage split so the artifact shows WHICH stage
                 # caps the N-vs-4N ratio, not just the total
                 "stages": dict(res.stage_seconds),
