@@ -414,9 +414,9 @@ class IcebergishTable:
     def exists(self) -> bool:
         return self.current_snapshot_id() is not None
 
-    def bucket_ids(self) -> list[int]:
+    def bucket_ids(self, snapshot_id: str | None = None) -> list[int]:
         """Partition list from the manifest — no data scan."""
-        snap = self.snapshot()
+        snap = self.snapshot(snapshot_id)
         if snap is None:
             return []
         return sorted(int(k) for k in snap["bucket_files"])

@@ -30,6 +30,14 @@ def main(argv: list[str] | None = None) -> int:
         help="also render the run's metrics as a self-contained HTML report "
         "(the reference's --writeHTML entry point)",
     )
+    ap.add_argument(
+        "--maintain",
+        action="store_true",
+        help="after the run, compact small files on the input table, "
+        "expire all but the latest snapshot and sweep orphan files "
+        "older than the safety window (scheduled table maintenance; "
+        "skip on tables other jobs read via time travel)",
+    )
     args = ap.parse_args(argv)
 
     from bdqc_spark.session import build_session
@@ -44,12 +52,24 @@ def main(argv: list[str] | None = None) -> int:
     snapshot = args.snapshot or tbl.current_snapshot_id()
     result = run_pipeline(
         spark,
-        tbl.read(spark),
+        # a pinned --snapshot must pin the DATA read too, not just the
+        # lineage key (time-travel semantics of the manifest reader)
+        tbl.read(spark, snapshot_id=args.snapshot),
         args.out,
         input_snapshot=snapshot,
         exact_models=args.exact_models,
-        all_buckets=tbl.bucket_ids(),
+        all_buckets=tbl.bucket_ids(snapshot_id=args.snapshot),
     )
+    maintenance = None
+    if args.maintain:
+        compacted = tbl.compact(spark)
+        expired = tbl.expire_snapshots(keep_last=1)
+        orphans = tbl.remove_orphans()
+        maintenance = {
+            "compacted_snapshot": compacted,
+            "expired_snapshots": len(expired),
+            "orphans_removed": len(orphans),
+        }
     report_path = None
     if args.html_report:
         from bdqc_spark.plans.report import write_html_report
@@ -67,6 +87,7 @@ def main(argv: list[str] | None = None) -> int:
                 # not a local[] default)
                 "master": spark.sparkContext.master,
                 "html_report": report_path,
+                "maintenance": maintenance,
             }
         )
     )

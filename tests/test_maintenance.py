@@ -100,6 +100,62 @@ def test_remove_orphans_after_compact_and_expire(spark, tmp_path):
     assert on_disk == referenced  # no unreferenced bytes left
 
 
+def test_cli_pinned_snapshot_and_maintain(spark, tmp_path):
+    """--snapshot pins the DATA read (time travel), not just the
+    lineage key; --maintain compacts/expires/sweeps the input table
+    after the run."""
+    import json
+    import subprocess
+    import sys as _sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    from bdqc_spark.synth.clips import generate_clips_df
+
+    table = str(tmp_path / "clips")
+    tbl = IcebergishTable(table, num_buckets=4)
+    snap1 = tbl.append(generate_clips_df(spark, 200, seed=31))
+    tbl.append(generate_clips_df(spark, 200, seed=32, start=200))
+
+    def run_cli(*extra):
+        proc = subprocess.run(
+            [_sys.executable, os.path.join(repo, "run_pipeline.py"),
+             "--table", table, "--out", str(tmp_path / "out"),
+             "--master", "local[4]", *extra],
+            capture_output=True, text=True, cwd=repo, timeout=420,
+        )
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        return json.loads(
+            [ln for ln in proc.stdout.splitlines() if ln.startswith("{")][-1]
+        )
+
+    import duckdb
+
+    # pinned to the first snapshot: only its 200 clips are processed
+    run_cli("--snapshot", snap1)
+    n1 = duckdb.connect().execute(
+        f"SELECT count(*) FROM read_parquet('{tmp_path}/out/decisions/*/*.parquet')"
+    ).fetchone()[0]
+    assert n1 == 200
+
+    # current snapshot + maintenance: all 400, table left compacted
+    res = run_cli("--maintain")
+    n2 = duckdb.connect().execute(
+        f"SELECT count(*) FROM read_parquet('{tmp_path}/out/decisions/*/*.parquet')"
+    ).fetchone()[0]
+    assert n2 == 400
+    assert res["maintenance"]["compacted_snapshot"] is not None
+    assert res["maintenance"]["expired_snapshots"] >= 2
+    snap = tbl.snapshot()
+    assert snap["operation"] == "rewrite"
+    assert all(len(fs) == 1 for fs in snap["bucket_files"].values())
+    # orphans respect the safety window by default -> files still there;
+    # an explicit 0-window sweep then leaves exactly the referenced set
+    tbl.remove_orphans(older_than_s=0)
+    assert tbl._data_listing() == {
+        rel for fs in snap["bucket_files"].values() for rel in fs
+    }
+
+
 def test_crashed_compaction_is_invisible_and_swept(spark, tmp_path):
     tbl = _mk_table(spark, tmp_path / "t", appends=2)
     expected = _collect_sorted(spark, tbl)
