@@ -155,18 +155,130 @@ def decode(raw: bytes, codec: str) -> np.ndarray:
 
 
 # --------------------------------------------------------------------------
+# IMA (DVI) ADPCM — wire format per the IMA "Recommended Practices for
+# Enhancing Digital Audio Compatibility" rev 3.00 and the Microsoft
+# WAV embedding (format tag 0x11): mono blocks of `block_align` bytes,
+# each a 4-byte state header (int16 LE predictor, uint8 step index,
+# uint8 reserved) followed by 4-bit nibbles, LOW nibble first, each
+# nibble one sample delta. Decode state is sequential WITHIN a block
+# but blocks are independent, so both directions vectorize ACROSS
+# blocks: the Python loop is samples-per-block long (505 for the
+# standard 256-byte block) and every iteration is numpy over all
+# blocks of the clip at once.
+# --------------------------------------------------------------------------
+_IMA_STEP = np.array(
+    [
+        7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31,
+        34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130,
+        143, 157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408,
+        449, 494, 544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282,
+        1411, 1552, 1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327,
+        3660, 4026, 4428, 4871, 5358, 5894, 6484, 7132, 7845, 8630,
+        9493, 10442, 11487, 12635, 13899, 15289, 16818, 18500, 20350,
+        22385, 24623, 27086, 29794, 32767,
+    ],
+    dtype=np.int32,
+)
+_IMA_INDEX_ADJ = np.array([-1, -1, -1, -1, 2, 4, 6, 8], dtype=np.int32)
+
+
+def _ima_reconstruct(nib: np.ndarray, pred: np.ndarray, idx: np.ndarray):
+    """One ADPCM step for a vector of blocks: nibble → (new pred, new
+    idx). The exact reconstruction both decoder and encoder share —
+    the encoder MUST track the decoder's predictor or the streams
+    drift."""
+    step = _IMA_STEP[idx]
+    diff = step >> 3
+    diff = diff + np.where(nib & 1, step >> 2, 0)
+    diff = diff + np.where(nib & 2, step >> 1, 0)
+    diff = diff + np.where(nib & 4, step, 0)
+    pred = np.clip(np.where(nib & 8, pred - diff, pred + diff), -32768, 32767)
+    idx = np.clip(idx + _IMA_INDEX_ADJ[nib & 7], 0, 88)
+    return pred, idx
+
+
+def adpcm_decode_blocks(blocks: np.ndarray) -> np.ndarray:
+    """(n_blocks, block_align) uint8 → (n_blocks, samples_per_block)
+    int16. samples_per_block = (block_align - 4) * 2 + 1: the header
+    predictor is sample 0, every nibble after it is one sample."""
+    nblk, ba = blocks.shape
+    if ba < 5:
+        raise ValueError("adpcm block shorter than its state header")
+    pred = blocks[:, 0].astype(np.int32) | (blocks[:, 1].astype(np.int32) << 8)
+    pred = (pred ^ 0x8000) - 0x8000  # sign-extend int16
+    idx = blocks[:, 2].astype(np.int32)
+    if np.any(idx > 88):
+        raise ValueError("adpcm step index out of range")
+    data = blocks[:, 4:]
+    n_nib = data.shape[1] * 2
+    nib = np.empty((nblk, n_nib), dtype=np.int32)
+    nib[:, 0::2] = data & 0x0F  # low nibble first, per the IMA layout
+    nib[:, 1::2] = data >> 4
+    out = np.empty((nblk, n_nib + 1), dtype=np.int16)
+    out[:, 0] = pred.astype(np.int16)
+    for t in range(n_nib):
+        pred, idx = _ima_reconstruct(nib[:, t], pred, idx)
+        out[:, t + 1] = pred
+    return out
+
+
+def adpcm_encode_blocks(samples: np.ndarray) -> np.ndarray:
+    """(n_blocks, samples_per_block) int16 → (n_blocks, block_align)
+    uint8. Quantizer is the IMA bitwise-compare form; the predictor is
+    updated with the decoder's reconstruction so decode(encode(x))
+    tracks x within one step size."""
+    nblk, nsamp = samples.shape
+    if nsamp < 1 or (nsamp - 1) % 2 != 0:
+        raise ValueError("adpcm samples-per-block must be odd")
+    s = samples.astype(np.int32)
+    pred = s[:, 0]
+    idx = np.zeros(nblk, dtype=np.int32)
+    nib = np.empty((nblk, nsamp - 1), dtype=np.uint8)
+    for t in range(1, nsamp):
+        step = _IMA_STEP[idx]
+        delta = s[:, t] - pred
+        sign = delta < 0
+        mag = np.abs(delta)
+        b2 = mag >= step
+        mag = mag - np.where(b2, step, 0)
+        half = step >> 1
+        b1 = mag >= half
+        mag = mag - np.where(b1, half, 0)
+        b0 = mag >= (step >> 2)
+        n = (
+            np.where(sign, 8, 0)
+            | np.where(b2, 4, 0)
+            | np.where(b1, 2, 0)
+            | np.where(b0, 1, 0)
+        ).astype(np.int32)
+        pred, idx = _ima_reconstruct(n, pred, idx)
+        nib[:, t - 1] = n.astype(np.uint8)
+    out = np.empty((nblk, 4 + (nsamp - 1) // 2), dtype=np.uint8)
+    p16 = samples[:, 0].astype(np.int16).view(np.uint16)
+    out[:, 0] = (p16 & 0xFF).astype(np.uint8)
+    out[:, 1] = (p16 >> 8).astype(np.uint8)
+    out[:, 2] = 0  # encoder starts each block at step index 0
+    out[:, 3] = 0
+    out[:, 4:] = nib[:, 0::2] | (nib[:, 1::2] << 4)
+    return out
+
+
+# --------------------------------------------------------------------------
 # WAV (RIFF) container — wire-format per the Microsoft/IBM RIFF spec:
 # 'RIFF' <u32 size> 'WAVE', then even-aligned <4cc><u32 size> chunks;
 # 'fmt ' carries (format_tag u16, channels u16, sample_rate u32,
 # byte_rate u32, block_align u16, bits u16), 'data' carries samples.
 # Supported format tags: 1 PCM (8-bit unsigned / 16-bit signed),
-# 3 IEEE float32, 6 A-law, 7 µ-law. Multi-channel payloads are
-# downmixed to mono (mean over channels) — the profile/QC semantics
-# are per-clip, not per-channel. The header's sample rate is surfaced
-# as hdr_sr so the audio.hdr_sr_mismatch rule can cross-check it
-# against the catalog's sr_hz column.
+# 3 IEEE float32, 6 A-law, 7 µ-law, 0x11 IMA ADPCM (mono, with the
+# spec's `fact` chunk carrying the true sample count past the final
+# block's padding). Multi-channel payloads are downmixed to mono
+# (mean over channels) — the profile/QC semantics are per-clip, not
+# per-channel. The header's sample rate is surfaced as hdr_sr so the
+# audio.hdr_sr_mismatch rule can cross-check it against the catalog's
+# sr_hz column.
 # --------------------------------------------------------------------------
 _WAV_TAG_PCM, _WAV_TAG_F32, _WAV_TAG_ALAW, _WAV_TAG_ULAW = 1, 3, 6, 7
+_WAV_TAG_IMA_ADPCM = 0x11
 
 
 def _u16(d: np.ndarray, o: int) -> int:
@@ -193,6 +305,7 @@ def _parse_wav(data: np.ndarray, start: int, end: int) -> dict:
         raise ValueError("wav payload missing RIFF/WAVE magic")
     fmt = None
     dat = None
+    fact = None
     o = start + 12
     while o + 8 <= end:
         cid = bytes(data[o : o + 4])
@@ -207,22 +320,28 @@ def _parse_wav(data: np.ndarray, start: int, end: int) -> dict:
                 _u16(data, body),       # format tag
                 _u16(data, body + 2),   # channels
                 _u32(data, body + 4),   # sample rate
+                _u16(data, body + 12),  # block align
                 _u16(data, body + 14),  # bits per sample
             )
+        elif cid == b"fact" and csz >= 4:
+            fact = _u32(data, body)     # true sample count (compressed fmts)
         elif cid == b"data":
             dat = (body, body + csz)
         o = body + csz + (csz & 1)  # chunks are word-aligned
     if fmt is None or dat is None:
         raise ValueError("wav payload missing fmt or data chunk")
-    tag, ch, sr, bits = fmt
+    tag, ch, sr, block_align, bits = fmt
     if not (1 <= ch <= 8):
         raise ValueError(f"wav channel count {ch} unsupported")
     if sr <= 0:
         raise ValueError("wav header sample rate <= 0")
+    if tag == _WAV_TAG_IMA_ADPCM and ch != 1:
+        raise ValueError("wav ima-adpcm payloads supported mono only")
     ok = (
         (tag == _WAV_TAG_PCM and bits in (8, 16))
         or (tag == _WAV_TAG_F32 and bits == 32)
         or (tag in (_WAV_TAG_ALAW, _WAV_TAG_ULAW) and bits == 8)
+        or (tag == _WAV_TAG_IMA_ADPCM and bits == 4)
     )
     if not ok:
         raise ValueError(f"wav format tag {tag} / {bits}-bit unsupported")
@@ -231,6 +350,8 @@ def _parse_wav(data: np.ndarray, start: int, end: int) -> dict:
         "hdr_sr": sr,
         "channels": ch,
         "bits": bits,
+        "block_align": block_align,
+        "fact_samples": fact,
         "data_start": dat[0],
         "data_end": dat[1],
     }
@@ -248,6 +369,18 @@ def _decode_wav(data: np.ndarray, start: int, end: int) -> np.ndarray:
     tag, ch, bits = info["fmt_tag"], info["channels"], info["bits"]
     body = data[info["data_start"] : info["data_end"]]
     nb = body.shape[0]
+    if tag == _WAV_TAG_IMA_ADPCM:
+        ba = info["block_align"]
+        if ba < 5 or nb == 0 or nb % ba != 0:
+            raise ValueError("wav adpcm data chunk not a whole number of blocks")
+        sm = adpcm_decode_blocks(body.reshape(-1, ba))
+        pcm = sm.reshape(-1).astype(np.float32) / np.float32(32768.0)
+        fact = info["fact_samples"]
+        if fact is not None:
+            if fact > pcm.shape[0]:
+                raise ValueError("wav fact chunk larger than decoded samples")
+            pcm = pcm[:fact]
+        return pcm
     bps = bits // 8
     if nb == 0 or nb % (bps * ch) != 0:
         raise ValueError("wav data chunk not a whole number of frames")
@@ -296,6 +429,47 @@ def encode_wav(
     elif inner == "alaw":
         tag, bits = _WAV_TAG_ALAW, 8
         body = encode(pcm, "alaw")
+    elif inner == "adpcm_ima":
+        if channels != 1:
+            raise ValueError("wav ima-adpcm encoding supported mono only")
+        tag, bits = _WAV_TAG_IMA_ADPCM, 4
+        block_align = 256  # the standard mono block: 505 samples
+        spb = (block_align - 4) * 2 + 1
+        x = _to_i16(pcm)
+        n = x.shape[0]
+        if n == 0:
+            raise ValueError("empty pcm for wav ima-adpcm encoding")
+        nblk = (n + spb - 1) // spb
+        padded = np.full(nblk * spb, x[-1], dtype=np.int16)
+        padded[:n] = x
+        body = adpcm_encode_blocks(padded.reshape(nblk, spb)).tobytes()
+        rate = int(hdr_sr if hdr_sr is not None else sr)
+        spb_bytes = spb  # samples per block, fmt extension field
+        hdr = b"".join(
+            [
+                b"RIFF",
+                (4 + 8 + 20 + 8 + 4 + 8 + len(body) + (len(body) & 1)).to_bytes(4, "little"),
+                b"WAVE",
+                b"fmt ",
+                (20).to_bytes(4, "little"),
+                tag.to_bytes(2, "little"),
+                (1).to_bytes(2, "little"),
+                rate.to_bytes(4, "little"),
+                # byte rate ≈ rate * block_align / samples_per_block
+                (rate * block_align // spb).to_bytes(4, "little"),
+                block_align.to_bytes(2, "little"),
+                bits.to_bytes(2, "little"),
+                (2).to_bytes(2, "little"),       # cbSize
+                spb_bytes.to_bytes(2, "little"),  # wSamplesPerBlock
+                b"fact",
+                (4).to_bytes(4, "little"),
+                n.to_bytes(4, "little"),          # true sample count
+                b"data",
+                len(body).to_bytes(4, "little"),
+            ]
+        )
+        pad = b"\x00" if len(body) & 1 else b""
+        return hdr + body + pad
     else:
         raise ValueError(f"unknown wav inner encoding {inner!r}")
     if channels > 1:

@@ -424,3 +424,122 @@ def test_resample_clips_spark_end_to_end(spark):
         assert (m.pcm_ok == m.resample_ok).all()
     finally:
         out.unpersist()
+
+
+# --------------------------------------------------------------------------
+# IMA ADPCM (WAV format tag 0x11) — wire format per the IMA spec
+# --------------------------------------------------------------------------
+def _audioop_decode(nibbles, pred0, idx0):
+    """Decode a nibble sequence with CPython's audioop (the DVI/IMA
+    reference implementation), seeded with our block-header state.
+    audioop consumes the HIGH nibble of each byte first; the WAV block
+    layout is low-first, so repack before comparing."""
+    import audioop
+
+    nib = list(nibbles)
+    if len(nib) % 2:
+        nib.append(0)
+    packed = bytes((nib[i] << 4) | nib[i + 1] for i in range(0, len(nib), 2))
+    out, _state = audioop.adpcm2lin(packed, 2, (pred0, idx0))
+    return np.frombuffer(out, dtype="<i2")[: len(nibbles)]
+
+
+def test_adpcm_decoder_vs_audioop_golden():
+    """Sample-for-sample parity with audioop's IMA decoder on random
+    nibble streams from random initial states — the decoder is the
+    wire format."""
+    rng = np.random.default_rng(7)
+    for _ in range(8):
+        n_nib = 504
+        nib = rng.integers(0, 16, n_nib, dtype=np.uint8)
+        pred0 = int(rng.integers(-32768, 32768))
+        idx0 = int(rng.integers(0, 89))
+        block = np.empty(4 + n_nib // 2, dtype=np.uint8)
+        p16 = np.int16(pred0).view(np.uint16)
+        block[0], block[1] = p16 & 0xFF, p16 >> 8
+        block[2], block[3] = idx0, 0
+        block[4:] = nib[0::2] | (nib[1::2] << 4)
+        got = audio.adpcm_decode_blocks(block[None, :])[0]
+        assert got[0] == pred0  # header predictor is sample 0
+        ref = _audioop_decode(nib, pred0, idx0)
+        assert np.array_equal(got[1:], ref)
+
+
+def test_adpcm_encoder_is_audioop_decodable():
+    """Interop the other way: blocks WE encode decode identically under
+    audioop — any third-party IMA decoder reconstructs our stream."""
+    pcm = _tone(dur_s=0.2)
+    raw = audio.encode_wav(pcm, 16000, inner="adpcm_ima")
+    info = audio.wav_info(raw)
+    body = np.frombuffer(raw, dtype=np.uint8)[info["data_start"] : info["data_end"]]
+    blocks = body.reshape(-1, info["block_align"])
+    ours = audio.adpcm_decode_blocks(blocks)
+    for b, o in zip(blocks, ours):
+        pred0 = int(np.int16(b[0] | (int(b[1]) << 8)))
+        nib = np.empty((b.shape[0] - 4) * 2, dtype=np.uint8)
+        nib[0::2] = b[4:] & 0x0F
+        nib[1::2] = b[4:] >> 4
+        ref = _audioop_decode(nib, pred0, int(b[2]))
+        assert np.array_equal(o[1:], ref)
+
+
+def test_wav_adpcm_roundtrip():
+    pcm = _tone(dur_s=0.37)  # deliberately not a whole number of blocks
+    raw = audio.encode_wav(pcm, 16000, inner="adpcm_ima")
+    dec = audio.decode(raw, "wav")
+    assert dec.shape == pcm.shape  # fact chunk truncates block padding
+    # 4-bit differential coding: ~20 dB on this tone (measured 20.2);
+    # bound leaves margin, the audioop parity tests pin exactness
+    assert audio.snr_db(pcm, dec) >= 15.0
+    # ~4.2 bits/sample on the wire (incl. block headers) vs 16
+    assert len(raw) < len(pcm) * 2 / 3.6
+
+
+def test_wav_adpcm_header_structure():
+    pcm = _tone(dur_s=0.1)
+    raw = audio.encode_wav(pcm, 8000, inner="adpcm_ima")
+    assert raw[0:4] == b"RIFF" and raw[8:12] == b"WAVE"
+    assert int.from_bytes(raw[16:20], "little") == 20      # extended fmt
+    assert int.from_bytes(raw[20:22], "little") == 0x11    # IMA ADPCM tag
+    assert int.from_bytes(raw[32:34], "little") == 256     # block align
+    assert int.from_bytes(raw[34:36], "little") == 4       # bits
+    assert int.from_bytes(raw[36:38], "little") == 2       # cbSize
+    assert int.from_bytes(raw[38:40], "little") == 505     # samples/block
+    info = audio.wav_info(raw)
+    assert info["fmt_tag"] == 0x11
+    assert info["fact_samples"] == len(pcm)
+    assert (info["data_end"] - info["data_start"]) % 256 == 0
+
+
+def test_wav_adpcm_rejects_malformed():
+    pcm = _tone(dur_s=0.1)
+    raw = audio.encode_wav(pcm, 16000, inner="adpcm_ima")
+    info = audio.wav_info(raw)
+    # stereo IMA ADPCM is out of scope
+    bad_ch = bytearray(raw)
+    bad_ch[22] = 2
+    with pytest.raises(ValueError):
+        audio.decode(bytes(bad_ch), "wav")
+    # step index out of range
+    bad_idx = bytearray(raw)
+    bad_idx[info["data_start"] + 2] = 100
+    with pytest.raises(ValueError):
+        audio.decode(bytes(bad_idx), "wav")
+    # encoder refuses stereo / empty input
+    with pytest.raises(ValueError):
+        audio.encode_wav(pcm, 16000, inner="adpcm_ima", channels=2)
+    with pytest.raises(ValueError):
+        audio.encode_wav(np.array([], dtype=np.float32), 16000, inner="adpcm_ima")
+
+
+def test_wav_adpcm_profile_batch():
+    """The profile UDF path handles ADPCM payloads through the same
+    'wav' dispatch — no new codec id, pcm_ok true, duration right."""
+    pcm = _tone(dur_s=0.5)
+    raw = audio.encode_wav(pcm, 16000, inner="adpcm_ima")
+    out = audio.profile_batch(
+        pd.Series([raw]), pd.Series(["wav"]), pd.Series([16000])
+    )
+    assert bool(out.pcm_ok[0])
+    assert int(out.n_samples[0]) == len(pcm)
+    assert abs(int(out.dur_ms_decoded[0]) - 500) <= 1
