@@ -1773,6 +1773,49 @@ def q_simhash_neighbors(spark, sf_dir):
     return simhash_neighbors(d, "doc_id", "text", max_hamming=3)
 
 
+def q_audio_fingerprints(spark, sf_dir):
+    """Acoustic fingerprints (rows-only: FFT/mel band-support bits
+    have no SQL twin; codec-robustness — same content under µ-law/
+    A-law/8-bit/ADPCM re-encodes stays within Hamming 3 — and
+    degradation on corrupt rows are pytest-gated in
+    tests/test_audio_fingerprint.py). Scalar columns only; the verify
+    profile is summarized by its L2 norm."""
+    ensure_shipped(spark)
+    from bdqc_spark.functions.audio_fingerprint import fingerprint_clips
+
+    fps = fingerprint_clips(_clips_df(spark))
+    norm = F.sqrt(
+        F.aggregate(
+            F.coalesce("fp_profile", F.array().cast("array<float>")),
+            F.lit(0.0),
+            lambda a, x: a + x.cast("double") * x.cast("double"),
+        )
+    )
+    return fps.select(
+        "clip_id", "fp_ok", "audio_fp", "fp_frames", F.round(norm, 3).alias("profile_norm")
+    )
+
+
+def q_audio_dup_pairs(spark, sf_dir):
+    """Codec-robust audio near-dup pairs over a corpus with injected
+    cross-codec twins: every 16 kHz clip is re-encoded (decode →
+    pcm_s16le, content-identical) and unioned back under `::rs` ids;
+    the fingerprint → Hamming-block join → profile-verify path must
+    link each twin to its original (recall is pytest-gated in
+    tests/test_audio_fingerprint.py; this registry entry records the
+    deterministic pair set)."""
+    ensure_shipped(spark)
+    from bdqc_spark.functions.audio_fingerprint import audio_dup_pairs
+    from bdqc_spark.functions.resample import resample_clips
+
+    clips = _clips_df(spark).select("clip_id", "bytes", "sr_hz", "codec")
+    base = clips.where(F.col("sr_hz") == 16000)
+    twins = resample_clips(base, target_sr=16000).where(F.col("resample_ok")).select(
+        F.concat("clip_id", F.lit("::rs")).alias("clip_id"), "bytes", "sr_hz", "codec"
+    )
+    return audio_dup_pairs(clips.unionByName(twins)).orderBy("id_a", "id_b")
+
+
 def q_ann_lsh_topk(spark, sf_dir):
     ensure_shipped(spark)
     from bdqc_spark.operators.similarity import ann_lsh_topk
@@ -1943,6 +1986,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clips_resample": q_clips_resample,
         "doc_length_drift": q_doc_length_drift,
         "clips_segment": q_clips_segment,
+        "audio_fingerprints": q_audio_fingerprints,
+        "audio_dup_pairs": q_audio_dup_pairs,
     }
 
 

@@ -1,0 +1,206 @@
+"""Acoustic fingerprinting — codec-robust near-duplicate detection
+for audio corpora.
+
+The 100 TB training-data problem this solves: the same recording
+enters the corpus many times under different encodings (a PCM master,
+a µ-law telephony copy, an ADPCM archive copy, a WAV re-container).
+Exact byte/hash dedup misses every one of these; transcript dedup
+misses clips with no/auto transcripts. The fix is a compact
+*perceptual* fingerprint computed from decoded audio, robust to
+re-encoding noise, cheap to join on.
+
+Fingerprint design (in the spirit of the Philips robust hash,
+Haitsma & Kalker, ISMIR 2002 — public algorithm — adapted to
+whole-clip granularity):
+  1. frame the decoded PCM (25 ms / 10 ms Hann, same framing as
+     functions/audio_features.py), power rFFT, TIME-AVERAGE the
+     spectrum over the clip (near-dups here are whole-clip
+     re-encodes, so the long average maximizes the SNR of every
+     band estimate),
+  2. project onto a 64-band HTK mel filterbank,
+  3. bit j = [E_j > α · mean(E)]  (α = 0.2): band-support bits.
+     Thresholding against the clip's own mean level makes the bits
+     level-invariant and — because the mean is dominated by the
+     spectral peaks — enormously stable under flat quantization
+     noise: measured ≤ 2 flipped bits across G.711 µ-law/A-law,
+     8-bit PCM and even 4-bit IMA ADPCM re-encodes (tests), while
+     distinct clips differ by ~24 bits on average.
+
+Pairing is a two-tier LSH-verify scheme, all Catalyst:
+  - candidates: the exact block-permutation Hamming join
+    (operators/dedup.hamming_neighbors_fp — exact for distance ≤ 3),
+    additionally blocked on the decoded frame count (same-content
+    re-encodes decode to identical length; the extra key keeps
+    buckets tiny on corpora whose band-support fingerprints cluster),
+  - verify: L2 distance over a 24-band log-mel profile with a
+    clip-relative noise floor (log(E + 1e-3·mean(E)) — an absolute
+    floor would let a 4-bit codec's noise swing near-silent bands by
+    many nats). True re-encodes measure ≤ ~16 (ADPCM worst case);
+    the default bound 20 keeps them with margin, and anything that
+    passes ALL THREE gates (equal length, band support within 3
+    bits, profile within 20) is a near-duplicate under any
+    reasonable reading.
+
+Execution contract (same as the profile/feature stages): ONE
+mapInArrow pass, zero-copy numpy views over the Arrow binary
+buffers, `bytes` consumed map-side and never emitted; downstream is
+pure Catalyst (the fingerprint is 8 bytes, the verify profile 24
+floats — that is all that ever shuffles).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pyarrow as pa
+
+from bdqc_spark.functions.audio_features import HOP_MS, WIN_MS, _hann, mel_filterbank
+
+FP_BANDS = 64          # fingerprint bands == fingerprint bits
+FP_ALPHA = 0.2         # band-support threshold, fraction of mean band energy
+VERIFY_BANDS = 24      # verify-profile mel bands
+VERIFY_FLOOR = 1e-3    # clip-relative noise floor inside the verify log
+VERIFY_L2_DEFAULT = 20.0
+
+AUDIO_FP_FIELDS = (
+    "fp_ok boolean, audio_fp bigint, fp_frames int, fp_profile array<float>"
+)
+
+_BIT_WEIGHTS = (1 << np.arange(FP_BANDS, dtype=np.uint64)).astype(np.uint64)
+
+
+def clip_fingerprint(pcm: np.ndarray, sr: int):
+    """One clip → (fp: python int, signed-int64 range; n_frames: int;
+    profile: float32[VERIFY_BANDS]) or None if the clip is too short
+    to frame or carries no energy."""
+    win = max(int(round(sr * WIN_MS / 1000.0)), 2)
+    hop = max(int(round(sr * HOP_MS / 1000.0)), 1)
+    if pcm.shape[0] < win:
+        return None
+    n_frames = 1 + (pcm.shape[0] - win) // hop
+    frames = np.lib.stride_tricks.as_strided(
+        np.ascontiguousarray(pcm, dtype=np.float64),
+        shape=(n_frames, win),
+        strides=(hop * 8, 8),
+    )
+    spec_mean = (np.abs(np.fft.rfft(frames * _hann(win), axis=1)) ** 2).mean(axis=0)
+    e_fp = spec_mean @ mel_filterbank(int(sr), win, FP_BANDS).T
+    level = e_fp.mean()
+    if not np.isfinite(level) or level <= 0.0:
+        return None
+    bits = e_fp > FP_ALPHA * level
+    fp = int((bits.astype(np.uint64) * _BIT_WEIGHTS).sum())
+    if fp >= 1 << 63:  # two's-complement into Spark's bigint
+        fp -= 1 << 64
+    e_v = spec_mean @ mel_filterbank(int(sr), win, VERIFY_BANDS).T
+    profile = np.log(e_v + VERIFY_FLOOR * e_v.mean() + 1e-300).astype(np.float32)
+    return fp, n_frames, profile
+
+
+def _fingerprint_arrow(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+    from bdqc_spark.functions.audio import CODECS, decode_arrow_slice
+    from bdqc_spark.plans.profile import _binary_buffers
+
+    for batch in batches:
+        n = batch.num_rows
+        barr = batch.column(batch.schema.get_field_index("bytes"))
+        offsets, data = _binary_buffers(barr)
+        nulls = pa.compute.is_null(barr).to_numpy(zero_copy_only=False)
+        codec = batch.column(batch.schema.get_field_index("codec")).to_pylist()
+        sr_arr = batch.column(batch.schema.get_field_index("sr_hz"))
+        # null ints surface as NaN after to_numpy — consult the validity
+        # bitmap, not the values (same guard as audio_features)
+        sr_null = pa.compute.is_null(sr_arr).to_numpy(zero_copy_only=False)
+        sr = sr_arr.to_numpy(zero_copy_only=False)
+
+        ok = np.zeros(n, bool)
+        fp = np.zeros(n, np.int64)
+        nframes = np.zeros(n, np.int32)
+        prof: list = [None] * n
+        for i in range(n):
+            if nulls[i] or codec[i] not in CODECS or sr_null[i] or not (sr[i] > 0):
+                continue
+            try:
+                pcm = decode_arrow_slice(data, int(offsets[i]), int(offsets[i + 1]), codec[i])
+                got = clip_fingerprint(pcm, int(sr[i]))
+            except (ValueError, TypeError):
+                continue
+            if got is None:
+                continue
+            ok[i] = True
+            fp[i], nframes[i], prof[i] = got
+
+        passthrough = {
+            name: batch.column(batch.schema.get_field_index(name))
+            for name in batch.schema.names
+            if name != "bytes"
+        }
+        yield pa.RecordBatch.from_pydict(
+            {
+                **passthrough,
+                "fp_ok": pa.array(ok),
+                "audio_fp": pa.array(fp, pa.int64()),
+                "fp_frames": pa.array(nframes, pa.int32()),
+                "fp_profile": pa.array(prof, pa.list_(pa.float32())),
+            }
+        )
+
+
+def fingerprint_clips(clips):
+    """clips(clip_id, bytes, sr_hz, codec [, ...]) → per-clip acoustic
+    fingerprint rows; passthrough columns preserved, `bytes` never
+    leaves the stage (same contract as profile_clips)."""
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in clips.schema.fields
+        if f.name != "bytes"
+    )
+    return clips.mapInArrow(_fingerprint_arrow, f"{schema}, {AUDIO_FP_FIELDS}")
+
+
+def audio_dup_pairs(
+    clips,
+    id_col: str = "clip_id",
+    max_hamming: int = 3,
+    verify_l2: float = VERIFY_L2_DEFAULT,
+    max_bucket_size: int = 500,
+):
+    """Near-duplicate audio pairs (id_a, id_b, hamming, profile_l2):
+    fingerprint → block-permutation Hamming join (blocked on frame
+    count) → log-mel-profile L2 verify. The pairs feed
+    operators/dedup.connected_components for cluster resolution,
+    exactly like the text near-dup paths."""
+    from pyspark.sql import functions as F
+
+    from bdqc_spark.operators.dedup import hamming_neighbors_fp
+
+    fps = fingerprint_clips(clips).where(F.col("fp_ok")).select(
+        id_col, "audio_fp", "fp_frames", "fp_profile"
+    )
+    cand = hamming_neighbors_fp(
+        fps,
+        id_col,
+        "audio_fp",
+        max_hamming=max_hamming,
+        max_bucket_size=max_bucket_size,
+        block_cols=("fp_frames",),
+        carry_cols=("fp_profile",),
+    )
+    l2 = F.sqrt(
+        F.aggregate(
+            F.zip_with(
+                "fp_profile_a",
+                "fp_profile_b",
+                lambda x, y: (x.cast("double") - y.cast("double"))
+                * (x.cast("double") - y.cast("double")),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    return (
+        cand.withColumn("profile_l2", F.round(l2, 4))
+        .where(F.col("profile_l2") <= verify_l2)
+        .select("id_a", "id_b", "hamming", "profile_l2")
+    )

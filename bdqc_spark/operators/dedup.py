@@ -227,6 +227,111 @@ def connected_components(
     return labels.select(F.col("id"), F.col("comp").alias("canonical_id"))
 
 
+def hamming_neighbors_fp(
+    fps: DataFrame,
+    id_col: str,
+    fp_col: str,
+    max_hamming: int = 3,
+    max_bucket_size: int = 500,
+    block_cols: tuple = (),
+    carry_cols: tuple = (),
+) -> DataFrame:
+    """Generic Hamming-neighbor self-join over a 64-bit fingerprint
+    column: pairs (id_a, id_b, hamming [, <carry>_a, <carry>_b]) with
+    bit_count(fp_a XOR fp_b) <= max_hamming.
+
+    Blocking is the classic block-permutation scheme (Manku et al.,
+    WWW 2007 — public algorithm): split the 64-bit fingerprint into 4
+    disjoint 16-bit blocks; by pigeonhole, any pair within Hamming
+    distance ≤ 3 agrees EXACTLY on at least one block, so a per-block
+    equi-join finds every qualifying pair (exact for max_hamming ≤ 3,
+    never an all-pairs product), and the cheap bit_count(a XOR b)
+    filter drops false candidates.
+
+    `block_cols` are extra equality-blocking keys folded into the
+    bucket (e.g. frame count for audio fingerprints: true re-encodes
+    decode to the same length, and the extra key keeps buckets small
+    on corpora whose fingerprints cluster). `carry_cols` ride along
+    into the output as <name>_a / <name>_b for a caller-side verify
+    stage (e.g. a spectral-profile distance).
+
+    Skew guard: identical to minhash_lsh_pairs — oversized buckets
+    (degenerate corpora: many identical items) are split into
+    hash-assigned sub-buckets, bounding per-bucket join work at
+    O(n·max) with the documented cross-sub recall cost; the cap list
+    broadcasts. Everything is Catalyst (bit ops + bit_count), zero
+    Python.
+    """
+    assert 0 <= max_hamming <= 3, "4-block scheme is exact only for distance <= 3"
+    block_cols = list(block_cols)
+    carry_cols = list(carry_cols)
+    fps = fps.select(
+        F.col(id_col).alias("_id"), F.col(fp_col).alias("_fp"), *block_cols, *carry_cols
+    ).localCheckpoint(eager=False)
+    blocks = fps.select(
+        "_id",
+        "_fp",
+        *block_cols,
+        *carry_cols,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("blk"),
+                        F.shiftrightunsigned("_fp", 16 * i)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("key"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select(
+        "_id", "_fp", *block_cols, *carry_cols,
+        F.col("bk.blk").alias("blk"), F.col("bk.key").alias("key"),
+    )
+
+    bucket_keys = ["blk", "key", *block_cols]
+    big = (
+        blocks.groupBy(*bucket_keys)
+        .agg(F.count(F.lit(1)).alias("_bn"))
+        .where(F.col("_bn") > max_bucket_size)
+    )
+    n_sub = F.coalesce(
+        F.ceil(F.col("_bn") / F.lit(max_bucket_size)).cast("long"), F.lit(1).cast("long")
+    )
+    blocks = blocks.join(F.broadcast(big), on=bucket_keys, how="left").select(
+        "_id", "_fp", *block_cols, *carry_cols, "blk", "key",
+        F.pmod(F.xxhash64("_id", F.col("blk")), n_sub).alias("sub"),
+    )
+
+    a, b = blocks.alias("a"), blocks.alias("b")
+    cond = (
+        (F.col("a.blk") == F.col("b.blk"))
+        & (F.col("a.key") == F.col("b.key"))
+        & (F.col("a.sub") == F.col("b.sub"))
+        & (F.col("a._id") < F.col("b._id"))
+    )
+    for c in block_cols:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    return (
+        a.join(b, cond)
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("a._fp").bitwiseXOR(F.col("b._fp"))).cast("int"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            "hamming",
+            *[F.col(f"a.{c}").alias(f"{c}_a") for c in carry_cols],
+            *[F.col(f"b.{c}").alias(f"{c}_b") for c in carry_cols],
+        )
+        .distinct()
+    )
+
+
 def simhash_neighbors(
     df: DataFrame,
     id_col: str,
@@ -237,76 +342,15 @@ def simhash_neighbors(
     """Near-dup pairs (id_a, id_b, hamming) with SimHash Hamming
     distance ≤ max_hamming — the consumer of simhash_fingerprints'
     blocking keys, completing the simhash near-dup path (pairs feed
-    connected_components for cluster resolution).
-
-    Blocking is the classic block-permutation scheme (Manku et al.,
-    WWW 2007 — public algorithm): split the 64-bit fingerprint into 4
-    disjoint 16-bit blocks; by pigeonhole, any pair within Hamming
-    distance ≤ 3 agrees EXACTLY on at least one block, so a per-block
-    equi-join finds every qualifying pair (exact for max_hamming ≤ 3,
-    never an all-pairs product), and the cheap bit_count(a XOR b)
-    filter drops false candidates.
-
-    Skew guard: identical to minhash_lsh_pairs — oversized (blk, key)
-    buckets (degenerate corpora: many identical docs) are split into
-    hash-assigned sub-buckets, bounding per-bucket join work at
-    O(n·max) with the documented cross-sub recall cost; the cap list
-    broadcasts. Everything is Catalyst (bit ops + bit_count), zero
-    Python.
+    connected_components for cluster resolution). Delegates to the
+    generic hamming_neighbors_fp block-permutation join.
     """
-    assert 0 <= max_hamming <= 3, "4-block scheme is exact only for distance <= 3"
-    # localCheckpoint, not cache — see minhash_lsh_pairs note (GC-cleaned
-    # vs unreachable-unpersist).
-    fps = simhash_fingerprints(df, id_col, text_col).select(
-        F.col(id_col).alias("_id"), "simhash"
-    ).localCheckpoint(eager=False)
-    blocks = fps.select(
-        "_id",
-        "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("blk"),
-                        F.shiftrightunsigned("simhash", 16 * i)
-                        .bitwiseAND(F.lit(0xFFFF))
-                        .alias("key"),
-                    )
-                    for i in range(4)
-                ]
-            )
-        ).alias("bk"),
-    ).select("_id", "simhash", F.col("bk.blk").alias("blk"), F.col("bk.key").alias("key"))
-
-    big = (
-        blocks.groupBy("blk", "key")
-        .agg(F.count(F.lit(1)).alias("_bn"))
-        .where(F.col("_bn") > max_bucket_size)
-    )
-    n_sub = F.coalesce(
-        F.ceil(F.col("_bn") / F.lit(max_bucket_size)).cast("long"), F.lit(1).cast("long")
-    )
-    blocks = blocks.join(F.broadcast(big), on=["blk", "key"], how="left").select(
-        "_id", "simhash", "blk", "key",
-        F.pmod(F.xxhash64("_id", F.col("blk")), n_sub).alias("sub"),
-    )
-
-    a, b = blocks.alias("a"), blocks.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.blk") == F.col("b.blk"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.sub") == F.col("b.sub"))
-            & (F.col("a._id") < F.col("b._id")),
-        )
-        .withColumn(
-            "hamming",
-            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).cast("int"),
-        )
-        .where(F.col("hamming") <= max_hamming)
-        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"), "hamming")
-        .distinct()
+    # localCheckpoint inside hamming_neighbors_fp, not cache — see
+    # minhash_lsh_pairs note (GC-cleaned vs unreachable-unpersist).
+    fps = simhash_fingerprints(df, id_col, text_col)
+    return hamming_neighbors_fp(
+        fps, id_col, "simhash",
+        max_hamming=max_hamming, max_bucket_size=max_bucket_size,
     )
 
 
