@@ -1056,6 +1056,65 @@ SELECT doc_id, lang, quality FROM q WHERE quality >= 0.7
 """
 
 
+# ---- Gopher-style repetition signals ----------------------------------------
+def q_doc_repetition(spark, sf_dir):
+    """Repetition quality signals (Rae et al. 2021 'Gopher' §A1.1):
+    char coverage of the top word-{2,3}-gram and of duplicated word
+    5-grams, each normalized by total chars, plus duplicate-line
+    fraction. Spark side is pure Catalyst — per-row array sort +
+    fold inside the scan stage, NO shuffle (the 100 TB shape: these
+    signals cost one projection, not a groupBy per document)."""
+    d = _t(spark, sf_dir, "documents")
+    r = TX.repetition_struct(F.col("text"))
+    return d.select("doc_id", "n_chars", "text").select(
+        "doc_id",
+        r["top_bigram_char_frac"].alias("top_bigram_char_frac"),
+        r["top_trigram_char_frac"].alias("top_trigram_char_frac"),
+        r["dup_5gram_char_frac"].alias("dup_5gram_char_frac"),
+        r["dup_line_frac"].alias("dup_line_frac"),
+    )
+
+
+ORACLE_DOC_REPETITION = """
+WITH base AS (
+  SELECT doc_id, length(text) AS nc,
+         regexp_extract_all(lower(text), '[a-z]+') AS w,
+         list_filter(string_split(text, chr(10)), x -> length(x) > 0) AS lines
+  FROM documents
+),
+g2 AS (
+  SELECT doc_id, max(cnt * length(gram)) AS cover FROM (
+    SELECT doc_id, gram, count(*) AS cnt FROM (
+      SELECT doc_id, unnest(list_transform(range(1, greatest(len(w), 1)),
+                                           i -> w[i] || ' ' || w[i+1])) AS gram
+      FROM base) GROUP BY doc_id, gram) GROUP BY doc_id
+),
+g3 AS (
+  SELECT doc_id, max(cnt * length(gram)) AS cover FROM (
+    SELECT doc_id, gram, count(*) AS cnt FROM (
+      SELECT doc_id, unnest(list_transform(range(1, greatest(len(w) - 1, 1)),
+                                           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS gram
+      FROM base) GROUP BY doc_id, gram) GROUP BY doc_id
+),
+g5 AS (
+  SELECT doc_id, sum(CASE WHEN cnt >= 2 THEN cnt * length(gram) ELSE 0 END) AS cover FROM (
+    SELECT doc_id, gram, count(*) AS cnt FROM (
+      SELECT doc_id, unnest(list_transform(range(1, greatest(len(w) - 3, 1)),
+          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4])) AS gram
+      FROM base) GROUP BY doc_id, gram) GROUP BY doc_id
+)
+SELECT b.doc_id,
+  round(CASE WHEN b.nc > 0 THEN CAST(coalesce(g2.cover, 0) AS DOUBLE) / b.nc ELSE 0.0 END, 6) AS top_bigram_char_frac,
+  round(CASE WHEN b.nc > 0 THEN CAST(coalesce(g3.cover, 0) AS DOUBLE) / b.nc ELSE 0.0 END, 6) AS top_trigram_char_frac,
+  round(CASE WHEN b.nc > 0 THEN CAST(coalesce(g5.cover, 0) AS DOUBLE) / b.nc ELSE 0.0 END, 6) AS dup_5gram_char_frac,
+  round(CASE WHEN len(b.lines) > 0
+        THEN CAST(len(b.lines) - len(list_distinct(b.lines)) AS DOUBLE) / len(b.lines)
+        ELSE 0.0 END, 6) AS dup_line_frac
+FROM base b
+LEFT JOIN g2 USING (doc_id) LEFT JOIN g3 USING (doc_id) LEFT JOIN g5 USING (doc_id)
+"""
+
+
 # ---- exact dedup on normalized text -----------------------------------------
 def q_dedup_exact(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
@@ -1988,6 +2047,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clips_segment": q_clips_segment,
         "audio_fingerprints": q_audio_fingerprints,
         "audio_dup_pairs": q_audio_dup_pairs,
+        "doc_repetition": q_doc_repetition,
     }
 
 
@@ -2043,4 +2103,5 @@ def oracle_sql() -> dict[str, str]:
         "similarity_topk": ORACLE_SIMILARITY,
         "scrub_documents": ORACLE_SCRUB,
         "scrub_audit": ORACLE_SCRUB_AUDIT,
+        "doc_repetition": ORACLE_DOC_REPETITION,
     }

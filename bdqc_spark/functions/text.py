@@ -105,6 +105,108 @@ def quality_score(c: Column) -> Column:
     return F.round(score, 6)
 
 
+def word_ngram_array(c: Column, n: int) -> Column:
+    """All word n-grams of the lowercased text as `a b c` strings.
+    1-indexed slice so the DuckDB oracle (`w[i] || ' ' || w[i+1]`)
+    produces byte-identical grams. Empty array when the text has
+    fewer than n words (Spark's `sequence` would otherwise count
+    DOWN for stop < start)."""
+    words = F.regexp_extract_all(F.lower(c), F.lit(r"[a-z]+"), F.lit(0))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(words) - (n - 1)),
+        lambda i: F.array_join(F.slice(words, i, n), " "),
+    )
+    return F.when(F.size(words) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def _run_length_fold(arr: Column, finish) -> Column:
+    """Fold a SORTED string array with a (prev, run, best, dup) carry:
+    `run` is the current equal-element run length, `best` the max of
+    run*len(elem) seen so far (char coverage of the most frequent
+    element), `dup` the running sum of count*len(elem) over elements
+    whose count reaches >=2 (char coverage of duplicated elements —
+    when a run hits 2 both occurrences are charged, then one per
+    further repeat). Pure JVM higher-order function: per-row
+    repetition stats without any shuffle — the property that lets the
+    Gopher-style signals run inside the scan stage at corpus scale."""
+    init = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best"),
+        F.lit(0).alias("dup"),
+    )
+
+    def step(acc, g):
+        run = F.when(g == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            g.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run * F.length(g)).alias("best"),
+            (
+                acc["dup"]
+                + F.when(run == 2, F.lit(2) * F.length(g))
+                .when(run > 2, F.length(g))
+                .otherwise(F.lit(0))
+            ).alias("dup"),
+        )
+
+    return F.aggregate(arr, init, step, finish)
+
+
+def top_ngram_char_cover(c: Column, n: int) -> Column:
+    """Characters covered by the most frequent word n-gram:
+    max over distinct n-grams of count * length(gram). Gopher-style
+    repetition signal (Rae et al. 2021, 'top n-gram fraction')."""
+    return _run_length_fold(
+        F.array_sort(word_ngram_array(c, n)), lambda acc: acc["best"]
+    )
+
+
+def dup_ngram_char_cover(c: Column, n: int) -> Column:
+    """Characters covered by word n-grams occurring more than once:
+    sum over n-grams with count >= 2 of count * length(gram)
+    (Gopher-style 'duplicate n-gram fraction' numerator)."""
+    return _run_length_fold(
+        F.array_sort(word_ngram_array(c, n)), lambda acc: acc["dup"]
+    )
+
+
+def dup_line_frac(c: Column) -> Column:
+    """Fraction of newline-delimited lines that are repeats of an
+    earlier line (0.0 for empty/one-line text). Gopher 'duplicate
+    line fraction'; degenerate on single-line corpora but real for
+    multi-line transcripts/documents."""
+    lines = F.filter(F.split(c, r"\n"), lambda x: F.length(x) > 0)
+    return F.when(
+        F.size(lines) > 0,
+        (F.size(lines) - F.size(F.array_distinct(lines))).cast("double")
+        / F.size(lines),
+    ).otherwise(F.lit(0.0))
+
+
+def repetition_struct(c: Column) -> Column:
+    """Gopher-style repetition signals as one struct column, each
+    normalized by total chars: top-{2,3}-gram char coverage and
+    duplicated-5-gram char coverage, plus the duplicate-line
+    fraction. All pure Catalyst (sort + fold over per-row arrays,
+    no shuffle, no Python)."""
+    nc = F.length(c)
+
+    def _frac(cover: Column) -> Column:
+        return F.round(
+            F.when(nc > 0, cover.cast("double") / nc).otherwise(F.lit(0.0)), 6
+        )
+
+    return F.struct(
+        _frac(top_ngram_char_cover(c, 2)).alias("top_bigram_char_frac"),
+        _frac(top_ngram_char_cover(c, 3)).alias("top_trigram_char_frac"),
+        _frac(dup_ngram_char_cover(c, 5)).alias("dup_5gram_char_frac"),
+        F.round(dup_line_frac(c), 6).alias("dup_line_frac"),
+    )
+
+
 def normalized(c: Column) -> Column:
     """Canonical text form for exact dedup: lowercase, collapse
     whitespace, strip punctuation."""

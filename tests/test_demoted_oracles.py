@@ -29,6 +29,7 @@ DEMOTED_ORACLE_QUERIES = [
     "math_funcs",
     "split_explode",
     "doc_length_drift",
+    "doc_repetition",
 ]
 
 

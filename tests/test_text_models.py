@@ -134,3 +134,66 @@ def test_unicode_scrub_twin_and_idempotence(spark):
     ascii_out, _, _ = scrub_python(rows[0][1])
     assert "@" in ascii_out          # missed by ASCII chain
     assert "<EMAIL>" in got["a"].scrubbed_text
+
+
+def _brute_repetition(text: str):
+    """Single-node reference for the Gopher repetition signals."""
+    import re
+
+    nc = len(text)
+    words = re.findall(r"[a-z]+", text.lower())
+
+    def grams(n):
+        return [" ".join(words[i : i + n]) for i in range(len(words) - n + 1)]
+
+    def top_cover(n):
+        from collections import Counter
+
+        c = Counter(grams(n))
+        return max((cnt * len(g) for g, cnt in c.items()), default=0)
+
+    def dup_cover(n):
+        from collections import Counter
+
+        c = Counter(grams(n))
+        return sum(cnt * len(g) for g, cnt in c.items() if cnt >= 2)
+
+    lines = [ln for ln in text.split("\n") if ln]
+    dlf = (len(lines) - len(set(lines))) / len(lines) if lines else 0.0
+    f = lambda x: round(x / nc, 6) if nc else 0.0  # noqa: E731
+    return (f(top_cover(2)), f(top_cover(3)), f(dup_cover(5)), round(dlf, 6))
+
+
+def test_repetition_struct_matches_brute_force(spark):
+    """Gopher-style repetition signals (top-{2,3}-gram / dup-5gram
+    char coverage, dup-line fraction) vs a from-scratch single-node
+    reference, including degenerate shapes (empty, <n words, all-
+    identical words, multiline with repeated lines)."""
+    from pyspark.sql import functions as F
+
+    from bdqc_spark.functions import text as TX
+
+    cases = [
+        "a b a b a b c",
+        "the cat sat on the mat the cat sat on the mat",
+        "x " * 50,
+        "one two three four five six seven",
+        "w",
+        "",
+        "line one\nline two\nline one\nline one\n",
+        "spark spark spark spark spark spark",
+        "a b c d e a b c d e a b c d e unique tail words here now",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(cases)], "i int, text string")
+    got = {
+        r.i: (
+            r.rep.top_bigram_char_frac,
+            r.rep.top_trigram_char_frac,
+            r.rep.dup_5gram_char_frac,
+            r.rep.dup_line_frac,
+        )
+        for r in df.select("i", TX.repetition_struct(F.col("text")).alias("rep")).collect()
+    }
+    for i, t in enumerate(cases):
+        exp = _brute_repetition(t)
+        assert got[i] == exp, (i, t, got[i], exp)
