@@ -1667,6 +1667,65 @@ def q_clips_audio_profile(spark, sf_dir):
     )
 
 
+def q_clips_flac_profile(spark, sf_dir):
+    """FLAC wire-codec clips through the vectorized profile stage
+    (rows-only: wire format, CRC/MD5 integrity and losslessness are
+    pytest-gated in tests/test_flac.py). Clips are synthesized AND
+    FLAC-encoded inside mapInPandas — distributed, deterministic
+    per-index RNG, no driver-side corpus — then profiled by the same
+    mapInArrow pass as every other codec. pcm_ok must be true and
+    hdr_sr (from STREAMINFO) must equal sr_hz for every row."""
+    ensure_shipped(spark)
+    from bdqc_spark.plans.profile import profile_clips
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        from bdqc_spark.functions.flac import flac_encode
+
+        for b in batches:
+            rows = []
+            for i in b["id"]:
+                rng = np.random.default_rng([4242, int(i)])
+                sr = 16000
+                ns = int(rng.integers(4000, 24000))
+                t = np.arange(ns) / sr
+                pcm = 0.4 * np.sin(
+                    2 * np.pi * float(rng.uniform(150, 2500)) * t
+                ) + rng.normal(0, 0.01, ns)
+                rows.append(
+                    {
+                        "clip_id": f"flac-{int(i):08d}",
+                        "bytes": flac_encode(np.clip(pcm, -1, 1), sr=sr),
+                        "sr_hz": sr,
+                        "dur_ms": int(ns * 1000 / sr),
+                        "codec": "flac",
+                        "transcript": "flac roundtrip clip",
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    clips = (
+        spark.range(0, 64)
+        .repartition(8)
+        .mapInPandas(
+            gen,
+            "clip_id string, bytes binary, sr_hz int, dur_ms int, "
+            "codec string, transcript string",
+        )
+    )
+    prof = profile_clips(clips)
+    return prof.select(
+        "clip_id",
+        F.col("audio.pcm_ok").alias("pcm_ok"),
+        F.col("audio.dur_ms_decoded").alias("dur_ms_decoded"),
+        F.round(F.col("audio.rms"), 6).alias("rms"),
+        F.col("audio.hdr_sr").alias("hdr_sr"),
+        (F.col("audio.hdr_sr") == F.col("sr_hz")).alias("hdr_sr_consistent"),
+    )
+
+
 _PIPELINE_OUT: dict[tuple[int, int], str] = {}
 
 
@@ -2048,6 +2107,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_fingerprints": q_audio_fingerprints,
         "audio_dup_pairs": q_audio_dup_pairs,
         "doc_repetition": q_doc_repetition,
+        "clips_flac_profile": q_clips_flac_profile,
     }
 
 

@@ -18,7 +18,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-CODECS = ("pcm_s16le", "pcm_f32le", "ulaw", "alaw", "wav")
+CODECS = ("pcm_s16le", "pcm_f32le", "ulaw", "alaw", "wav", "flac")
 
 # Energy-threshold VAD (frame RMS gate). Frozen: the keep/drop rule
 # audio.low_speech (plans/rules.py) and the single-node oracle both
@@ -119,6 +119,10 @@ def encode(pcm: np.ndarray, codec: str, sr: int = 16000) -> bytes:
         return _ULAW_ENC[_to_i16(pcm).view(np.uint16)].tobytes()
     if codec == "alaw":
         return _ALAW_ENC[_to_i16(pcm).view(np.uint16)].tobytes()
+    if codec == "flac":
+        from bdqc_spark.functions.flac import flac_encode
+
+        return flac_encode(pcm, sr=sr)
     raise ValueError(f"unknown codec {codec!r}")
 
 
@@ -151,6 +155,10 @@ def decode(raw: bytes, codec: str) -> np.ndarray:
     if codec == "wav":
         d = np.frombuffer(raw, dtype=np.uint8)
         return _decode_wav(d, 0, len(d))
+    if codec == "flac":
+        from bdqc_spark.functions.flac import flac_decode
+
+        return flac_decode(raw)
     raise ValueError(f"unknown codec {codec!r}")
 
 
@@ -565,6 +573,10 @@ def decode_arrow_slice(data: np.ndarray, start: int, end: int, codec: str) -> np
         return _ALAW_DEC_F32[data[start:end]]
     if codec == "wav":
         return _decode_wav(data, start, end)
+    if codec == "flac":
+        from bdqc_spark.functions.flac import flac_decode
+
+        return flac_decode(data[start:end])
     raise ValueError(f"unknown codec {codec!r}")
 
 

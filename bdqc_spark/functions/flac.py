@@ -1,0 +1,556 @@
+"""FLAC-subset wire codec — from scratch, numpy + stdlib only.
+
+Implements the public FLAC bitstream format (xiph.org/flac/format)
+for the engine's ingest domain: MONO, 16-bit, fixed-blocksize
+streams. Encoder emits CONSTANT / VERBATIM / FIXED(0-4) subframes
+with 4-bit Rice residual partitions (escape partitions when raw is
+cheaper); decoder additionally handles any Rice partition order,
+5-bit Rice (method 1), wasted bits, and all header blocksize /
+sample-rate code forms. LPC subframes and multi-channel streams are
+rejected with a clear error (subset decoder). Streams round-trip
+LOSSLESSLY — tests assert exact int16 equality, not SNR.
+
+Reference parity (SURVEY.md §2.A A6): bdqc's Binary signature treats
+compressed audio as opaque bytes; here FLAC joins pcm/ulaw/alaw/wav/
+adpcm as a first-class `codec` value on the clips table.
+
+Scale shape: this runs inside the profile stage's mapInArrow batches,
+so the decode hot path is numpy-vectorized end to end — the Rice
+decoder enumerates code boundaries by POINTER DOUBLING over the
+1-bit position index (O(B log n) numpy ops per partition — the same
+trick as the dedup cluster resolver, no per-sample Python loop);
+fixed-predictor reconstruction is iterated cumsum; CRC-8/16 are
+table-driven per frame (bounded by frames-per-clip, not samples).
+Integrity: CRC-8 (headers), CRC-16 (frames), and the STREAMINFO MD5
+of the raw PCM are all verified on decode.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+
+BLOCKSIZE = 4096
+_SYNC = 0x3FFE
+
+
+# --------------------------------------------------------------------------
+# CRC tables (FLAC: CRC-8 poly 0x07 init 0; CRC-16 poly 0x8005 init 0)
+# --------------------------------------------------------------------------
+def _make_crc_table(poly: int, width: int) -> list[int]:
+    top = 1 << (width - 1)
+    mask = (1 << width) - 1
+    tbl = []
+    for b in range(256):
+        r = b << (width - 8)
+        for _ in range(8):
+            r = ((r << 1) ^ poly) & mask if r & top else (r << 1) & mask
+        tbl.append(r)
+    return tbl
+
+
+_CRC8_T = _make_crc_table(0x07, 8)
+_CRC16_T = _make_crc_table(0x8005, 16)
+
+
+def _crc8(data) -> int:
+    c = 0
+    t = _CRC8_T
+    for b in bytes(data):
+        c = t[c ^ b]
+    return c
+
+
+def _crc16(data) -> int:
+    c = 0
+    t = _CRC16_T
+    for b in bytes(data):
+        c = ((c << 8) & 0xFFFF) ^ t[(c >> 8) ^ b]
+    return c
+
+
+# --------------------------------------------------------------------------
+# bit helpers (big-endian bit order throughout, as FLAC specifies)
+# --------------------------------------------------------------------------
+def _ubits(val: int, n: int) -> np.ndarray:
+    """n-bit big-endian bit array of an unsigned value."""
+    return ((val >> np.arange(n - 1, -1, -1)) & 1).astype(np.uint8)
+
+
+def _ubits_vec(vals: np.ndarray, n: int) -> np.ndarray:
+    """Concatenated n-bit big-endian encodings of a vector (uint64)."""
+    if n == 0 or len(vals) == 0:
+        return np.zeros(0, np.uint8)
+    shifts = np.arange(n - 1, -1, -1, dtype=np.uint64)
+    return ((vals[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.uint8).ravel()
+
+
+def _utf8_code(v: int) -> bytes:
+    """FLAC's extended-UTF-8 coding of the frame number (< 2**36)."""
+    if v < 0x80:
+        return bytes([v])
+    for nbytes, limit in ((2, 11), (3, 16), (4, 21), (5, 26), (6, 31), (7, 36)):
+        if v < (1 << limit):
+            out = [0]
+            for _ in range(nbytes - 1):
+                out.append(0x80 | (v & 0x3F))
+                v >>= 6
+            lead = (0xFF << (8 - nbytes)) & 0xFF
+            out[0] = lead | v
+            return bytes([out[0]] + out[:0:-1])
+    raise ValueError("flac: frame number too large")
+
+
+class _Bits:
+    """Big-endian bit reader over a byte array (whole-stream unpack,
+    integer cursor; bulk reads are numpy gathers)."""
+
+    __slots__ = ("b", "n", "pos")
+
+    def __init__(self, data: np.ndarray):
+        self.b = np.unpackbits(data)
+        self.n = int(self.b.shape[0])
+        self.pos = 0
+
+    def read(self, n: int) -> int:
+        if self.pos + n > self.n:
+            raise ValueError("flac: truncated stream")
+        sl = self.b[self.pos : self.pos + n].astype(np.int64)
+        self.pos += n
+        return int(sl @ (np.int64(1) << np.arange(n - 1, -1, -1, dtype=np.int64)))
+
+    def read_signed(self, n: int) -> int:
+        v = self.read(n)
+        return v - (1 << n) if n and (v >> (n - 1)) else v
+
+    def read_unary(self) -> int:
+        """Count of 0-bits before the next 1-bit (consumes the 1)."""
+        rest = self.b[self.pos :]
+        nz = np.flatnonzero(rest[: 1 << 20])
+        if nz.shape[0] == 0:
+            raise ValueError("flac: truncated stream (unary)")
+        q = int(nz[0])
+        self.pos += q + 1
+        return q
+
+    def read_signed_vec(self, count: int, bits: int) -> np.ndarray:
+        if bits == 0:
+            return np.zeros(count, np.int64)
+        total = count * bits
+        if self.pos + total > self.n:
+            raise ValueError("flac: truncated stream")
+        m = self.b[self.pos : self.pos + total].astype(np.int64).reshape(count, bits)
+        self.pos += total
+        v = m @ (np.int64(1) << np.arange(bits - 1, -1, -1, dtype=np.int64))
+        sign = v >> (bits - 1)
+        return v - (sign << bits)
+
+    def align_byte(self) -> None:
+        self.pos = (self.pos + 7) & ~7
+
+
+# --------------------------------------------------------------------------
+# Rice coding
+# --------------------------------------------------------------------------
+def _zigzag(v: np.ndarray) -> np.ndarray:
+    v = v.astype(np.int64)
+    return ((v << 1) ^ (v >> 63)).astype(np.uint64)
+
+
+def _unzigzag(u: np.ndarray) -> np.ndarray:
+    half = (u >> np.uint64(1)).astype(np.int64)
+    return np.where((u & np.uint64(1)).astype(bool), -half - 1, half)
+
+
+def _best_rice_k(u: np.ndarray) -> tuple[int, int]:
+    """(k, cost_bits) minimizing n*(1+k) + sum(u >> k), k in 0..14."""
+    n = len(u)
+    best_k, best_c = 0, n + int(u.sum())
+    for k in range(1, 15):
+        c = n * (1 + k) + int((u >> np.uint64(k)).sum())
+        if c < best_c:
+            best_k, best_c = k, c
+    return best_k, best_c
+
+
+def _rice_encode_bits(u: np.ndarray, k: int) -> np.ndarray:
+    """Rice(k) bit array for zigzagged values: unary quotient,
+    1 terminator, k-bit remainder — all positions scattered in one
+    vectorized pass."""
+    n = len(u)
+    if n == 0:
+        return np.zeros(0, np.uint8)
+    q = (u >> np.uint64(k)).astype(np.int64)
+    total = int(q.sum()) + n * (1 + k)
+    bits = np.zeros(total, np.uint8)
+    term = np.cumsum(q + 1 + k) - (1 + k)
+    bits[term] = 1
+    if k:
+        rem_pos = term[:, None] + 1 + np.arange(k)[None, :]
+        shifts = np.arange(k - 1, -1, -1, dtype=np.uint64)
+        rem = ((u[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.uint8)
+        bits[rem_pos.ravel()] = rem.ravel()
+    return bits
+
+
+def _rice_decode(bits: np.ndarray, start: int, n: int, k: int) -> tuple[np.ndarray, int]:
+    """Decode n Rice(k) codes from bits[start:]; returns (signed
+    residuals, end bit position). Code boundaries are found WITHOUT a
+    per-code loop: the jump map g[j] = index of the first 1-bit at or
+    past (pos[j] + 1 + k) is one vectorized searchsorted over the
+    1-bit position index, and its n-step orbit from the partition
+    start is enumerated by pointer doubling (S ← S ∥ G[S], G ← G∘G)."""
+    if n == 0:
+        return np.zeros(0, np.int64), start
+    B = bits.shape[0]
+    win = min(B, start + max(4096, 8 * n * (k + 4)))
+    while True:
+        pos = np.flatnonzero(bits[start:win]).astype(np.int64) + start
+        m = pos.shape[0]
+        if m >= n:
+            g = np.searchsorted(pos, pos + 1 + k).astype(np.int64)
+            g = np.append(g, m)  # sink
+            S = np.zeros(1, np.int64)  # j_0: first 1-bit at/after start
+            G = g
+            while S.shape[0] < n:
+                S = np.concatenate([S, G[np.minimum(S, m)]])
+                G = G[np.minimum(G, m)]
+            S = S[:n]
+            if int(S.max()) < m:
+                terms = pos[S]
+                break
+        if win >= B:
+            raise ValueError("flac: rice partition overruns stream")
+        win = min(B, start + (win - start) * 4)
+    end = int(terms[-1]) + 1 + k
+    if end > B:
+        raise ValueError("flac: truncated stream (rice remainder)")
+    starts = np.empty(n, np.int64)
+    starts[0] = start
+    starts[1:] = terms[:-1] + 1 + k
+    u = (terms - starts).astype(np.uint64) << np.uint64(k)
+    if k:
+        rem_idx = terms[:, None] + 1 + np.arange(k)[None, :]
+        shifts = np.arange(k - 1, -1, -1, dtype=np.uint64)
+        rem = (bits[rem_idx].astype(np.uint64) << shifts[None, :]).sum(
+            axis=1, dtype=np.uint64
+        )
+        u |= rem
+    return _unzigzag(u), end
+
+
+# --------------------------------------------------------------------------
+# fixed predictors
+# --------------------------------------------------------------------------
+def _fixed_residual(x: np.ndarray, order: int) -> np.ndarray:
+    return np.diff(x, order) if order else x.copy()
+
+
+def _fixed_restore(warm: np.ndarray, res: np.ndarray, order: int) -> np.ndarray:
+    """Invert the order-o difference given o warmup samples:
+    o rounds of cumsum seeded by the warmup's difference chain."""
+    if order == 0:
+        return res
+    x = res.astype(np.int64)
+    for j in range(order - 1, -1, -1):
+        seed = int(np.diff(warm, j)[-1]) if j else int(warm[-1])
+        x = seed + np.cumsum(x)
+    return np.concatenate([warm.astype(np.int64), x])
+
+
+# --------------------------------------------------------------------------
+# encoder
+# --------------------------------------------------------------------------
+def _escape_bits_needed(res: np.ndarray) -> int:
+    lo, hi = int(res.min()), int(res.max())
+    b = 0
+    for v in (lo, hi):
+        need = (v.bit_length() + 1) if v >= 0 else ((-v - 1).bit_length() + 1)
+        b = max(b, need)
+    return min(b, 31)
+
+
+def _partition_bits(res: np.ndarray) -> np.ndarray:
+    """One residual partition: 4-bit Rice param + codes, or the
+    escape form (param 0b1111 + 5-bit width + raw two's complement)
+    when raw is cheaper."""
+    u = _zigzag(res)
+    k, rice_cost = _best_rice_k(u)
+    b = _escape_bits_needed(res) if len(res) else 0
+    esc_cost = 5 + len(res) * b
+    if esc_cost < rice_cost:
+        return np.concatenate(
+            [
+                _ubits(0b1111, 4),
+                _ubits(b, 5),
+                _ubits_vec((res.astype(np.int64) & ((1 << b) - 1)).astype(np.uint64), b),
+            ]
+        )
+    return np.concatenate([_ubits(k, 4), _rice_encode_bits(u, k)])
+
+
+def _subframe_bits(
+    x: np.ndarray, bs: int, bps: int, force_verbatim: bool, part_order: int
+) -> np.ndarray:
+    n = len(x)
+    sx = x.astype(np.int64)
+    if not force_verbatim and n and np.all(sx == sx[0]):
+        head = np.concatenate([_ubits(0, 1), _ubits(0b000000, 6), _ubits(0, 1)])
+        return np.concatenate(
+            [head, _ubits(int(sx[0]) & ((1 << bps) - 1), bps)]
+        )
+    if force_verbatim:
+        head = np.concatenate([_ubits(0, 1), _ubits(0b000001, 6), _ubits(0, 1)])
+        return np.concatenate(
+            [head, _ubits_vec((sx & ((1 << bps) - 1)).astype(np.uint64), bps)]
+        )
+    # fixed order 0..4 by min total |residual| (the classic heuristic)
+    best_o, best_sum = 0, None
+    for o in range(0, min(4, n - 1) + 1):
+        s = int(np.abs(_fixed_residual(sx, o)).sum())
+        if best_sum is None or s < best_sum:
+            best_o, best_sum = o, s
+    o = best_o
+    res = _fixed_residual(sx, o)
+    p = part_order if (n == bs and bs % (1 << part_order) == 0) else 0
+    while p and (bs >> p) <= o:
+        p -= 1
+    head = np.concatenate([_ubits(0, 1), _ubits(0b001000 | o, 6), _ubits(0, 1)])
+    warm = _ubits_vec((sx[:o] & ((1 << bps) - 1)).astype(np.uint64), bps)
+    parts = [_ubits(0, 2), _ubits(p, 4)]  # method 0 (4-bit rice), order p
+    per = bs >> p
+    off = 0
+    for i in range(1 << p):
+        cnt = per - o if i == 0 else per
+        parts.append(_partition_bits(res[off : off + cnt]))
+        off += cnt
+    return np.concatenate([head, warm] + parts)
+
+
+def flac_encode(
+    pcm: np.ndarray,
+    sr: int = 16000,
+    blocksize: int = BLOCKSIZE,
+    force_verbatim: bool = False,
+    partition_order: int = 0,
+) -> bytes:
+    """float32 [-1,1] PCM → FLAC stream (mono, 16-bit). Same sample
+    quantization as the pcm_s16le codec so encode→decode round-trips
+    bit-exactly through the shared float contract."""
+    x = np.clip(np.asarray(pcm, dtype=np.float64), -1.0, 1.0)
+    i16 = np.round(x * 32767.0).astype(np.int16)
+    n = len(i16)
+    if n == 0:
+        raise ValueError("flac: empty pcm")
+    md5 = hashlib.md5(i16.astype("<i2").tobytes()).digest()
+    # STREAMINFO (34 bytes): all fields big-endian-bit-packed
+    si = 0
+    for val, w in (
+        (blocksize, 16),
+        (blocksize, 16),
+        (0, 24),
+        (0, 24),
+        (sr, 20),
+        (0, 3),  # channels-1
+        (15, 5),  # bps-1
+        (n, 36),
+    ):
+        si = (si << w) | (val & ((1 << w) - 1))
+    si_bytes = si.to_bytes(18, "big") + md5
+    out = [b"fLaC", bytes([0x80, 0, 0, 34]), si_bytes]
+    for fno, start in enumerate(range(0, n, blocksize)):
+        frame = i16[start : start + blocksize]
+        bs = len(frame)
+        hdr = bytearray()
+        hdr += bytes([0xFF, 0xF8])  # sync(14) + reserved(0) + fixed-bs(0)
+        hdr.append((0b0111 << 4) | 0b0000)  # bs: 16-bit at end; sr: STREAMINFO
+        hdr.append((0b0000 << 4) | (0b100 << 1))  # mono, 16-bit, reserved 0
+        hdr += _utf8_code(fno)
+        hdr += (bs - 1).to_bytes(2, "big")
+        hdr.append(_crc8(hdr))
+        sub = _subframe_bits(frame, bs, 16, force_verbatim, partition_order)
+        pad = (-len(sub)) % 8
+        if pad:
+            sub = np.concatenate([sub, np.zeros(pad, np.uint8)])
+        body = bytes(hdr) + np.packbits(sub).tobytes()
+        out.append(body + _crc16(body).to_bytes(2, "big"))
+    return b"".join(out)
+
+
+# --------------------------------------------------------------------------
+# decoder
+# --------------------------------------------------------------------------
+_BPS_CODE = {0b001: 8, 0b010: 12, 0b100: 16, 0b101: 20, 0b110: 24, 0b111: 32}
+_SR_CODE = {
+    0b0001: 88200, 0b0010: 176400, 0b0011: 192000, 0b0100: 8000,
+    0b0101: 16000, 0b0110: 22050, 0b0111: 24000, 0b1000: 32000,
+    0b1001: 44100, 0b1010: 48000, 0b1011: 96000,
+}
+_BS_FIXED = {0b0001: 192}
+_BS_FIXED.update({c: 576 << (c - 2) for c in range(0b0010, 0b0110)})
+_BS_FIXED.update({c: 256 << (c - 8) for c in range(0b1000, 0b10000)})
+
+
+def flac_info(raw: bytes) -> dict:
+    """STREAMINFO fields of a FLAC stream (header-only parse)."""
+    data = np.frombuffer(raw, dtype=np.uint8)
+    return _parse_stream_header(data)[0]
+
+
+def _parse_stream_header(data: np.ndarray) -> tuple[dict, int]:
+    if data.shape[0] < 42 or bytes(data[:4]) != b"fLaC":
+        raise ValueError("flac: missing fLaC magic")
+    off, si = 4, None
+    while True:
+        if off + 4 > data.shape[0]:
+            raise ValueError("flac: truncated metadata")
+        hdr = int(data[off])
+        blen = (int(data[off + 1]) << 16) | (int(data[off + 2]) << 8) | int(data[off + 3])
+        body = off + 4
+        if body + blen > data.shape[0]:
+            raise ValueError("flac: metadata block overruns stream")
+        if hdr & 0x7F == 0:
+            if blen != 34:
+                raise ValueError("flac: STREAMINFO must be 34 bytes")
+            v = int.from_bytes(bytes(data[body : body + 18]), "big")
+            si = {
+                "min_blocksize": (v >> 128) & 0xFFFF,
+                "max_blocksize": (v >> 112) & 0xFFFF,
+                "sr": (v >> 44) & 0xFFFFF,
+                "channels": ((v >> 41) & 0x7) + 1,
+                "bps": ((v >> 36) & 0x1F) + 1,
+                "total_samples": v & ((1 << 36) - 1),
+                "md5": bytes(data[body + 18 : body + 34]),
+            }
+        off = body + blen
+        if hdr & 0x80:
+            break
+    if si is None:
+        raise ValueError("flac: no STREAMINFO block")
+    return si, off
+
+
+def flac_decode_i16(raw) -> tuple[np.ndarray, int]:
+    """FLAC stream → (int16 samples, sample rate). Verifies frame
+    CRC-8/CRC-16, sample count, and the STREAMINFO MD5."""
+    data = np.asarray(raw if isinstance(raw, np.ndarray) else np.frombuffer(raw, np.uint8))
+    si, off = _parse_stream_header(data)
+    if si["channels"] != 1:
+        raise ValueError("flac: subset decoder supports mono only")
+    if si["bps"] != 16:
+        raise ValueError("flac: subset decoder supports 16-bit only")
+    total = si["total_samples"]
+    if total == 0:
+        raise ValueError("flac: STREAMINFO total_samples is 0")
+    br = _Bits(data[off:])
+    chunks: list[np.ndarray] = []
+    got = 0
+    while got < total:
+        fstart = br.pos // 8
+        if br.read(14) != _SYNC:
+            raise ValueError("flac: bad frame sync")
+        br.read(1)
+        br.read(1)  # reserved, blocking strategy
+        bs_code = br.read(4)
+        sr_code = br.read(4)
+        ch_code = br.read(4)
+        ss_code = br.read(3)
+        br.read(1)
+        if ch_code != 0:
+            raise ValueError("flac: subset decoder supports mono only")
+        bps = si["bps"] if ss_code == 0 else _BPS_CODE.get(ss_code)
+        if bps is None:
+            raise ValueError("flac: reserved sample-size code")
+        if bps != 16:
+            raise ValueError("flac: subset decoder supports 16-bit only")
+        # extended-UTF-8 frame/sample number
+        lead = br.read(8)
+        extra = 0
+        while (lead << extra) & 0x80 and extra < 7:
+            extra += 1
+        for _ in range(max(0, extra - 1)):
+            if br.read(2) != 0b10:
+                raise ValueError("flac: bad UTF-8 frame number")
+            br.read(6)
+        if bs_code == 0:
+            raise ValueError("flac: reserved blocksize code")
+        elif bs_code == 0b0110:
+            bs = br.read(8) + 1
+        elif bs_code == 0b0111:
+            bs = br.read(16) + 1
+        else:
+            bs = _BS_FIXED[bs_code]
+        if sr_code == 0b1100:
+            br.read(8)
+        elif sr_code == 0b1101 or sr_code == 0b1110:
+            br.read(16)
+        elif sr_code == 0b1111:
+            raise ValueError("flac: invalid sample-rate code")
+        hdr_end = br.pos // 8
+        if br.read(8) != _crc8(data[off + fstart : off + hdr_end]):
+            raise ValueError("flac: frame header CRC-8 mismatch")
+        # ---- subframe (mono) ----
+        if br.read(1):
+            raise ValueError("flac: subframe padding bit set")
+        tcode = br.read(6)
+        wasted = 0
+        if br.read(1):
+            wasted = br.read_unary() + 1
+        ebps = bps - wasted
+        if tcode == 0b000000:
+            x = np.full(bs, br.read_signed(ebps), dtype=np.int64)
+        elif tcode == 0b000001:
+            x = br.read_signed_vec(bs, ebps)
+        elif 0b001000 <= tcode <= 0b001100:
+            o = tcode - 0b001000
+            if o > bs:
+                raise ValueError("flac: predictor order exceeds blocksize")
+            warm = br.read_signed_vec(o, ebps)
+            method = br.read(2)
+            if method > 1:
+                raise ValueError("flac: reserved residual coding method")
+            pbits = 4 + method
+            esc = (1 << pbits) - 1
+            p = br.read(4)
+            if bs % (1 << p) or (bs >> p) <= o and p:
+                raise ValueError("flac: invalid rice partition order")
+            res_parts = []
+            per = bs >> p
+            for i in range(1 << p):
+                cnt = per - o if i == 0 else per
+                param = br.read(pbits)
+                if param == esc:
+                    b = br.read(5)
+                    res_parts.append(br.read_signed_vec(cnt, b))
+                else:
+                    vals, end = _rice_decode(br.b, br.pos, cnt, param)
+                    br.pos = end
+                    res_parts.append(vals)
+            x = _fixed_restore(warm, np.concatenate(res_parts), o)
+        elif tcode >= 0b100000:
+            raise ValueError("flac: LPC subframes unsupported (subset decoder)")
+        else:
+            raise ValueError("flac: reserved subframe type")
+        if wasted:
+            x = x << wasted
+        br.align_byte()
+        fend = br.pos // 8
+        if br.read(16) != _crc16(data[off + fstart : off + fend]):
+            raise ValueError("flac: frame CRC-16 mismatch")
+        if np.any(x > 32767) or np.any(x < -32768):
+            raise ValueError("flac: decoded sample out of 16-bit range")
+        chunks.append(x.astype(np.int16))
+        got += bs
+    if got != total:
+        raise ValueError("flac: decoded sample count != STREAMINFO total")
+    pcm = np.concatenate(chunks)
+    if hashlib.md5(pcm.astype("<i2").tobytes()).digest() != si["md5"]:
+        raise ValueError("flac: PCM MD5 mismatch")
+    return pcm, si["sr"]
+
+
+def flac_decode(raw) -> np.ndarray:
+    """bytes → float32 PCM in [-1,1] (same scaling as pcm_s16le)."""
+    pcm, _ = flac_decode_i16(raw)
+    return pcm.astype(np.float32) / np.float32(32767.0)

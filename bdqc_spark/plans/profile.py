@@ -52,6 +52,7 @@ def _profile_arrow(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch
         decode_arrow_slice,
         speech_ratio,
     )
+    from bdqc_spark.functions.flac import _parse_stream_header as _flac_header
     from bdqc_spark.functions.langid import predict_batch
     from bdqc_spark.functions.lm import perplexity_batch
 
@@ -111,6 +112,11 @@ def _profile_arrow(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch
                 # surfaces the container's own sample rate for the
                 # audio.hdr_sr_mismatch catalog cross-check
                 hdr_sr[i] = _parse_wav(data, int(offsets[i]), int(offsets[i + 1]))["hdr_sr"]
+            elif codec[i] == "flac":
+                # same cross-check from the FLAC STREAMINFO block
+                hdr_sr[i] = _flac_header(
+                    data[int(offsets[i]) : int(offsets[i + 1])]
+                )[0]["sr"]
 
         transcripts = batch.column(batch.schema.get_field_index("transcript")).to_pandas()
         lang = predict_batch(transcripts)

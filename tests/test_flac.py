@@ -1,0 +1,178 @@
+"""Ring-1 tests for the from-scratch FLAC-subset wire codec.
+
+FLAC is lossless, so the bar is exact int16 equality (not SNR).
+No external FLAC implementation exists in this sandbox; the wire
+evidence is (a) a hand-derived golden byte vector checked field by
+field against the public spec, (b) CRC-8/CRC-16/MD5 integrity
+verification catching any byte corruption, (c) exact round-trips
+across subframe types, partition orders, and frame boundaries.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from bdqc_spark.functions.flac import (
+    flac_decode,
+    flac_decode_i16,
+    flac_encode,
+    flac_info,
+)
+
+
+def _i16(x):
+    return np.round(np.clip(np.asarray(x, np.float64), -1, 1) * 32767).astype(np.int16)
+
+
+RNG = np.random.default_rng(7)
+CASES = {
+    "silence": np.zeros(9000, np.float32),
+    "tone": (np.sin(2 * np.pi * 440 * np.arange(16000) / 16000) * 0.5).astype(np.float32),
+    "noise": (RNG.standard_normal(5000) * 0.2).clip(-1, 1).astype(np.float32),
+    "tiny": np.array([0.1, -0.2, 0.3], np.float32),
+    "one_sample": np.array([0.5], np.float32),
+    "ramp": np.linspace(-0.9, 0.9, 12345).astype(np.float32),
+    "full_scale": np.array([1.0, -1.0] * 100, np.float32),
+    "two_frames_plus": (RNG.standard_normal(2 * 4096 + 100) * 0.1).astype(np.float32),
+}
+
+
+@pytest.mark.parametrize("name", sorted(CASES))
+def test_roundtrip_exact(name):
+    x = CASES[name]
+    dec, sr = flac_decode_i16(flac_encode(x, sr=16000))
+    assert sr == 16000
+    assert np.array_equal(dec, _i16(x)), name
+
+
+@pytest.mark.parametrize(
+    "kw",
+    [{"force_verbatim": True}, {"partition_order": 2}, {"partition_order": 4}],
+)
+def test_roundtrip_variants(kw):
+    x = CASES["tone"]
+    dec, sr = flac_decode_i16(flac_encode(x, sr=8000, **kw))
+    assert sr == 8000
+    assert np.array_equal(dec, _i16(x)), kw
+
+
+def test_escape_partition_roundtrip():
+    """Spiky residuals make raw (escape) partitions cheaper than
+    Rice for some partitions — exercise the escape encode + decode."""
+    rng = np.random.default_rng(3)
+    x = np.where(
+        rng.random(8192) < 0.02, rng.uniform(-1, 1, 8192), rng.standard_normal(8192) * 5e-4
+    ).astype(np.float32)
+    dec, _ = flac_decode_i16(flac_encode(x, partition_order=4))
+    assert np.array_equal(dec, _i16(x))
+
+
+def test_compression_actually_compresses():
+    """Tonal/smooth content must compress well below raw 16-bit —
+    the codec is not a verbatim dressing."""
+    tone = flac_encode(CASES["tone"])
+    ramp = flac_encode(CASES["ramp"])
+    assert len(tone) < 0.5 * 2 * len(CASES["tone"])
+    assert len(ramp) < 0.2 * 2 * len(CASES["ramp"])
+
+
+GOLDEN = bytes.fromhex(
+    # hand-derived, field by field, from the public FLAC spec
+    # (xiph.org/flac/format) for encode(zeros(2), sr=16000):
+    #   664c6143          "fLaC"
+    #   80 000022         last-metadata flag + STREAMINFO, length 34
+    #   1000 1000         min/max blocksize 4096
+    #   000000 000000     min/max framesize unknown
+    #   03e80|0|0f|...02  sr=16000(20b) ch-1=0(3b) bps-1=15(5b) total=2(36b)
+    #   f1d3...7262       md5(b"\x00\x00\x00\x00")
+    #   fff8              sync(14)=0x3FFE reserved=0 blocking=fixed
+    #   70                blocksize code 0b0111 (16-bit at end), sr code 0b0000
+    #   08                channels 0b0000 (mono), sample size 0b100 (16), reserved 0
+    #   00                UTF-8 frame number 0
+    #   0001              blocksize-1 = 1
+    #   1d                CRC-8 of header
+    #   000000            subframe: pad 0, type 0b000000 CONSTANT, wasted 0, value 0 (16b)
+    #   5605              CRC-16 of frame
+    "664c6143800000221000100000000000000003e800f000000002"
+    "f1d3ff8443297732862df21dc4e57262"
+    "fff870080000011d0000005605"
+)
+
+
+def test_golden_stream_bytes():
+    assert flac_encode(np.zeros(2, np.float32), sr=16000) == GOLDEN
+
+
+def test_golden_stream_decodes():
+    dec, sr = flac_decode_i16(GOLDEN)
+    assert sr == 16000 and np.array_equal(dec, np.zeros(2, np.int16))
+
+
+def test_info_fields():
+    info = flac_info(flac_encode(CASES["ramp"], sr=22050))
+    assert info["sr"] == 22050
+    assert info["channels"] == 1
+    assert info["bps"] == 16
+    assert info["total_samples"] == len(CASES["ramp"])
+
+
+def test_corruption_detected_everywhere():
+    """Flipping any byte of the frame section must raise (CRC-8,
+    CRC-16, rice/structure, or MD5 — nothing decodes silently)."""
+    raw = bytearray(flac_encode(CASES["noise"], sr=16000))
+    frame_start = 42  # 4 magic + 4 block header + 34 STREAMINFO
+    rng = np.random.default_rng(11)
+    hits = 0
+    for pos in rng.choice(np.arange(frame_start, len(raw)), size=40, replace=False):
+        bad = bytearray(raw)
+        bad[pos] ^= 0x41
+        try:
+            flac_decode_i16(bytes(bad))
+        except ValueError:
+            hits += 1
+    assert hits == 40
+
+
+def test_md5_tamper_detected():
+    raw = bytearray(flac_encode(CASES["tiny"]))
+    raw[30] ^= 0xFF  # inside the STREAMINFO MD5 field
+    with pytest.raises(ValueError, match="MD5|flac"):
+        flac_decode_i16(bytes(raw))
+
+
+def test_malformed_streams_rejected():
+    with pytest.raises(ValueError):
+        flac_decode_i16(b"fLaX" + b"\x00" * 60)
+    with pytest.raises(ValueError):
+        flac_decode_i16(flac_encode(CASES["tone"])[:100])  # truncated
+    with pytest.raises(ValueError):
+        flac_encode(np.zeros(0, np.float32))
+
+
+def test_profile_batch_integration():
+    """codec='flac' rows flow through the vectorized profile stage:
+    decoded stats must equal the pcm_s16le twin of the same signal."""
+    import pandas as pd
+
+    from bdqc_spark.functions.audio import encode, profile_batch
+
+    x = CASES["tone"]
+    raw = pd.Series([encode(x, "flac"), encode(x, "pcm_s16le"), b"notflac"])
+    codec = pd.Series(["flac", "pcm_s16le", "flac"])
+    sr = pd.Series([16000, 16000, 16000])
+    out = profile_batch(raw, codec, sr)
+    assert bool(out.loc[0, "pcm_ok"]) and bool(out.loc[1, "pcm_ok"])
+    assert not bool(out.loc[2, "pcm_ok"])  # malformed degrades, not crashes
+    assert abs(out.loc[0, "rms"] - out.loc[1, "rms"]) < 1e-6
+    assert out.loc[0, "dur_ms_decoded"] == out.loc[1, "dur_ms_decoded"]
+
+
+def test_decode_arrow_slice_parity():
+    from bdqc_spark.functions.audio import decode, decode_arrow_slice
+
+    raw = flac_encode(CASES["noise"])
+    buf = np.frombuffer(b"\xaa" + raw + b"\xbb", dtype=np.uint8)
+    a = decode_arrow_slice(buf, 1, 1 + len(raw), "flac")
+    b = decode(raw, "flac")
+    assert np.array_equal(a, b)
