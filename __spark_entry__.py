@@ -1726,6 +1726,24 @@ def q_clips_flac_profile(spark, sf_dir):
     )
 
 
+def q_clips_loudness(spark, sf_dir):
+    """BS.1770-style gated integrated loudness + peak/crest per clip
+    (rows-only: the ITU anchors — coefficient table, −3.01 LUFS
+    997 Hz sine, gating — are pytest-gated in tests/test_loudness.py).
+    One mapInArrow pass, same contract as the profile stage."""
+    from bdqc_spark.functions.loudness import clip_loudness
+
+    out = clip_loudness(_clips_df(spark))
+    return out.select(
+        "clip_id",
+        "codec",
+        "loud_ok",
+        F.round(F.col("lufs"), 4).alias("lufs"),
+        F.round(F.col("peak_dbfs"), 4).alias("peak_dbfs"),
+        F.round(F.col("crest_db"), 4).alias("crest_db"),
+    )
+
+
 _PIPELINE_OUT: dict[tuple[int, int], str] = {}
 
 
@@ -2108,6 +2126,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_dup_pairs": q_audio_dup_pairs,
         "doc_repetition": q_doc_repetition,
         "clips_flac_profile": q_clips_flac_profile,
+        "clips_loudness": q_clips_loudness,
     }
 
 

@@ -174,6 +174,21 @@ def main() -> None:
     sf = 0.1 if "0.1" in SF_DIR else (0.01 if "0.01" in SF_DIR else 0.001)
     timings: dict[str, float] = {}
 
+    # Synthesize both corpora FIRST, in a dedicated session, LARGEST
+    # first. The generation repartition shuffles the full bytes column
+    # (~1× corpus size of spill); doing it after the other corpus
+    # exists puts corpus+write+spill on disk simultaneously and can
+    # ENOSPC a ~66 GB-free sandbox (observed). stop() frees the spill
+    # deterministically before any measurement; the later
+    # _ensure_clips calls become metadata-only opens.
+    for stale in os.listdir("/tmp"):
+        if stale.startswith("bdqc_bench_out_") or stale.startswith("bdqc_bench_warm_"):
+            shutil.rmtree(os.path.join("/tmp", stale), ignore_errors=True)
+    pre = _session(f"local[{CPUS}]")
+    _ensure_clips(pre, SCALE_CACHE, SCALE_CLIPS)
+    _ensure_clips(pre, CLIPS_CACHE, N_CLIPS)
+    pre.stop()
+
     spark = _session(f"local[{CPUS}]")
     qs = entry.queries()
     for name in HEADLINE:
