@@ -1952,6 +1952,32 @@ def q_audio_dup_pairs(spark, sf_dir):
     return audio_dup_pairs(clips.unionByName(twins)).orderBy("id_a", "id_b")
 
 
+def q_audio_aligned_dups(spark, sf_dir):
+    """Shifted-copy audio near-dups (rows-only: recall/precision and
+    signed-offset recovery are pytest-gated in tests/test_align.py).
+    Every long-enough pcm_s16le/16 kHz clip gets a twin trimmed by
+    exactly 200 ms — a pure-Catalyst byte-slice (substring on the
+    binary column; 6400 bytes = 3200 samples), no decode — which the
+    equal-length-blocked audio_dup_pairs path can never pair. The
+    envelope-xcorr path must link each twin at offset +200 ms."""
+    ensure_shipped(spark)
+    from bdqc_spark.functions.align import audio_aligned_dup_pairs
+
+    clips = _clips_df(spark).select("clip_id", "bytes", "sr_hz", "codec")
+    base = clips.where(
+        (F.col("codec") == "pcm_s16le")
+        & (F.col("sr_hz") == 16000)
+        & (F.length("bytes") > 4 * 6400)
+    )
+    twins = base.select(
+        F.concat("clip_id", F.lit("::cut")).alias("clip_id"),
+        F.expr("substring(bytes, 6401, 2147483647)").alias("bytes"),
+        "sr_hz",
+        "codec",
+    )
+    return audio_aligned_dup_pairs(clips.unionByName(twins)).orderBy("id_a", "id_b")
+
+
 def q_ann_lsh_topk(spark, sf_dir):
     ensure_shipped(spark)
     from bdqc_spark.operators.similarity import ann_lsh_topk
@@ -2124,6 +2150,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clips_segment": q_clips_segment,
         "audio_fingerprints": q_audio_fingerprints,
         "audio_dup_pairs": q_audio_dup_pairs,
+        "audio_aligned_dups": q_audio_aligned_dups,
         "doc_repetition": q_doc_repetition,
         "clips_flac_profile": q_clips_flac_profile,
         "clips_loudness": q_clips_loudness,

@@ -70,6 +70,23 @@ AUDIO_FP_FIELDS = (
 _BIT_WEIGHTS = (1 << np.arange(FP_BANDS, dtype=np.uint64)).astype(np.uint64)
 
 
+def fp_from_spec_mean(spec_mean: np.ndarray, sr: int, win: int):
+    """Band-support bits from a time-averaged power spectrum →
+    signed-int64 fingerprint, or None if the spectrum carries no
+    energy. Shared by clip_fingerprint and functions/align.py (which
+    computes the framed spectrum once for fingerprint + envelope +
+    active-frame profile)."""
+    e_fp = spec_mean @ mel_filterbank(int(sr), win, FP_BANDS).T
+    level = e_fp.mean()
+    if not np.isfinite(level) or level <= 0.0:
+        return None
+    bits = e_fp > FP_ALPHA * level
+    fp = int((bits.astype(np.uint64) * _BIT_WEIGHTS).sum())
+    if fp >= 1 << 63:  # two's-complement into Spark's bigint
+        fp -= 1 << 64
+    return fp
+
+
 def clip_fingerprint(pcm: np.ndarray, sr: int):
     """One clip → (fp: python int, signed-int64 range; n_frames: int;
     profile: float32[VERIFY_BANDS]) or None if the clip is too short
@@ -85,14 +102,9 @@ def clip_fingerprint(pcm: np.ndarray, sr: int):
         strides=(hop * 8, 8),
     )
     spec_mean = (np.abs(np.fft.rfft(frames * _hann(win), axis=1)) ** 2).mean(axis=0)
-    e_fp = spec_mean @ mel_filterbank(int(sr), win, FP_BANDS).T
-    level = e_fp.mean()
-    if not np.isfinite(level) or level <= 0.0:
+    fp = fp_from_spec_mean(spec_mean, sr, win)
+    if fp is None:
         return None
-    bits = e_fp > FP_ALPHA * level
-    fp = int((bits.astype(np.uint64) * _BIT_WEIGHTS).sum())
-    if fp >= 1 << 63:  # two's-complement into Spark's bigint
-        fp -= 1 << 64
     e_v = spec_mean @ mel_filterbank(int(sr), win, VERIFY_BANDS).T
     profile = np.log(e_v + VERIFY_FLOOR * e_v.mean() + 1e-300).astype(np.float32)
     return fp, n_frames, profile

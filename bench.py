@@ -184,10 +184,10 @@ def main() -> None:
     for stale in os.listdir("/tmp"):
         if stale.startswith("bdqc_bench_out_") or stale.startswith("bdqc_bench_warm_"):
             shutil.rmtree(os.path.join("/tmp", stale), ignore_errors=True)
-    pre = _session(f"local[{CPUS}]")
-    _ensure_clips(pre, SCALE_CACHE, SCALE_CLIPS)
-    _ensure_clips(pre, CLIPS_CACHE, N_CLIPS)
-    pre.stop()
+    for cache, n_rows in ((SCALE_CACHE, SCALE_CLIPS), (CLIPS_CACHE, N_CLIPS)):
+        pre = _session(f"local[{CPUS}]")
+        _ensure_clips(pre, cache, n_rows)
+        pre.stop()  # one session per corpus: spill freed before the next
 
     spark = _session(f"local[{CPUS}]")
     qs = entry.queries()
