@@ -1662,6 +1662,7 @@ def q_clips_audio_profile(spark, sf_dir):
         F.round(F.col("audio.rms"), 6).alias("rms"),
         F.col("audio.hdr_sr").alias("hdr_sr"),
         F.round(F.col("audio.speech_ratio"), 4).alias("speech_ratio"),
+        F.round(F.col("audio.bw_ratio"), 4).alias("bw_ratio"),
         F.col("lang.pred").alias("lang_pred"),
         F.round(F.col("lang.ppl"), 2).alias("ppl"),
     )

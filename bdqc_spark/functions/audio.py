@@ -529,6 +529,71 @@ def speech_ratio(pcm: np.ndarray, sr: int) -> float:
     return float(np.count_nonzero(e >= thr_e)) / nf
 
 
+BW_NFFT = 512         # Welch segment length for bandwidth_ratio
+BW_SEGMENTS = 3       # max averaged segments per clip
+BW_BETA = 0.05        # support threshold vs the low-band noise floor
+
+_BW_WIN: dict[int, np.ndarray] = {}
+
+
+def _bw_window(nfft: int) -> np.ndarray:
+    w = _BW_WIN.get(nfft)
+    if w is None:
+        w = _BW_WIN[nfft] = np.hanning(nfft).astype(np.float32)
+    return w
+
+
+def bandwidth_ratio(pcm: np.ndarray, sr: int) -> float:
+    """Effective occupied bandwidth as a fraction of Nyquist — the
+    detector behind the audio.bandwidth_low rule (content whose true
+    bandwidth is far below its container rate: a sinc-upsampled 8 kHz
+    recording in a 16 kHz column, or a lossy-transcode lowpass).
+
+    Estimator: Welch-averaged 512-pt Hann PSD over up to 3 evenly
+    spaced segments, 4-bin max-pooled (bridges window-leakage nulls);
+    the clip's own noise floor is taken as the median pooled PSD over
+    the 5-40%%-of-Nyquist passband, and the occupied bandwidth is the
+    highest pooled bin still holding >= BW_BETA x that floor.
+    Referencing the *passband floor* (not the peak) keeps tonal
+    content with a quiet noise floor from reading as narrowband.
+    Returns 1.0 (no evidence -> never flags) for clips under 256
+    samples, silent clips, or degenerate floors. float32 FFT on
+    purpose (~50 µs/clip in the profile hot loop): the decision
+    margin is ~20 dB on either side of BW_BETA.
+
+    Physics caveat, by design: a lossy *re-encode* of band-limited
+    content (e.g. a µ-law wire copy) refills the band with
+    quantization noise and reads as full-band — the rule catches
+    band-limited PCM, not every laundering of it. This exact leaf is
+    shared with the single-node oracle (synth/oracle.py) so engine
+    and oracle cannot drift."""
+    n = pcm.shape[0]
+    if n < 256 or sr <= 0:
+        return 1.0
+    nfft = BW_NFFT if n >= BW_NFFT else 256
+    k = BW_SEGMENTS if n >= BW_SEGMENTS * nfft else n // nfft
+    if k < 1:
+        return 1.0
+    step = (n - nfft) // max(k - 1, 1)
+    seg = np.empty((k, nfft), np.float32)
+    w = _bw_window(nfft)
+    for j in range(k):
+        s = j * step
+        np.multiply(pcm[s : s + nfft], w, out=seg[j], casting="unsafe")
+    spec = np.fft.rfft(seg, axis=1)
+    psd = (spec.real * spec.real + spec.imag * spec.imag).sum(axis=0)
+    nb0 = psd.shape[0]
+    pool = 4 if nb0 >= 64 else 1
+    nb = nb0 // pool
+    psd = psd[: nb * pool].reshape(nb, pool).max(axis=1)
+    lo, hi = max(1, int(0.05 * nb)), max(2, int(0.4 * nb))
+    floor = float(np.median(psd[lo:hi]))
+    if not (psd.max() > 0.0) or floor <= 0.0:
+        return 1.0
+    above = np.flatnonzero(psd >= np.float32(BW_BETA) * floor)
+    return float((above[-1] + 1) / nb)
+
+
 def snr_db(ref: np.ndarray, est: np.ndarray) -> float:
     """Signal-to-noise ratio of est vs reference PCM, in dB."""
     ref = np.asarray(ref, dtype=np.float64)

@@ -46,6 +46,9 @@ def flatten_profiles(profiles: DataFrame) -> DataFrame:
         F.col("audio.clip_rate").alias("clip_rate"),
         F.col("audio.hdr_sr").alias("hdr_sr"),
         F.col("audio.speech_ratio").alias("speech_ratio"),
+        F.col("audio.n_samples").alias("n_samples"),
+        F.col("audio.bw_ratio").alias("bw_ratio"),
+        F.col("audio.dc_off").alias("dc_off"),
         F.col("text.n_tokens").alias("n_tokens"),
         F.col("text.max_run").alias("max_run"),
     )

@@ -44,6 +44,8 @@ _STATIC_ATTR = {
     "audio.clipping": "clip_rate",
     "audio.hdr_sr_mismatch": "hdr_sr",
     "audio.low_speech": "speech_ratio",
+    "audio.bandwidth_low": "bw_ratio",
+    "audio.dc_offset": "dc_off",
     "meta.sr_invalid": "sr_hz",
     "text.empty": "n_tokens",
     "text.high_ppl": "ppl",

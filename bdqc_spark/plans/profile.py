@@ -31,7 +31,7 @@ from bdqc_spark.functions import text as T
 _PROFILE_FIELDS = (
     "pcm_ok boolean, n_samples int, dur_ms_decoded int, rms double, "
     "peak double, clip_rate double, dc_off double, "
-    "hdr_sr int, speech_ratio double, "
+    "hdr_sr int, speech_ratio double, bw_ratio double, "
     "lang_pred string, lang_conf double, ppl double"
 )
 
@@ -49,6 +49,7 @@ def _profile_arrow(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch
     from bdqc_spark.functions.audio import (
         CODECS,
         _parse_wav,
+        bandwidth_ratio,
         decode_arrow_slice,
         speech_ratio,
     )
@@ -77,6 +78,7 @@ def _profile_arrow(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch
         dc_off = np.zeros(n, dtype=np.float64)
         hdr_sr = np.zeros(n, dtype=np.int32)
         sp_ratio = np.zeros(n, dtype=np.float64)
+        bw = np.ones(n, dtype=np.float64)  # 1.0 = full band / no evidence
 
         for i in range(n):
             if nulls[i] or codec[i] not in CODECS or sr_null[i] or not (sr[i] > 0):
@@ -107,6 +109,7 @@ def _profile_arrow(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch
                 ) / ns
                 dc_off[i] = float(pcm.sum(dtype=np.float64)) / ns
                 sp_ratio[i] = speech_ratio(pcm, int(sr[i]))
+                bw[i] = bandwidth_ratio(pcm, int(sr[i]))
             if codec[i] == "wav":
                 # decode succeeded so the header re-parse cannot fail;
                 # surfaces the container's own sample rate for the
@@ -139,6 +142,7 @@ def _profile_arrow(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch
                 "dc_off": pa.array(dc_off),
                 "hdr_sr": pa.array(hdr_sr, pa.int32()),
                 "speech_ratio": pa.array(sp_ratio),
+                "bw_ratio": pa.array(bw),
                 "lang_pred": pa.array(lang["pred"].to_numpy(), pa.string()),
                 "lang_conf": pa.array(lang["conf"].to_numpy(), pa.float64()),
                 "ppl": pa.array(ppl),  # +inf for no-evidence rows (Arrow-safe)
@@ -169,6 +173,7 @@ def profile_clips(clips: DataFrame) -> DataFrame:
             F.col("dc_off"),
             F.col("hdr_sr"),
             F.col("speech_ratio"),
+            F.col("bw_ratio"),
         ).alias("audio"),
         T.profile_struct(F.col("transcript")).alias("text"),
         F.struct(

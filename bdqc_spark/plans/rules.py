@@ -31,6 +31,16 @@ VALID_SR = (8000, 16000, 22050, 44100)
 # nulls excepted); the silence-padded anomaly class sits at ≤0.2.
 SPEECH_RATIO_MIN = 0.5
 MIN_SPEECH_DUR_MS = 1000
+# Effective bandwidth below this fraction of Nyquist = the catalog
+# sample rate is lying about the content (sinc-upsampled or
+# lossy-lowpassed material): clean content — even pure noise floors —
+# measures 1.0; a 2x-upsample measures ~0.5 (functions/audio.py
+# bandwidth_ratio). Evidence needs >= 1024 samples (one Welch window).
+BW_RATIO_MIN = 0.6
+BW_MIN_SAMPLES = 1024
+# |mean sample| beyond this is a miswired/un-AC-coupled capture
+# chain; synthesis and every wire codec here are DC-clean (<1e-3).
+DC_OFF_MAX = 0.05
 ROBUST_Z = 6.0
 # Perplexity is a multiplicative quantity with a fat clean tail even
 # in log space (PII/digit insertions legitimately raise char-LM ppl):
@@ -84,6 +94,11 @@ STATIC_RULES: tuple[StaticRule, ...] = (
         "audio.low_speech",
         f"pcm_ok AND dur_ms_decoded >= {MIN_SPEECH_DUR_MS} AND speech_ratio < {SPEECH_RATIO_MIN}",
     ),
+    StaticRule(
+        "audio.bandwidth_low",
+        f"pcm_ok AND n_samples >= {BW_MIN_SAMPLES} AND bw_ratio < {BW_RATIO_MIN}",
+    ),
+    StaticRule("audio.dc_offset", f"pcm_ok AND abs(dc_off) > {DC_OFF_MAX}"),
     StaticRule("meta.sr_invalid", f"sr_hz NOT IN {VALID_SR}"),
     StaticRule("text.empty", "n_tokens = 0"),
     StaticRule("text.high_ppl", f"ppl > {PPL_MAX}"),

@@ -47,6 +47,9 @@ def oracle_labels(clips: pd.DataFrame) -> pd.DataFrame:
     clip_rate = np.zeros(n)
     hdr_sr = np.zeros(n, dtype=np.int64)
     sp_ratio = np.zeros(n)
+    n_samples = np.zeros(n, dtype=np.int64)
+    dc_off = np.zeros(n)
+    bw = np.ones(n)  # 1.0 = full band / no evidence (engine default)
     pcm_sha = np.empty(n, dtype=object)
     for i, (raw, codec, sr) in enumerate(
         zip(clips["bytes"].to_numpy(object), clips["codec"], clips["sr_hz"])
@@ -69,8 +72,11 @@ def oracle_labels(clips: pd.DataFrame) -> pd.DataFrame:
                 int(np.count_nonzero(pcm >= 0.999))
                 + int(np.count_nonzero(pcm <= -0.999))
             ) / len(pcm)
-            # shared VAD leaf — identical frame math to the engine
+            # shared VAD + bandwidth leaves — identical math to the engine
             sp_ratio[i] = audio.speech_ratio(pcm, int(sr))
+            n_samples[i] = len(pcm)
+            dc_off[i] = float(pcm.sum(dtype=np.float64)) / len(pcm)
+            bw[i] = audio.bandwidth_ratio(pcm, int(sr))
         if codec == "wav":
             hdr_sr[i] = audio.wav_info(bytes(raw))["hdr_sr"]
         pcm_sha[i] = hashlib.sha256(np.ascontiguousarray(pcm).tobytes()).hexdigest()
@@ -97,6 +103,9 @@ def oracle_labels(clips: pd.DataFrame) -> pd.DataFrame:
             "clip_rate": clip_rate,
             "hdr_sr": hdr_sr,
             "speech_ratio": sp_ratio,
+            "n_samples": n_samples,
+            "dc_off": dc_off,
+            "bw_ratio": bw,
             "n_tokens": n_tokens,
             "max_run": max_run,
             "pcm_sha256": pcm_sha,
@@ -178,6 +187,13 @@ def oracle_labels(clips: pd.DataFrame) -> pd.DataFrame:
         & (df["speech_ratio"] < R.SPEECH_RATIO_MIN),
         "audio.low_speech",
     )
+    add(
+        df["pcm_ok"]
+        & (df["n_samples"] >= R.BW_MIN_SAMPLES)
+        & (df["bw_ratio"] < R.BW_RATIO_MIN),
+        "audio.bandwidth_low",
+    )
+    add(df["pcm_ok"] & (df["dc_off"].abs() > R.DC_OFF_MAX), "audio.dc_offset")
     add(~df["sr_hz"].isin(R.VALID_SR), "meta.sr_invalid")
     add(df["n_tokens"] == 0, "text.empty")
     add(df["ppl"] > R.PPL_MAX, "text.high_ppl")

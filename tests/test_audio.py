@@ -543,3 +543,65 @@ def test_wav_adpcm_profile_batch():
     assert bool(out.pcm_ok[0])
     assert int(out.n_samples[0]) == len(pcm)
     assert abs(int(out.dur_ms_decoded[0]) - 500) <= 1
+
+
+def _ideal_lowpass(pcm: np.ndarray, sr: int, cutoff: float) -> np.ndarray:
+    """Brick-wall FFT lowpass — the spectral signature of a properly
+    sinc-upsampled (or lossy-transcoded) recording."""
+    S = np.fft.rfft(np.asarray(pcm, np.float64))
+    S[np.fft.rfftfreq(len(pcm), 1.0 / sr) > cutoff] = 0.0
+    return np.fft.irfft(S, len(pcm)).astype(np.float32)
+
+
+def test_bandwidth_ratio_full_band_vs_bandlimited():
+    from bdqc_spark.synth.clips import _synth_pcm
+
+    for i in range(10):
+        r = np.random.default_rng([71, i])
+        sr = int(r.choice([8000, 16000, 44100]))
+        pcm = _synth_pcm(r, sr, 2000).astype(np.float32)
+        assert audio.bandwidth_ratio(pcm, sr) > 0.9          # noise floor spans the band
+        low = _ideal_lowpass(pcm, sr, 0.25 * sr)             # "half-rate content"
+        assert audio.bandwidth_ratio(low, sr) < 0.6
+    # no evidence → never flags
+    assert audio.bandwidth_ratio(np.zeros(100, np.float32), 16000) == 1.0
+    assert audio.bandwidth_ratio(np.zeros(4000, np.float32), 16000) == 1.0
+
+
+def test_bandwidth_and_dc_rules_end_to_end(spark):
+    """Real audio (not doctored profiles) through profile → decide:
+    a brick-wall-lowpassed clip fires audio.bandwidth_low, a
+    DC-shifted clip fires audio.dc_offset, the clean clip fires
+    nothing. Tiny corpus → cohorts below MIN_COHORT_N → static rules
+    only, which is exactly what's under test."""
+    from bdqc_spark.plans.decide import decide
+    from bdqc_spark.plans.models import fit_cohort_models
+    from bdqc_spark.plans.profile import profile_clips
+    from bdqc_spark.synth.clips import _synth_pcm
+
+    r = np.random.default_rng(77)
+    sr = 16000
+    pcm = _synth_pcm(r, sr, 2000).astype(np.float32)
+    rows = [
+        ("clean", audio.encode(pcm, "pcm_s16le"), sr, 2000, "pcm_s16le", "ok text"),
+        (
+            "narrow",
+            audio.encode(_ideal_lowpass(pcm, sr, 4000), "pcm_s16le"),
+            sr, 2000, "pcm_s16le", "ok text",
+        ),
+        (
+            "dcshift",
+            audio.encode(np.clip(pcm * 0.5 + 0.3, -1, 1), "pcm_s16le"),
+            sr, 2000, "pcm_s16le", "ok text",
+        ),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "clip_id string, bytes binary, sr_hz int, dur_ms int, codec string, transcript string",
+    )
+    prof = profile_clips(df)
+    models = spark.createDataFrame(fit_cohort_models(prof).collect())
+    hits = {r.clip_id: list(r.rule_hits) for r in decide(prof, models).collect()}
+    assert "audio.bandwidth_low" in hits["narrow"], hits
+    assert "audio.dc_offset" in hits["dcshift"], hits
+    assert hits["clean"] == [], hits

@@ -64,7 +64,7 @@ def test_explain_respects_min_cohort_support(spark):
 
 
 def test_explain_covers_all_rule_ids(spark):
-    """Every rule id in the registry — all 11 static + 4 deviation + 1
+    """Every rule id in the registry — all 13 static + 4 deviation + 1
     categorical — must round-trip decide() ↔ explain_decisions() on a
     corpus that fires all of them. Models are fit on the CLEAN base
     corpus; one doctored profile row per rule is then scored against
@@ -117,6 +117,11 @@ def test_explain_covers_all_rule_ids(spark):
             ("audio", "speech_ratio"): 0.01,
             ("audio", "dur_ms_decoded"): 5000,
         },
+        "audio.bandwidth_low": {
+            ("audio", "bw_ratio"): 0.25,
+            ("audio", "n_samples"): 16000,
+        },
+        "audio.dc_offset": {("audio", "dc_off"): 0.5},
         "meta.sr_invalid": {("sr_hz",): 12345},
         "text.empty": {("text", "n_tokens"): 0},
         "text.high_ppl": {("lang", "ppl"): 1e6},
@@ -171,7 +176,7 @@ def test_explain_covers_all_rule_ids(spark):
         hits = list(dec[dec.clip_id == cid].rule_hits.iloc[0])
         assert rule_id in hits, (rule_id, hits)
 
-    # 2) all 16 rule ids appear in the explain output
+    # 2) all 18 rule ids appear in the explain output
     assert set(exp.rule_id.unique()) >= all_rule_ids
 
     # 3) rule-for-rule equality on the WHOLE corpus incl. injections
