@@ -2066,6 +2066,74 @@ def q_scrub_unicode_documents(spark, sf_dir):
     )
 
 
+# ---- deterministic sampling / splitting / packing ---------------------------
+def q_doc_train_split(spark, sf_dir):
+    """Deterministic train/val/test assignment keyed on md5(doc_id)
+    (operators/sampling.py): map-only, no rand(), stable under
+    reruns/repartitioning/incremental appends — the split a 100 TB
+    corpus can actually reproduce. Oracle-exact: both engines hash
+    the same UTF-8 bytes and compare hex strings byte-wise."""
+    ensure_shipped(spark)
+    from bdqc_spark.operators.sampling import hash_split
+
+    d = _t(spark, sf_dir, "documents")
+    return hash_split(d, "doc_id").select("doc_id", "lang", "split")
+
+
+ORACLE_TRAIN_SPLIT = f"""
+SELECT doc_id, lang,
+  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || '|split-v1'), 1, 8) < '{format(int(0.8 * 2**32), "08x")}' THEN 'train'
+       WHEN substr(md5(CAST(doc_id AS VARCHAR) || '|split-v1'), 1, 8) < '{format(int(0.9 * 2**32), "08x")}' THEN 'val'
+       ELSE 'test' END AS split
+FROM documents
+"""
+
+
+def q_doc_stratified_sample(spark, sf_dir):
+    """Exactly min(k,|stratum|) docs per language, ranked by
+    md5(doc_id) — deterministic stratified sampling; Spark plans the
+    row_number filter as WindowGroupLimit (map-side top-k before the
+    one shuffle on lang)."""
+    ensure_shipped(spark)
+    from bdqc_spark.operators.sampling import stratified_topk
+
+    d = _t(spark, sf_dir, "documents")
+    return stratified_topk(d, "lang", "doc_id", k=7).select("doc_id", "lang", "source")
+
+
+ORACLE_STRATIFIED = """
+SELECT doc_id, lang, source FROM (
+  SELECT doc_id, lang, source,
+    row_number() OVER (PARTITION BY lang
+      ORDER BY substr(md5(CAST(doc_id AS VARCHAR) || '|sample-v1'), 1, 8), doc_id) AS rk
+  FROM documents
+) WHERE rk <= 7
+"""
+
+
+def q_doc_pack_bins(spark, sf_dir):
+    """Sequence packing: docs → ~4096-char bins per language shard in
+    deterministic hashed order (one shuffle on the shard key, one
+    running-sum window; overflow bounded by one item). The LLM
+    sequence-construction packer, shard-parallel."""
+    ensure_shipped(spark)
+    from bdqc_spark.operators.sampling import pack_bins
+
+    d = _t(spark, sf_dir, "documents")
+    return pack_bins(d, "doc_id", "n_chars", budget=4096, shard_col="lang").select(
+        "doc_id", "lang", "n_chars", "bin_id"
+    )
+
+
+ORACLE_PACK_BINS = """
+SELECT doc_id, lang, n_chars,
+  CAST(floor(COALESCE(SUM(n_chars) OVER (PARTITION BY lang
+    ORDER BY substr(md5(CAST(doc_id AS VARCHAR) || '|pack-v1'), 1, 8), doc_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 4096) AS INT) AS bin_id
+FROM documents
+"""
+
+
 # ===========================================================================
 # Registry
 # ===========================================================================
@@ -2155,6 +2223,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_repetition": q_doc_repetition,
         "clips_flac_profile": q_clips_flac_profile,
         "clips_loudness": q_clips_loudness,
+        "doc_train_split": q_doc_train_split,
+        "doc_stratified_sample": q_doc_stratified_sample,
+        "doc_pack_bins": q_doc_pack_bins,
     }
 
 
@@ -2211,4 +2282,7 @@ def oracle_sql() -> dict[str, str]:
         "scrub_documents": ORACLE_SCRUB,
         "scrub_audit": ORACLE_SCRUB_AUDIT,
         "doc_repetition": ORACLE_DOC_REPETITION,
+        "doc_train_split": ORACLE_TRAIN_SPLIT,
+        "doc_stratified_sample": ORACLE_STRATIFIED,
+        "doc_pack_bins": ORACLE_PACK_BINS,
     }

@@ -1,0 +1,134 @@
+"""Deterministic sampling / splitting / packing for training-data prep.
+
+Every large-scale dataset pipeline needs three sampling primitives
+that must be DETERMINISTIC (reproducible across reruns, resumable,
+and auditable — the same properties the QC pipeline's bucket commits
+give writes):
+
+- ``hash_split``      train/val/test assignment by key hash
+- ``stratified_topk`` fixed-size pseudo-random sample per stratum
+- ``pack_bins``       sequence packing: items → ~budget-sized bins
+
+None of them use Spark's ``sample()`` (nondeterministic across
+retries/partitioning) or ``rand()`` (ditto). The randomness source is
+``md5(key)`` — stable across engines, which also makes each operator
+exactly expressible in ANSI SQL for the DuckDB oracle: both engines
+produce the identical 32-char lowercase hex digest of the identical
+UTF-8 bytes, and both compare ASCII hex strings byte-wise.
+
+Scale shape: ``hash_split`` is a pure projection (map-only, no
+shuffle — the 100 TB default). ``stratified_topk`` and ``pack_bins``
+shuffle once on the stratum/shard key and run one window pass within
+each group; Spark plans ``row_number() <= k`` as WindowGroupLimit
+(rank pushdown: partial top-k before the shuffle), so a skewed
+stratum never materializes more than k rows per map task.
+
+bdqc has no sampling surface (the reference QC-scans every file,
+SURVEY.md §3.1) — these extend the engine for the training-data
+pipeline tier per the builder brief.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _hash_hex(key, salt: str):
+    """First 8 hex chars of md5(key || '|' || salt) — a uniform
+    32-bit draw as a lowercase hex string. Kept as TEXT (not parsed
+    to int) so the oracle comparison is engine-neutral: DuckDB and
+    Spark both hash the same UTF-8 bytes and both compare ASCII
+    strings byte-wise."""
+    return F.substring(
+        F.md5(F.concat(key.cast("string"), F.lit("|" + salt)).cast("binary")), 1, 8
+    )
+
+
+def split_thresholds(weights: dict[str, float]) -> list[tuple[str, str]]:
+    """[(split_name, upper_hex_bound), ...] — cumulative weight
+    boundaries mapped onto the 32-bit hex line. The last bound is
+    'ffffffff'+1 territory, i.e. catches everything."""
+    total = sum(weights.values())
+    if total <= 0:
+        raise ValueError("weights must sum to a positive number")
+    out, acc = [], 0.0
+    items = list(weights.items())
+    for i, (name, w) in enumerate(items):
+        acc += w / total
+        bound = "g" if i == len(items) - 1 else format(int(acc * 2**32), "08x")
+        out.append((name, bound))
+    return out
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    weights: dict[str, float] | None = None,
+    salt: str = "split-v1",
+) -> DataFrame:
+    """Add a deterministic ``split`` column ('train'/'val'/'test' by
+    default) keyed on md5(key). Properties a training pipeline needs:
+    stable under reruns, re-partitioning and incremental appends (a
+    new clip's split never depends on what else is in the batch), and
+    salt-versioned (changing the salt re-deals the assignment,
+    auditable by name). Map-only: no shuffle, no rand()."""
+    weights = weights or {"train": 0.8, "val": 0.1, "test": 0.1}
+    h = _hash_hex(F.col(key_col), salt)
+    expr = None
+    for name, bound in reversed(split_thresholds(weights)):
+        expr = (
+            F.lit(name)
+            if expr is None
+            else F.when(h < F.lit(bound), F.lit(name)).otherwise(expr)
+        )
+    return df.withColumn("split", expr)
+
+
+def stratified_topk(
+    df: DataFrame, strata_col: str, key_col: str, k: int, salt: str = "sample-v1"
+) -> DataFrame:
+    """Deterministic pseudo-random sample of exactly min(k, |stratum|)
+    rows per stratum: rank rows within each stratum by md5(key) and
+    keep the first k. Unlike ``df.sampleBy`` this is exact-size,
+    reproducible, and independent of partitioning. One shuffle on the
+    stratum key; the window is a WindowGroupLimit (top-k pushdown),
+    so map tasks pre-prune to k rows before shuffling."""
+    h = _hash_hex(F.col(key_col), salt)
+    w = Window.partitionBy(strata_col).orderBy(h, F.col(key_col))
+    return (
+        df.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .drop("rk")
+    )
+
+
+def pack_bins(
+    df: DataFrame,
+    key_col: str,
+    size_col: str,
+    budget: int,
+    shard_col: str | None = None,
+    salt: str = "pack-v1",
+) -> DataFrame:
+    """Sequence packing: assign items to ~``budget``-sized bins in
+    deterministic (hashed) order, never splitting an item. Bin i of a
+    shard holds the consecutive run of items whose preceding sizes
+    sum into [i*budget, (i+1)*budget): each bin fills to at least
+    ``budget`` minus the straddling item, i.e. overflow is bounded by
+    one item — the standard shard-local packer for LLM sequence
+    construction (exact first-fit is inherently sequential; this
+    linear scheme is its order-preserving distributed form).
+
+    One shuffle on the shard key; within a shard it is a single
+    running-sum window pass. ``bin_id`` = floor(cum_before / budget).
+    """
+    h = _hash_hex(F.col(key_col), salt)
+    part = [shard_col] if shard_col else []
+    w = (
+        Window.partitionBy(*part)
+        .orderBy(h, F.col(key_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum(F.col(size_col)).over(w), F.lit(0))
+    return df.withColumn("bin_id", F.floor(cum_before / F.lit(budget)).cast("int"))

@@ -1,0 +1,124 @@
+"""Deterministic sampling / splitting / packing (operators/sampling.py).
+
+Semantics gates: split fractions within binomial tolerance, exact
+per-stratum sample sizes, bin-packing invariants (contiguity, bounded
+overflow), determinism across repartitioning, and md5 parity with the
+DuckDB oracle (the engine-neutrality the oracle queries rely on).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from bdqc_spark.operators.sampling import (
+    hash_split,
+    pack_bins,
+    split_thresholds,
+    stratified_topk,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (i, f"lang{i % 3}", (i * 37) % 500 + 1)  # size in [1, 500]
+        for i in range(5000)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, lang string, sz long")
+
+
+def test_spark_md5_matches_hashlib(spark):
+    got = (
+        spark.range(1)
+        .select(F.md5(F.lit("42|split-v1").cast("binary")).alias("h"))
+        .first()
+        .h
+    )
+    assert got == hashlib.md5(b"42|split-v1").hexdigest()
+
+
+def test_split_fractions_and_determinism(docs):
+    out = hash_split(docs, "doc_id").groupBy("split").count().collect()
+    counts = {r.split: r["count"] for r in out}
+    assert set(counts) == {"train", "val", "test"}
+    # binomial 3-sigma at n=5000: 0.8±0.017, 0.1±0.013
+    assert abs(counts["train"] / 5000 - 0.8) < 0.02
+    assert abs(counts["val"] / 5000 - 0.1) < 0.015
+    assert abs(counts["test"] / 5000 - 0.1) < 0.015
+    # determinism under repartitioning: identical assignment
+    a = {r.doc_id: r.split for r in hash_split(docs, "doc_id").collect()}
+    b = {
+        r.doc_id: r.split
+        for r in hash_split(docs.repartition(17), "doc_id").collect()
+    }
+    assert a == b
+    # salt re-deals
+    c = {r.doc_id: r.split for r in hash_split(docs, "doc_id", salt="v2").collect()}
+    assert a != c
+
+
+def test_split_thresholds_normalize_and_validate():
+    ts = split_thresholds({"a": 2, "b": 2})
+    assert ts[0][1] == format(int(0.5 * 2**32), "08x") and ts[1][1] == "g"
+    with pytest.raises(ValueError):
+        split_thresholds({"a": 0.0})
+
+
+def test_stratified_topk_exact_size_and_stability(docs):
+    out = stratified_topk(docs, "lang", "doc_id", k=11).collect()
+    per = {}
+    for r in out:
+        per.setdefault(r.lang, set()).add(r.doc_id)
+    assert {len(v) for v in per.values()} == {11}
+    # stable under repartitioning
+    out2 = stratified_topk(docs.repartition(13), "lang", "doc_id", k=11).collect()
+    per2 = {}
+    for r in out2:
+        per2.setdefault(r.lang, set()).add(r.doc_id)
+    assert per == per2
+    # k larger than a stratum: returns the whole stratum, no padding
+    tiny = docs.where(F.col("doc_id") < 5)
+    assert stratified_topk(tiny, "lang", "doc_id", k=100).count() == 5
+
+
+def test_stratified_topk_plans_window_group_limit(docs):
+    plan = stratified_topk(docs, "lang", "doc_id", k=11)._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+
+
+def test_pack_bins_invariants(docs):
+    budget = 4096
+    out = pack_bins(docs, "doc_id", "sz", budget=budget, shard_col="lang").collect()
+    # reconstruct per-shard hashed order and check the assignment rule
+    by_shard = {}
+    for r in out:
+        key = hashlib.md5(f"{r.doc_id}|pack-v1".encode()).hexdigest()[:8]
+        by_shard.setdefault(r.lang, []).append((key, r.doc_id, r.sz, r.bin_id))
+    max_sz = max(r.sz for r in out)
+    for rows in by_shard.values():
+        rows.sort()
+        cum = 0
+        bins = {}
+        for key, _doc, sz, bin_id in rows:
+            assert bin_id == cum // budget  # the documented rule
+            bins.setdefault(bin_id, 0)
+            bins[bin_id] += sz
+            cum += sz
+        bin_ids = sorted(bins)
+        # contiguous ids from 0
+        assert bin_ids == list(range(len(bin_ids)))
+        # every bin except the last reaches budget before closing, and
+        # overflow is bounded by one item
+        for b in bin_ids[:-1]:
+            assert bins[b] >= budget - max_sz
+            assert bins[b] < budget + max_sz
+
+
+def test_pack_bins_no_shard(docs):
+    out = pack_bins(docs.limit(100), "doc_id", "sz", budget=2048)
+    n_bins = out.select("bin_id").distinct().count()
+    total = out.agg(F.sum("sz")).first()[0]
+    assert n_bins >= total // 2048  # at least the lower bound of bins
