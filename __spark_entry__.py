@@ -1745,6 +1745,25 @@ def q_clips_loudness(spark, sf_dir):
     )
 
 
+def q_clips_snr(spark, sf_dir):
+    """Per-clip SNR from VAD-gated frame energies (functions/snr.py;
+    rows-only: the frame gate is not SQL-expressible — known-SNR
+    recovery, edge conventions and the Spark/single-node twin are
+    pytest-gated in tests/test_snr.py). One mapInArrow pass, same
+    contract as the profile stage."""
+    from bdqc_spark.functions.snr import clip_snr
+
+    out = clip_snr(_clips_df(spark))
+    return out.select(
+        "clip_id",
+        "codec",
+        "snr_ok",
+        F.round(F.col("snr_db"), 4).alias("snr_db"),
+        F.round(F.col("noise_dbfs"), 4).alias("noise_dbfs"),
+        F.round(F.col("active_frac"), 4).alias("active_frac"),
+    )
+
+
 _PIPELINE_OUT: dict[tuple[int, int], str] = {}
 
 
@@ -2134,6 +2153,54 @@ FROM documents
 """
 
 
+def q_doc_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (operators/decontaminate.py): flag
+    train-split docs sharing any 13-char shingle with the test split
+    (Brown et al. 2020 app. C rule). The eval side reduces to its
+    distinct shingle SET before the join — at 100 TB benchmarks are
+    MBs, so this broadcasts; output is linear in train shingles."""
+    ensure_shipped(spark)
+    from bdqc_spark.operators.decontaminate import contamination
+    from bdqc_spark.operators.sampling import hash_split
+
+    d = hash_split(_t(spark, sf_dir, "documents"), "doc_id")
+    return contamination(
+        d.where(F.col("split") == "train"), d.where(F.col("split") == "test")
+    )
+
+
+ORACLE_DECONTAMINATE = f"""
+WITH sp AS (
+  SELECT doc_id, text,
+    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || '|split-v1'), 1, 8) < '{format(int(0.8 * 2**32), "08x")}' THEN 'train'
+         WHEN substr(md5(CAST(doc_id AS VARCHAR) || '|split-v1'), 1, 8) < '{format(int(0.9 * 2**32), "08x")}' THEN 'val'
+         ELSE 'test' END AS split
+  FROM documents
+),
+norm AS (SELECT doc_id, split, {{norm_sql}} AS t FROM sp),
+pos AS (
+  SELECT doc_id, split, unnest(generate_series(1, greatest(length(t) - 12, 1))) AS i, t
+  FROM norm
+),
+sh_all AS (
+  SELECT DISTINCT doc_id, split, substr(t, CAST(i AS INT), 13) AS sh FROM pos
+  WHERE length(substr(t, CAST(i AS INT), 13)) = 13
+),
+ev AS (SELECT DISTINCT sh FROM sh_all WHERE split = 'test'),
+tr AS (SELECT doc_id, sh FROM sh_all WHERE split = 'train'),
+sizes AS (SELECT doc_id, count(*) AS n_shingles FROM tr GROUP BY doc_id),
+hits AS (SELECT tr.doc_id, count(*) AS n_hits FROM tr JOIN ev USING (sh) GROUP BY tr.doc_id)
+SELECT s.doc_id,
+  COALESCE(z.n_shingles, 0) AS n_shingles,
+  COALESCE(h.n_hits, 0) AS n_hits,
+  round(CASE WHEN COALESCE(z.n_shingles, 0) > 0
+        THEN CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / z.n_shingles ELSE 0.0 END, 6) AS hit_ratio,
+  COALESCE(h.n_hits, 0) > 0 AS contaminated
+FROM sp s LEFT JOIN sizes z USING (doc_id) LEFT JOIN hits h USING (doc_id)
+WHERE s.split = 'train'
+""".replace("{norm_sql}", _NORM_SQL)
+
+
 # ===========================================================================
 # Registry
 # ===========================================================================
@@ -2223,9 +2290,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_repetition": q_doc_repetition,
         "clips_flac_profile": q_clips_flac_profile,
         "clips_loudness": q_clips_loudness,
+        "clips_snr": q_clips_snr,
         "doc_train_split": q_doc_train_split,
         "doc_stratified_sample": q_doc_stratified_sample,
         "doc_pack_bins": q_doc_pack_bins,
+        "doc_decontaminate": q_doc_decontaminate,
     }
 
 
@@ -2285,4 +2354,5 @@ def oracle_sql() -> dict[str, str]:
         "doc_train_split": ORACLE_TRAIN_SPLIT,
         "doc_stratified_sample": ORACLE_STRATIFIED,
         "doc_pack_bins": ORACLE_PACK_BINS,
+        "doc_decontaminate": ORACLE_DECONTAMINATE,
     }
