@@ -2201,6 +2201,56 @@ WHERE s.split = 'train'
 """.replace("{norm_sql}", _NORM_SQL)
 
 
+def q_doc_top_terms(spark, sf_dir):
+    """Per-doc top-5 keywords by TF-IDF. Selection is by INTEGER term
+    frequency with alphabetical tie-break — engine-safe (a float
+    ordering could pick different ties across engines at 1e-12); the
+    float tf·idf score is computed after selection and rounded. Scale
+    shape: one explode + two hash aggregations + a broadcast join of
+    the tiny doc-frequency table; the window is a WindowGroupLimit."""
+    d = _t(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id",
+        F.explode(F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), 0)).alias("term"),
+    )
+    tf = words.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = words.distinct().groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    ndocs = d.select(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tf"), F.asc("term"))
+    return (
+        tf.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 5)
+        .join(dfreq, "term")
+        .crossJoin(ndocs)
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            F.round(F.col("tf") * F.log(F.col("n") / F.col("df")), 6).alias("tfidf"),
+        )
+    )
+
+
+ORACLE_TOP_TERMS = """
+WITH words AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM words GROUP BY doc_id, term),
+dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM words GROUP BY term),
+topk AS (
+  SELECT doc_id, term, tf,
+    row_number() OVER (PARTITION BY doc_id ORDER BY tf DESC, term ASC) AS rk
+  FROM tf
+)
+SELECT t.doc_id, t.term, t.tf, d.df,
+  round(t.tf * ln(CAST((SELECT count(*) FROM documents) AS DOUBLE) / d.df), 6) AS tfidf
+FROM topk t JOIN dfreq d USING (term)
+WHERE t.rk <= 5
+"""
+
+
 # ===========================================================================
 # Registry
 # ===========================================================================
@@ -2295,6 +2345,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_stratified_sample": q_doc_stratified_sample,
         "doc_pack_bins": q_doc_pack_bins,
         "doc_decontaminate": q_doc_decontaminate,
+        "doc_top_terms": q_doc_top_terms,
     }
 
 
@@ -2355,4 +2406,5 @@ def oracle_sql() -> dict[str, str]:
         "doc_stratified_sample": ORACLE_STRATIFIED,
         "doc_pack_bins": ORACLE_PACK_BINS,
         "doc_decontaminate": ORACLE_DECONTAMINATE,
+        "doc_top_terms": ORACLE_TOP_TERMS,
     }

@@ -37,6 +37,7 @@ DEMOTED_ORACLE_QUERIES = [
     "doc_stratified_sample",
     "doc_pack_bins",
     "doc_decontaminate",
+    "doc_top_terms",
 ]
 
 
