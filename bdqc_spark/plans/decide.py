@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from bdqc_spark.functions.scrub import n_edits_column, scrub_column
-from bdqc_spark.plans.models import COHORT_COLS
+from bdqc_spark.plans.models import COHORT_COLS, log_cps_column
 from bdqc_spark.plans.rules import (
     CATEGORICAL_RULES,
     DEVIATION_RULES,
@@ -28,9 +28,11 @@ from bdqc_spark.plans.rules import (
 
 def flatten_profiles(profiles: DataFrame) -> DataFrame:
     """Explode the nested signature structs into the flat namespace
-    the rule expressions reference."""
+    the rule expressions reference, including the derived deviation
+    axes (log_ppl, log_cps) so decide() and explain() score the
+    bit-identical expressions."""
     extra = [c for c in ("bucket",) if c in profiles.columns]
-    return profiles.select(
+    flat = profiles.select(
         "clip_id",
         *extra,
         "codec",
@@ -49,8 +51,21 @@ def flatten_profiles(profiles: DataFrame) -> DataFrame:
         F.col("audio.n_samples").alias("n_samples"),
         F.col("audio.bw_ratio").alias("bw_ratio"),
         F.col("audio.dc_off").alias("dc_off"),
+        F.col("text.n_chars").alias("n_chars"),
         F.col("text.n_tokens").alias("n_tokens"),
         F.col("text.max_run").alias("max_run"),
+    )
+    # Derived deviation axes. ln(+inf) = +inf so no-evidence ppl rows
+    # score z = inf (rules.py PPL_LOG_Z); log_cps is NULL on rows
+    # without cross-modal evidence (models.log_cps_column).
+    return flat.withColumn("log_ppl", F.log(F.col("ppl"))).withColumn(
+        "log_cps",
+        log_cps_column(
+            F.col("pcm_ok"),
+            F.col("n_chars"),
+            F.col("speech_ratio"),
+            F.col("dur_ms_decoded"),
+        ),
     )
 
 
@@ -124,9 +139,6 @@ def decide(
     """profiles + models → decisions(clip_id[, bucket], keep,
     rule_hits, scrubbed_transcript, n_scrub_edits)."""
     flat = flatten_profiles(profiles)
-    # Derived axis for the log-space ppl deviation rule (rules.py
-    # PPL_LOG_Z); ln(+inf) = +inf so no-evidence rows score z = inf.
-    flat = flat.withColumn("log_ppl", F.log(F.col("ppl")))
 
     # Monotonic session token (r3 ADVICE): id(_jsc) can be reused by a
     # new gateway object after the old one is GC'd, silently serving

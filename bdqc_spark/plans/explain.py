@@ -67,7 +67,9 @@ def explain_decisions(
     equal its decisions.rule_hits."""
     from bdqc_spark.plans.decide import flatten_profiles
 
-    flat = flatten_profiles(profiles).withColumn("log_ppl", F.log(F.col("ppl")))
+    # flatten_profiles carries the derived deviation axes (log_ppl,
+    # log_cps) so this path scores the bit-identical expressions
+    flat = flatten_profiles(profiles)
 
     entries = []
 

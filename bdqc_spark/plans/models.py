@@ -14,13 +14,36 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from pyspark.sql import Column
+
 from bdqc_spark.operators.stats import fit_numeric_models
+from bdqc_spark.plans.rules import CPS_MIN_DUR_MS
 
 COHORT_COLS = ["codec", "lang_pred"]
 
 # Attributes modeled per cohort (robust-z rules read these). ppl is
-# modeled in log space — see plans/rules.py PPL_LOG_Z.
-MODEL_ATTRS = ["dur_ms", "log_ppl", "rms", "n_tokens"]
+# modeled in log space — see plans/rules.py PPL_LOG_Z; log_cps is the
+# cross-modal speech-rate axis — see plans/rules.py CPS_LOG_Z.
+MODEL_ATTRS = ["dur_ms", "log_cps", "log_ppl", "rms", "n_tokens"]
+
+
+def log_cps_column(
+    pcm_ok: Column, n_chars: Column, speech_ratio: Column, dur_ms_decoded: Column
+) -> Column:
+    """ln(transcript chars / seconds of VAD speech) — the cross-modal
+    speech-rate attribute. NULL (no evidence, excluded from fit and
+    never fired on) when the clip failed to decode, is shorter than
+    CPS_MIN_DUR_MS, has no detected speech, or has an empty/null
+    transcript. The single-node oracle (synth/oracle.py) computes the
+    bit-identical float64 formula with the same operand order."""
+    speech_sec = speech_ratio * dur_ms_decoded.cast("double") / F.lit(1000.0)
+    return F.when(
+        pcm_ok
+        & (dur_ms_decoded >= F.lit(CPS_MIN_DUR_MS))
+        & (speech_sec > F.lit(0.0))
+        & (n_chars > F.lit(0)),
+        F.log(n_chars.cast("double") / speech_sec),
+    )
 
 # Categorical attributes modeled as within-cohort value histograms
 # (bdqc DataModel for string attributes: rare values are suspects).
@@ -32,6 +55,12 @@ def _flat_attrs(profiles: DataFrame) -> DataFrame:
         F.col("codec"),
         F.col("lang.pred").alias("lang_pred"),
         F.col("dur_ms").cast("double").alias("dur_ms"),
+        log_cps_column(
+            F.col("audio.pcm_ok"),
+            F.col("text.n_chars"),
+            F.col("audio.speech_ratio"),
+            F.col("audio.dur_ms_decoded"),
+        ).alias("log_cps"),
         # +inf perplexities (empty transcripts) would poison quantiles.
         F.log(F.when(F.col("lang.ppl") < float("inf"), F.col("lang.ppl"))).alias("log_ppl"),
         F.col("audio.rms").alias("rms"),

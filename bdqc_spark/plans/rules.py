@@ -48,6 +48,22 @@ ROBUST_Z = 6.0
 # gibberish (anomaly class C) min ≈ 36 at N=3000 — where raw-ppl z=6
 # would flag ~4% of clean rows.
 PPL_LOG_Z = 32.0
+# Cross-modal speech-rate consistency (transcript chars per second
+# of VAD-detected speech): a transcript wildly longer or shorter than
+# its audio could carry is a pairing error — the one failure mode no
+# single-modality rule can see. Modeled in log space (rate is
+# multiplicative) as a per-cohort deviation rule; clips shorter than
+# CPS_MIN_DUR_MS carry too little evidence (integer word counts make
+# the ratio quantization-noisy below ~2 s) and contribute NULL.
+# Threshold placement (measured, 3000-row corpus, synth/clips.py):
+# clean log_cps robust-z max 3.12, planted class-I min 7.49 (28/29
+# supported I rows fire at z=8), class-H rows span z 4-11 but are
+# keep=false regardless via audio.low_speech — so a sketch-vs-exact
+# flip near the threshold can only reorder rule_hits, never the
+# keep/drop decision, for every planted class.
+CPS_LOG_Z = 8.0
+CPS_MIN_DUR_MS = 2000
+
 # Deviation rules need minimum cohort support: robust stats from a
 # handful of rows are noise (bdqc likewise skips models on tiny
 # cohorts). Below this n, deviation rules do not fire.
@@ -114,6 +130,8 @@ DEVIATION_RULES: tuple[DeviationRule, ...] = (
     DeviationRule("robust_z.log_ppl", "log_ppl", PPL_LOG_Z),
     DeviationRule("robust_z.rms", "rms", ROBUST_Z),
     DeviationRule("robust_z.n_tokens", "n_tokens", ROBUST_Z),
+    # cross-modal: chars per second of detected speech (see CPS_LOG_Z)
+    DeviationRule("robust_z.log_cps", "log_cps", CPS_LOG_Z),
 )
 
 CATEGORICAL_RULES: tuple[CategoricalRule, ...] = (

@@ -17,6 +17,11 @@ class drawn first, one per clip:
   E mixed-language text  → text.lang_conf_low (same scorer both sides)
   G lying WAV header     → audio.hdr_sr_mismatch (fmt-chunk rate ≠ sr_hz)
   H silence-padded clip  → audio.low_speech (speech burst ≤15% of clip)
+  I transcript/audio pairing error → robust_z.log_cps (transcript
+    ~25-50× too long, or a 1-word transcript on a 5-8 s clip — the
+    cross-modal speech-rate rule; clean transcripts are length-
+    correlated with clip duration via a 2.0-3.5 words/sec rate, so
+    chars-per-speech-second is a tight per-cohort distribution)
   F = clean rows with PII/toxicity injected (keep=True, scrub edits>0)
 """
 
@@ -97,6 +102,7 @@ def _gen_one(seed: int, i: int) -> dict:
         ("E", 4.0),
         ("G", 5.0),
         ("H", 6.0),
+        ("I", 7.0),
     ):
         if lo * ANOMALY_P <= u < (lo + 1) * ANOMALY_P:
             anomaly = cls
@@ -106,14 +112,30 @@ def _gen_one(seed: int, i: int) -> dict:
     elif anomaly == "H":
         # long enough that the audio.low_speech duration gate applies
         dur_ms = max(dur_ms, 2500)
+    elif anomaly == "I":
+        # long enough that the cross-modal cps rule has evidence
+        # (rules.CPS_MIN_DUR_MS) and a 1-word transcript is extreme
+        dur_ms = max(dur_ms, int(rng.uniform(5000, 8000)))
     if anomaly == "B":
         # Cohort outlier duration; keep sr low to bound payload size.
         sr = 8000
         dur_ms = int(rng.uniform(25000, 40000))
 
-    # transcript
-    n_sent = int(rng.integers(1, 4))
-    transcript = " ".join(synth_sentence(rng, lang) for _ in range(n_sent))
+    # transcript — length correlated with clip duration like real
+    # speech (a drawn speaking rate sets the word budget), so the
+    # cross-modal chars-per-speech-second distribution is tight for
+    # clean rows and class I can violate it in either direction
+    rate_wps = float(rng.uniform(2.0, 3.5))
+    n_words = max(2, int(round(dur_ms / 1000.0 * rate_wps)))
+    if anomaly == "I":
+        n_words = n_words * int(rng.integers(25, 50)) if rng.random() < 0.5 else 1
+    chunks = []
+    left = n_words
+    while left > 0:
+        k = int(min(left, rng.integers(6, 13)))
+        chunks.append(synth_sentence(rng, lang, k))
+        left -= k
+    transcript = " ".join(chunks)
     if anomaly == "C":
         if rng.random() < 0.3:
             transcript = "   " if rng.random() < 0.5 else ""

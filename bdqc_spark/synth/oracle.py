@@ -29,13 +29,13 @@ from bdqc_spark.functions.scrub import scrub_python
 from bdqc_spark.plans import rules as R
 
 
-def _text_stats(t: str) -> tuple[int, int]:
-    """(n_tokens, max_run) — mirrors functions/text.py expressions."""
+def _text_stats(t: str) -> tuple[int, int, int]:
+    """(n_tokens, max_run, n_chars) — mirrors functions/text.py."""
     toks = re.findall(r"[^ \t\n\r]+", t)
     max_run = 0
     for _, g in itertools.groupby(t):
         max_run = max(max_run, sum(1 for _ in g))
-    return len(toks), max_run
+    return len(toks), max_run, len(t)
 
 
 def oracle_labels(clips: pd.DataFrame) -> pd.DataFrame:
@@ -86,6 +86,7 @@ def oracle_labels(clips: pd.DataFrame) -> pd.DataFrame:
     stats = [_text_stats(t if isinstance(t, str) else "") for t in clips["transcript"]]
     n_tokens = np.array([s[0] for s in stats])
     max_run = np.array([s[1] for s in stats])
+    n_chars = np.array([s[2] for s in stats])
 
     df = pd.DataFrame(
         {
@@ -108,6 +109,7 @@ def oracle_labels(clips: pd.DataFrame) -> pd.DataFrame:
             "bw_ratio": bw,
             "n_tokens": n_tokens,
             "max_run": max_run,
+            "n_chars": n_chars,
             "pcm_sha256": pcm_sha,
         }
     )
@@ -124,8 +126,20 @@ def oracle_labels(clips: pd.DataFrame) -> pd.DataFrame:
     # fire only with MIN_COHORT_N support in the fitted population.
     with np.errstate(divide="ignore", invalid="ignore"):
         log_ppl = np.log(df["ppl"].to_numpy(dtype=float))
+    # Cross-modal speech-rate axis — IDENTICAL float64 formula and
+    # operand order to the engine's models.log_cps_column: rows
+    # without evidence (decode failure, < CPS_MIN_DUR_MS, no detected
+    # speech, empty transcript) are NaN — excluded from the fit and
+    # never fired on (NaN > threshold is False).
+    speech_sec = sp_ratio * dur_dec / 1000.0
+    cps_ok = pcm_ok & (dur_dec >= R.CPS_MIN_DUR_MS) & (speech_sec > 0) & (n_chars > 0)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        log_cps = np.where(
+            cps_ok, np.log(n_chars / np.where(speech_sec > 0, speech_sec, 1.0)), np.nan
+        )
     attr_vals = {
         "dur_ms": df["dur_ms"].to_numpy(dtype=float),
+        "log_cps": log_cps,
         "log_ppl": log_ppl,
         "rms": df["rms"].to_numpy(dtype=float),
         "n_tokens": df["n_tokens"].to_numpy(dtype=float),

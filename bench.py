@@ -51,8 +51,12 @@ N_CLIPS = int(os.environ.get("BDQC_BENCH_CLIPS", "200000"))
 # while pushing the fixed share below ~5%.
 SCALE_CLIPS = int(os.environ.get("BDQC_SCALE_CLIPS", "400000"))
 SCALE_RUNS = int(os.environ.get("BDQC_SCALE_RUNS", "4"))
-CLIPS_CACHE = f"/tmp/bdqc_bench_clips_n{N_CLIPS}"
-SCALE_CACHE = f"/tmp/bdqc_bench_clips_n{SCALE_CLIPS}"
+# rev bump regenerates cached corpora when the generator changes
+# (the row-count check alone cannot see a content change): r2 =
+# duration-correlated transcripts + anomaly class I (synth/clips.py)
+CORPUS_REV = 2
+CLIPS_CACHE = f"/tmp/bdqc_bench_clips_r{CORPUS_REV}_n{N_CLIPS}"
+SCALE_CACHE = f"/tmp/bdqc_bench_clips_r{CORPUS_REV}_n{SCALE_CLIPS}"
 
 HEADLINE = [
     # approx-sketch variant is the headline (the 100 TB path); the

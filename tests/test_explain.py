@@ -64,7 +64,7 @@ def test_explain_respects_min_cohort_support(spark):
 
 
 def test_explain_covers_all_rule_ids(spark):
-    """Every rule id in the registry — all 13 static + 4 deviation + 1
+    """Every rule id in the registry — all 13 static + 5 deviation + 1
     categorical — must round-trip decide() ↔ explain_decisions() on a
     corpus that fires all of them. Models are fit on the CLEAN base
     corpus; one doctored profile row per rule is then scored against
@@ -97,13 +97,17 @@ def test_explain_covers_all_rule_ids(spark):
         assert m[attr]["mad"] > 0, f"degenerate MAD for {attr}"
         return float(m[attr]["median"] + z * 1.4826 * m[attr]["mad"])
 
-    # a value already rare (<RARE_FRAC) within the cohort histogram —
-    # the generator's sr anomaly class guarantees one exists; it may
-    # also be an invalid rate, in which case meta.sr_invalid fires too
-    # (the multiset-equality check below covers multi-rule rows)
+    # a value rare (<RARE_FRAC) within the cohort histogram fires the
+    # categorical rule; a value ABSENT from the histogram is the
+    # limiting case (frequency 0) and fires too — fall back to one if
+    # this cohort happens to have no in-histogram rare value. Either
+    # may also be an invalid rate, in which case meta.sr_invalid
+    # co-fires (the multiset-equality check below covers multi-rule
+    # rows).
     hist = m["sr_hz"]["histogram"] or {}
     rare_sr = next(
-        int(k) for k, v in sorted(hist.items()) if v / m["sr_hz"]["n"] < RARE_FRAC
+        (int(k) for k, v in sorted(hist.items()) if v / m["sr_hz"]["n"] < RARE_FRAC),
+        max((int(k) for k in hist), default=0) + 7,
     )
     assert rare_sr not in VALID_SR or True  # documented: either kind is fine
 
@@ -134,6 +138,14 @@ def test_explain_covers_all_rule_ids(spark):
         "robust_z.log_ppl": {("lang", "ppl"): math.exp(dev_target("log_ppl", z=34.0))},
         "robust_z.rms": {("audio", "rms"): dev_target("rms")},
         "robust_z.n_tokens": {("text", "n_tokens"): int(dev_target("n_tokens"))},
+        # cross-modal: pin the denominator (1.0 speech_ratio × 4 s) and
+        # inflate n_chars so log(n_chars / 4.0) lands z≈12 above the
+        # cohort median; dur_mismatch may co-fire — covered by check 3
+        "robust_z.log_cps": {
+            ("audio", "speech_ratio"): 1.0,
+            ("audio", "dur_ms_decoded"): 4000,
+            ("text", "n_chars"): int(math.exp(dev_target("log_cps", z=12.0)) * 4.0) + 1,
+        },
         "categorical.rare_sr": {("sr_hz",): int(rare_sr)},
     }
     all_rule_ids = (
@@ -176,7 +188,7 @@ def test_explain_covers_all_rule_ids(spark):
         hits = list(dec[dec.clip_id == cid].rule_hits.iloc[0])
         assert rule_id in hits, (rule_id, hits)
 
-    # 2) all 18 rule ids appear in the explain output
+    # 2) all 19 rule ids appear in the explain output
     assert set(exp.rule_id.unique()) >= all_rule_ids
 
     # 3) rule-for-rule equality on the WHOLE corpus incl. injections

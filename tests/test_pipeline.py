@@ -82,6 +82,31 @@ def test_scrubbed_transcript_exact_match(spark, pipeline_out, golden):
     assert len(mismatch) == 0, mismatch.head(3).to_dict("records")
 
 
+def test_cross_modal_speech_rate_rule(spark, pipeline_out, golden):
+    """robust_z.log_cps (the one rule that crosses modalities): planted
+    transcript/audio pairing errors (class I) fire it, clean rows never
+    do, and engine and oracle agree row-for-row outside class H (H sits
+    in the threshold band by design — rules.py CPS_LOG_Z — but is
+    keep=false via audio.low_speech on both sides regardless)."""
+    clips = generate_clips_pandas(N, seed=SEED)[["clip_id", "anomaly"]]
+    dec = _decisions(spark, pipeline_out)
+    m = (
+        dec.merge(golden, on="clip_id", suffixes=("_e", "_g"))
+        .merge(clips, on="clip_id")
+    )
+    fired_e = m.rule_hits_e.apply(lambda h: "robust_z.log_cps" in list(h))
+    fired_g = m.rule_hits_g.apply(lambda h: "robust_z.log_cps" in list(h))
+    not_h = m.anomaly != "H"
+    assert (fired_e[not_h] == fired_g[not_h]).all(), m[not_h & (fired_e != fired_g)][
+        ["clip_id", "anomaly"]
+    ].head()
+    clean = m.anomaly == ""
+    assert not fired_e[clean].any() and not fired_g[clean].any()
+    is_i = m.anomaly == "I"
+    assert is_i.sum() > 0, "fixture has no class-I rows at this N/seed"
+    assert fired_g[is_i].mean() >= 0.5, fired_g[is_i].mean()
+
+
 def test_metrics_and_lineage_written(spark, pipeline_out):
     metrics = spark.read.parquet(f"{pipeline_out}/metrics").toPandas()
     assert metrics.rows_seen.sum() == N
