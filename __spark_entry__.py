@@ -2066,6 +2066,38 @@ def q_type_inference(spark, sf_dir):
     return infer_column_types(_t(spark, sf_dir, "documents"))
 
 
+_QCLF_MODELS: dict = {}
+
+
+def _qclf_model_for(spark, sf_dir):
+    if sf_dir not in _QCLF_MODELS:
+        from bdqc_spark.functions.quality_clf import train_quality_classifier
+
+        _QCLF_MODELS[sf_dir] = train_quality_classifier(
+            spark, _t(spark, sf_dir, "documents"), sample_n=500, seed=13
+        )
+    return _QCLF_MODELS[sf_dir]
+
+
+def q_doc_quality_clf(spark, sf_dir):
+    """CCNet-style TRAINED quality classifier (rows-only: a learned
+    model has no SQL twin; determinism/accuracy/parity and the
+    map-only scoring plan are pytest-gated in tests/test_quality_clf
+    .py). Scoring is pure Catalyst — the weight vector rides in the
+    plan as a 32 KB array literal, so at 100 TB this is a projection
+    over the scan: no join, no shuffle, no Python. Model comes
+    pre-trained from the module cache (bounded driver sample, same
+    contract as the IVF/BPE trainers)."""
+    ensure_shipped(spark)
+    from bdqc_spark.functions.quality_clf import score_quality
+
+    model = _qclf_model_for(spark, sf_dir)
+    d = _t(spark, sf_dir, "documents")
+    return score_quality(d, model).select(
+        "doc_id", F.round("quality_prob", 6).alias("quality_prob"), "quality_pred"
+    )
+
+
 def q_scrub_unicode_documents(spark, sf_dir):
     """Unicode-aware scrub chain (SURVEY §2.B F2 fallback; rows-only:
     \\p{L}/\\p{N}/\\p{Lu} classes and Unicode \\b disagree between the
@@ -2346,6 +2378,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_pack_bins": q_doc_pack_bins,
         "doc_decontaminate": q_doc_decontaminate,
         "doc_top_terms": q_doc_top_terms,
+        "doc_quality_clf": q_doc_quality_clf,
     }
 
 
