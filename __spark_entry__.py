@@ -2201,6 +2201,59 @@ def q_doc_decontaminate(spark, sf_dir):
     )
 
 
+def q_emb_decontaminate(spark, sf_dir):
+    """Embedding-space decontamination (operators/decontaminate.py
+    embedding_contamination): train-split vectors within cosine 0.35
+    of ANY test-split vector — the semantic-overlap complement of the
+    13-gram rule (catches paraphrased leakage that shares no exact
+    shingle). Eval side broadcasts (BroadcastNestedLoopJoin, linear
+    in train rows); only (id, cosine) scalars reach the max-shuffle.
+    0.35 suits this synthetic near-orthogonal corpus; real sentence
+    embeddings use ~0.9."""
+    ensure_shipped(spark)
+    from bdqc_spark.operators.decontaminate import embedding_contamination
+    from bdqc_spark.operators.sampling import hash_split
+
+    e = hash_split(_t(spark, sf_dir, "embeddings"), "vec_id")
+    return embedding_contamination(
+        e.where(F.col("split") == "train"),
+        e.where(F.col("split") == "test"),
+        threshold=0.35,
+    )
+
+
+ORACLE_EMB_DECONTAMINATE = f"""
+WITH sp AS (
+  SELECT vec_id, embedding,
+    CASE WHEN substr(md5(CAST(vec_id AS VARCHAR) || '|split-v1'), 1, 8) < '{format(int(0.8 * 2**32), "08x")}' THEN 'train'
+         WHEN substr(md5(CAST(vec_id AS VARCHAR) || '|split-v1'), 1, 8) < '{format(int(0.9 * 2**32), "08x")}' THEN 'val'
+         ELSE 'test' END AS split
+  FROM embeddings
+),
+t AS (SELECT vec_id, embedding,
+        sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS n
+      FROM sp WHERE split = 'train'),
+e AS (SELECT embedding,
+        sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS n
+      FROM sp WHERE split = 'test'),
+p AS (
+  SELECT t.vec_id,
+    list_sum(list_transform(list_zip(t.embedding, e.embedding),
+             p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / (t.n * e.n) AS cos
+  FROM t, e WHERE t.n > 0 AND e.n > 0
+),
+h AS (
+  SELECT vec_id, count(*) AS n_contaminating, round(max(cos), 6) AS max_cosine
+  FROM p WHERE cos >= 0.35 GROUP BY vec_id
+)
+SELECT t.vec_id,
+  coalesce(h.n_contaminating, 0) AS n_contaminating,
+  h.max_cosine,
+  coalesce(h.n_contaminating, 0) > 0 AS contaminated
+FROM t LEFT JOIN h USING (vec_id)
+"""
+
+
 ORACLE_DECONTAMINATE = f"""
 WITH sp AS (
   SELECT doc_id, text,
@@ -2379,6 +2432,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_decontaminate": q_doc_decontaminate,
         "doc_top_terms": q_doc_top_terms,
         "doc_quality_clf": q_doc_quality_clf,
+        "emb_decontaminate": q_emb_decontaminate,
     }
 
 
@@ -2439,5 +2493,6 @@ def oracle_sql() -> dict[str, str]:
         "doc_stratified_sample": ORACLE_STRATIFIED,
         "doc_pack_bins": ORACLE_PACK_BINS,
         "doc_decontaminate": ORACLE_DECONTAMINATE,
+        "emb_decontaminate": ORACLE_EMB_DECONTAMINATE,
         "doc_top_terms": ORACLE_TOP_TERMS,
     }

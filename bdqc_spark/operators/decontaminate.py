@@ -54,6 +54,76 @@ def shingle_set(df: DataFrame, id_col: str, text_col: str, n: int = 13) -> DataF
     )
 
 
+def embedding_contamination(
+    train: DataFrame,
+    eval_set: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Embedding-space decontamination: a train vector is contaminated
+    when its cosine similarity to ANY eval vector reaches
+    ``threshold`` (the semantic-overlap complement of the exact
+    n-gram rule — paraphrased benchmark leakage that shares no
+    13-gram; public method: near-duplicate filtering against eval
+    sets, e.g. Lee et al. 2022 §6 discussion).
+
+    Scale shape: eval sets are MBs while train is TBs, so the EVAL
+    side is broadcast (BroadcastNestedLoopJoin — dense cosine has no
+    equi-key) and the pass is linear in train rows, map-parallel.
+    The only shuffle carries (id, cosine-scalar) pairs into the
+    per-train-id max — partial aggregation reduces each partition to
+    its local max first. Per-pair work is one zip_with/aggregate dot
+    product in whole-stage codegen; norms are computed once per side
+    beforehand (map-side projection), not once per pair.
+
+    Output: (id, n_contaminating, max_cosine, contaminated) for every
+    train row; vectors with zero norm (or empty arrays) never match.
+    """
+    dot = F.aggregate(
+        F.zip_with("__t_emb", "__e_emb", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+    def norm(col):
+        return F.sqrt(
+            F.aggregate(
+                col, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+            )
+        )
+
+    tr = train.select(
+        F.col(id_col).alias("id"),
+        F.col(emb_col).alias("__t_emb"),
+        norm(F.col(emb_col)).alias("__t_n"),
+    )
+    ev = eval_set.select(
+        F.col(emb_col).alias("__e_emb"), norm(F.col(emb_col)).alias("__e_n")
+    ).where(F.col("__e_n") > 0)
+    pairs = tr.where(F.col("__t_n") > 0).crossJoin(F.broadcast(ev))
+    cos = dot / (F.col("__t_n") * F.col("__e_n"))
+    hits = (
+        pairs.select("id", cos.alias("cos"))
+        .where(F.col("cos") >= F.lit(threshold))
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_contaminating"),
+            F.round(F.max("cos"), 6).alias("max_cosine"),
+        )
+    )
+    return (
+        train.select(F.col(id_col).alias("id"))
+        .join(hits, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("n_contaminating", F.lit(0)).alias("n_contaminating"),
+            F.col("max_cosine"),
+            (F.coalesce("n_contaminating", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
 def contamination(
     train: DataFrame,
     eval_set: DataFrame,

@@ -90,3 +90,52 @@ def test_join_is_against_distinct_eval_set(frames):
     a = {r.doc_id: (r.n_hits, r.n_shingles) for r in contamination(train, ev).collect()}
     b = {r.doc_id: (r.n_hits, r.n_shingles) for r in contamination(train, ev2).collect()}
     assert a == b
+
+
+def test_embedding_contamination_semantics(spark):
+    """Planted near-duplicate vectors are flagged; orthogonal ones
+    are not; counts and max cosine match a numpy brute-force twin;
+    zero-norm vectors never match; the eval side is broadcast."""
+    import numpy as np
+
+    from bdqc_spark.operators.decontaminate import embedding_contamination
+
+    rng = np.random.default_rng(7)
+    ev = rng.normal(size=(5, 16)).astype(np.float32)
+    tr = rng.normal(size=(20, 16)).astype(np.float32)
+    tr[3] = ev[0] * 2.0 + rng.normal(scale=1e-3, size=16)  # near-dup (scaled)
+    tr[7] = -ev[2]  # anti-parallel: cosine -1, must NOT flag
+    tr[11] = 0.0  # zero norm: no evidence
+    tdf = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(tr)],
+        "vec_id long, embedding array<float>",
+    )
+    edf = spark.createDataFrame(
+        [(100 + i, [float(v) for v in row]) for i, row in enumerate(ev)],
+        "vec_id long, embedding array<float>",
+    )
+    out = embedding_contamination(tdf, edf, threshold=0.9).toPandas().set_index("vec_id")
+    assert len(out) == 20
+
+    trn = tr.astype(np.float64)
+    evn = ev.astype(np.float64)
+    tn = np.linalg.norm(trn, axis=1, keepdims=True)
+    en = np.linalg.norm(evn, axis=1, keepdims=True)
+    cos = np.zeros((20, 5))
+    nz = (tn[:, 0] > 0)[:, None] & (en[:, 0] > 0)[None, :]
+    cos[nz] = ((trn @ evn.T) / np.where(tn @ en.T == 0, 1, tn @ en.T))[nz]
+    want_n = (np.where(nz, cos, -2) >= 0.9).sum(axis=1)
+    for i in range(20):
+        assert out.loc[i, "n_contaminating"] == want_n[i], i
+        assert bool(out.loc[i, "contaminated"]) == (want_n[i] > 0)
+    assert out.loc[3, "contaminated"] and not out.loc[7, "contaminated"]
+    assert out.loc[11, "n_contaminating"] == 0
+    assert abs(out.loc[3, "max_cosine"] - round(cos[3].max(), 6)) < 1e-9
+
+    plan = (
+        embedding_contamination(tdf, edf, threshold=0.9)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" in plan
