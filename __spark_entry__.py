@@ -1056,6 +1056,62 @@ SELECT doc_id, lang, quality FROM q WHERE quality >= 0.7
 """
 
 
+def q_corpus_report(spark, sf_dir):
+    """Curator-facing corpus rollup: per-language doc counts, exact-dup
+    document counts (normalized-text key), token totals and the
+    quality-score distribution in ONE pass — the summary a data
+    curator runs before training. Shape at 100 TB: one window over the
+    normalized-text key (the same shuffle the exact-dedup pass already
+    pays, so the report piggybacks on it) + one partial-aggregated
+    groupBy(lang); no UDFs, all signals are Catalyst expressions."""
+    d = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    per = d.select(
+        "lang",
+        TX.n_tokens(t).alias("toks"),
+        TX.quality_score(t).alias("q"),
+        TX.normalized(t).alias("__norm"),
+    ).withColumn("dup", F.count(F.lit(1)).over(Window.partitionBy("__norm")) > 1)
+    return per.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("dup").cast("long")).alias("n_dup_docs"),
+        F.sum(F.col("toks").cast("long")).alias("total_tokens"),
+        F.round(F.avg("toks"), 4).alias("avg_tokens"),
+        F.round(F.avg("q"), 6).alias("avg_quality"),
+        F.round(F.avg((F.col("q") < 0.7).cast("double")), 6).alias("low_quality_frac"),
+    )
+
+
+_QUALITY_EXPR_SQL = """(
+      0.25 * (CASE WHEN len(regexp_extract_all(text, '[^ \t\n\r]+')) BETWEEN 5 AND 100000 THEN 1.0 ELSE 0.0 END)
+      + 0.25 * least(1.0, (CASE WHEN length(text) > 0 THEN CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(text) ELSE 0.0 END) / 0.6)
+      + 0.2 * (1.0 - least(1.0, (CASE WHEN length(text) > 0 THEN CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / length(text) ELSE 0.0 END) / 0.3))
+      + 0.1 * (1.0 - least(1.0, (CASE WHEN length(text) > 0 THEN CAST(length(text) - length(regexp_replace(text, '[.,;:!?''"()\\[\\]{}<>@#$%^&*+=/\\\\|~`_-]', '', 'g')) AS DOUBLE) / length(text) ELSE 0.0 END) / 0.3))
+      + 0.2 * (CASE WHEN len(regexp_extract_all(lower(text), '[a-z]+')) > 0
+               THEN CAST(len(list_distinct(regexp_extract_all(lower(text), '[a-z]+'))) AS DOUBLE) / len(regexp_extract_all(lower(text), '[a-z]+'))
+               ELSE 0.0 END)
+)"""
+
+ORACLE_CORPUS_REPORT = f"""
+WITH per AS (
+  SELECT lang,
+    len(regexp_extract_all(text, '[^ \t\n\r]+')) AS toks,
+    {_QUALITY_EXPR_SQL} AS q,
+    {{norm_sql}} AS nrm
+  FROM documents
+),
+d AS (SELECT per.*, count(*) OVER (PARTITION BY nrm) > 1 AS dup FROM per)
+SELECT lang,
+  count(*) AS n_docs,
+  CAST(sum(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+  CAST(sum(toks) AS BIGINT) AS total_tokens,
+  round(avg(toks), 4) AS avg_tokens,
+  round(avg(q), 6) AS avg_quality,
+  round(avg(CASE WHEN q < 0.7 THEN 1.0 ELSE 0.0 END), 6) AS low_quality_frac
+FROM d GROUP BY lang
+"""  # {{norm_sql}} resolved at registry time (defined below this point)
+
+
 # ---- Gopher-style repetition signals ----------------------------------------
 def q_doc_repetition(spark, sf_dir):
     """Repetition quality signals (Rae et al. 2021 'Gopher' §A1.1):
@@ -2433,6 +2489,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_top_terms": q_doc_top_terms,
         "doc_quality_clf": q_doc_quality_clf,
         "emb_decontaminate": q_emb_decontaminate,
+        "corpus_report": q_corpus_report,
     }
 
 
@@ -2494,5 +2551,6 @@ def oracle_sql() -> dict[str, str]:
         "doc_pack_bins": ORACLE_PACK_BINS,
         "doc_decontaminate": ORACLE_DECONTAMINATE,
         "emb_decontaminate": ORACLE_EMB_DECONTAMINATE,
+        "corpus_report": ORACLE_CORPUS_REPORT.replace("{norm_sql}", _NORM_SQL),
         "doc_top_terms": ORACLE_TOP_TERMS,
     }
