@@ -38,6 +38,8 @@ DEMOTED_ORACLE_QUERIES = [
     "doc_pack_bins",
     "doc_decontaminate",
     "doc_top_terms",
+    "emb_decontaminate",
+    "corpus_report",
 ]
 
 
