@@ -177,6 +177,19 @@ def main() -> None:
             }
         )
         shutil.rmtree(out, ignore_errors=True)
+        # Inter-draw heap reset: draw 1 leaves a full tenured gen
+        # behind, and at 2 cores ParallelGC has only 2 GC threads —
+        # the collection debt lands inside draw 2's wall clock
+        # (measured: t2 draw 2 ran a reproducible ~1.45× slower than
+        # draw 1 on a quiet box — 300s vs 207-213s, trial-4 artifact —
+        # while 8-core probes stayed flat across 6 draws). A forced
+        # full GC between draws restores the protocol's invariant
+        # that every draw starts from the same steady state.
+        spark._jvm.System.gc()
+        import gc as _pygc
+
+        _pygc.collect()
+        time.sleep(1.0)
     spark.stop()
     print(json.dumps({"cpus": args.cpus, "draws": draws}))
 
