@@ -1925,6 +1925,28 @@ def q_clips_resample(spark, sf_dir):
     )
 
 
+def q_clips_augment(spark, sf_dir):
+    """Audio augmentation for training (rows-only: DSP has no SQL
+    twin; duration/pitch scaling, target-SNR accuracy, determinism
+    under repartitioning and profile composition are pytest-gated in
+    tests/test_augment.py). One mapInArrow pass per variant — speed
+    perturbation (Ko et al. 2015, ×1.1) chained with deterministic
+    20 dB-SNR noise mixing; only scalar metadata is returned, the
+    augmented payload stays inside the stage."""
+    ensure_shipped(spark)
+    from bdqc_spark.functions.augment import augment_noise, augment_speed
+
+    sped = augment_speed(_clips_df(spark), factor=1.1)
+    noised = augment_noise(
+        sped.where(F.col("augment_ok")).drop("augment_ok", "n_samples", "dur_ms"),
+        snr_db=20.0,
+        seed=11,
+    )
+    return noised.select(
+        "clip_id", "augment_ok", "sr_hz", "codec", "n_samples", "dur_ms"
+    )
+
+
 def q_clips_segment(spark, sf_dir):
     """Fixed-length training-segment windowing (rows-only: byte-slice
     segmentation has no SQL twin; slice-exactness, overlap counts and
@@ -2473,6 +2495,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_bpe_tokens": q_doc_bpe_tokens,
         "scrub_unicode_documents": q_scrub_unicode_documents,
         "clips_resample": q_clips_resample,
+        "clips_augment": q_clips_augment,
         "doc_length_drift": q_doc_length_drift,
         "clips_segment": q_clips_segment,
         "audio_fingerprints": q_audio_fingerprints,
