@@ -93,7 +93,23 @@ class IcebergishTable:
         prev = self.snapshot()
         prev_files = dict(prev["bucket_files"]) if prev else {}
 
+        # Partition-spec discipline: once the table exists, the
+        # MANIFEST's bucket count is authoritative — a constructor
+        # argument that disagrees (e.g. a caller created after a
+        # rebucket with the old default) must not silently mix specs
+        # within one snapshot's file set.
+        if prev is not None and prev.get("num_buckets") not in (None, self.num_buckets):
+            self.num_buckets = int(prev["num_buckets"])
+
         bucketed = df if BUCKET_COL in df.columns else self.with_bucket(df)
+        # New files are attributed by a BEFORE/AFTER directory diff —
+        # the same discipline as compact(). The old "any file not in
+        # the previous manifest" rule silently re-absorbed files that
+        # exist on disk but were deliberately dropped from the current
+        # manifest: appending after a compaction re-added the
+        # compacted-away originals and DOUBLE-COUNTED their rows
+        # (caught by test_incremental_skips_compaction_rewrite).
+        before = self._data_listing()
         # One directory per bucket → scans with a bucket predicate
         # read only that directory (partition pruning). Cluster the
         # write by bucket first (Iceberg write.distribution-mode=hash):
@@ -108,16 +124,8 @@ class IcebergishTable:
         )
 
         bucket_files: dict[str, list[str]] = {k: list(v) for k, v in prev_files.items()}
-        known = {f for files in prev_files.values() for f in files}
-        total_rows = 0
-        for entry in sorted(os.listdir(self.data_dir)):
-            if not entry.startswith(f"{BUCKET_COL}="):
-                continue
-            k = entry.split("=", 1)[1]
-            for fn in sorted(os.listdir(os.path.join(self.data_dir, entry))):
-                rel = f"{entry}/{fn}"
-                if fn.endswith(".parquet") and rel not in known:
-                    bucket_files.setdefault(k, []).append(rel)
+        for rel in sorted(self._data_listing() - before):
+            bucket_files.setdefault(rel.split("/", 1)[0].split("=", 1)[1], []).append(rel)
         # Row count from parquet footers (driver-side metadata read —
         # no data scan, the Iceberg way).
         import pyarrow.parquet as pq
@@ -203,6 +211,77 @@ class IcebergishTable:
             reader = reader.schema(self._schema_ddl(snap))
         return reader.parquet(*paths)
 
+    def appended_files(
+        self, from_snapshot_id: str | None, to_snapshot_id: str | None = None
+    ) -> list[str]:
+        """Relative paths of data files ADDED BY APPEND snapshots in
+        (from, to] — the append-only changelog. The lineage is walked
+        snapshot by snapshot and ``rewrite``/``rebucket`` snapshots
+        contribute NOTHING: their files carry rows an incremental
+        consumer already processed (real Iceberg's incremental append
+        scan skips replace snapshots the same way — a naive whole-
+        range file diff would re-emit every compacted row). Falls back
+        to the plain file diff only when an intermediate manifest has
+        been expired (best effort, documented at expire_snapshots).
+
+        A file added by an append and later REWRITTEN inside the same
+        (from, to] range is still returned: its rows entered the table
+        in-range and the consumer has not seen them (the rewrite only
+        re-homed them; the original file may already be orphaned, so
+        callers read the listed paths that still exist — append files
+        are only removed after expire+orphan maintenance, which the
+        fallback path covers)."""
+        new = self.snapshot(to_snapshot_id)
+        if new is None:
+            raise ValueError(f"no snapshot at {self.root}")
+        if from_snapshot_id is None:
+            return sorted(rel for fs in new["bucket_files"].values() for rel in fs)
+
+        chain: list[dict] = []
+        sid = new["snapshot_id"]
+        snap: dict | None = new
+        broken = False
+        while sid is not None and sid != from_snapshot_id:
+            if snap is None:
+                broken = True  # expired intermediate manifest
+                break
+            chain.append(snap)
+            sid = snap["parent_snapshot_id"]
+            snap = self.snapshot(sid) if sid is not None else None
+        if sid is None and from_snapshot_id is not None:
+            broken = True  # from-snapshot not an ancestor (or expired)
+        if broken:
+            old = self.snapshot(from_snapshot_id)
+            old_files = (
+                {rel for fs in old["bucket_files"].values() for rel in fs}
+                if old
+                else set()
+            )
+            return sorted(
+                rel
+                for fs in new["bucket_files"].values()
+                for rel in fs
+                if rel not in old_files
+            )
+
+        added: list[str] = []
+        for s in chain:  # newest → oldest; order is normalized below
+            if s["operation"] not in ("append",):
+                continue
+            parent = self.snapshot(s["parent_snapshot_id"]) if s["parent_snapshot_id"] else None
+            parent_files = (
+                {rel for fs in parent["bucket_files"].values() for rel in fs}
+                if parent
+                else set()
+            )
+            added.extend(
+                rel
+                for fs in s["bucket_files"].values()
+                for rel in fs
+                if rel not in parent_files
+            )
+        return sorted(set(added))
+
     def read_incremental(
         self,
         spark: SparkSession,
@@ -210,24 +289,21 @@ class IcebergishTable:
         to_snapshot_id: str | None = None,
     ) -> DataFrame:
         """Rows committed AFTER ``from_snapshot_id`` up to
-        ``to_snapshot_id`` (default: current) — the manifest diff, an
-        append-only table's changelog. This is the 100 TB incremental
-        pattern: a downstream job remembers the snapshot it last
-        processed and reads only the new files, never rescanning the
-        table (``from_snapshot_id=None`` degrades to a full read of
-        the target snapshot)."""
+        ``to_snapshot_id`` (default: current) — the append-only
+        changelog (see ``appended_files``: maintenance rewrites and
+        rebucket snapshots are skipped, so compaction cannot re-emit
+        already-processed rows to an incremental consumer). This is
+        the 100 TB incremental pattern: a downstream job remembers the
+        snapshot it last processed and reads only the new files, never
+        rescanning the table (``from_snapshot_id=None`` degrades to a
+        full read of the target snapshot)."""
         new = self.snapshot(to_snapshot_id)
         if new is None:
             raise ValueError(f"no snapshot at {self.root}")
-        old = self.snapshot(from_snapshot_id) if from_snapshot_id else None
-        old_files = (
-            {rel for fs in old["bucket_files"].values() for rel in fs} if old else set()
-        )
         paths = [
             os.path.join(self.data_dir, rel)
-            for fs in new["bucket_files"].values()
-            for rel in fs
-            if rel not in old_files
+            for rel in self.appended_files(from_snapshot_id, to_snapshot_id)
+            if os.path.exists(os.path.join(self.data_dir, rel))
         ]
         if not paths:
             return spark.createDataFrame([], self._schema_ddl(new))
@@ -320,6 +396,76 @@ class IcebergishTable:
             "summary": {
                 "total_rows": snap["summary"]["total_rows"],
                 "compacted_buckets": victims,
+            },
+        }
+        return self._commit_snapshot(manifest)
+
+    def rebucket(self, spark: SparkSession, new_num_buckets: int) -> str:
+        """Partition-spec evolution: rewrite the CURRENT snapshot's
+        rows under ``bucket(new_num_buckets, key)`` and commit a
+        ``rebucket`` snapshot. The bucket count chosen at 200 k rows
+        stops fitting at 10^12 — this is the migration path that keeps
+        history intact: snapshots before the rebucket stay readable
+        under THEIR spec (each manifest records its own
+        ``num_buckets``; time travel and ``bucket_ids`` are
+        per-snapshot), subsequent appends follow the new spec
+        automatically, and incremental consumers skip the rebucket
+        snapshot entirely (``appended_files``) — its rows are not new.
+
+        Row-count asserted like ``compact``; the manifest is committed
+        last, so a crashed rebucket is invisible and its files are
+        swept by ``remove_orphans``."""
+        if new_num_buckets < 1:
+            raise ValueError(f"num_buckets must be >= 1, got {new_num_buckets}")
+        snap = self.snapshot()
+        if snap is None:
+            raise ValueError(f"no snapshot at {self.root}")
+        if int(snap["num_buckets"]) == new_num_buckets:
+            raise ValueError(f"table already has {new_num_buckets} buckets")
+
+        before = self._data_listing()
+        df = self.read(spark).drop(BUCKET_COL)
+        old_buckets = self.num_buckets
+        self.num_buckets = new_num_buckets
+        try:
+            (
+                self.with_bucket(df)
+                .repartition(new_num_buckets, BUCKET_COL)
+                .write.mode("append")
+                .partitionBy(BUCKET_COL)
+                .parquet(self.data_dir)
+            )
+        except Exception:
+            self.num_buckets = old_buckets
+            raise
+        new_by_bucket: dict[str, list[str]] = {}
+        for rel in sorted(self._data_listing() - before):
+            new_by_bucket.setdefault(rel.split("/", 1)[0].split("=", 1)[1], []).append(rel)
+
+        import pyarrow.parquet as pq
+
+        new_rows = sum(
+            pq.ParquetFile(os.path.join(self.data_dir, rel)).metadata.num_rows
+            for fs in new_by_bucket.values()
+            for rel in fs
+        )
+        if new_rows != snap["summary"]["total_rows"]:
+            raise RuntimeError(
+                f"rebucket row mismatch: {snap['summary']['total_rows']} -> "
+                f"{new_rows}; not committing"
+            )
+        manifest = {
+            "snapshot_id": uuid.uuid4().hex[:16],
+            "parent_snapshot_id": snap["snapshot_id"],
+            "timestamp_ms": int(time.time() * 1000),
+            "operation": "rebucket",
+            "bucket_key": self.bucket_key,
+            "num_buckets": new_num_buckets,
+            "schema": snap["schema"],
+            "bucket_files": new_by_bucket,
+            "summary": {
+                "total_rows": snap["summary"]["total_rows"],
+                "previous_num_buckets": int(snap["num_buckets"]),
             },
         }
         return self._commit_snapshot(manifest)

@@ -83,20 +83,23 @@ class IcebergishStreamReader(DataSourceStreamReader):
         new = _read_manifest(self.root, end.get("snapshot_id"))
         if new is None:
             return []
-        old = _read_manifest(self.root, start.get("snapshot_id"))
-        old_files = (
-            {rel for fs in old["bucket_files"].values() for rel in fs} if old else set()
-        )
+        # Append-only changelog semantics (shared with
+        # IcebergishTable.read_incremental): walk the snapshot lineage
+        # and take only files ADDED BY APPEND snapshots — a compaction
+        # or rebucket committed mid-stream must not re-emit rows the
+        # stream already processed.
+        from bdqc_spark.sources.iceberg import IcebergishTable
+
+        tbl = IcebergishTable(self.root)
+        rels = tbl.appended_files(start.get("snapshot_id"), end.get("snapshot_id"))
         parts = []
         data_dir = os.path.join(self.root, "data")
-        for bucket, files in sorted(new["bucket_files"].items()):
-            for rel in files:
-                if rel not in old_files:
-                    parts.append(
-                        _FilePartition(
-                            os.path.join(data_dir, rel), int(bucket), self.schema_cols
-                        )
-                    )
+        for rel in rels:
+            path = os.path.join(data_dir, rel)
+            if not os.path.exists(path):
+                continue  # appended then rewritten+orphan-swept in-range
+            bucket = int(rel.split("/", 1)[0].split("=", 1)[1])
+            parts.append(_FilePartition(path, bucket, self.schema_cols))
         return parts
 
     def read(self, partition: _FilePartition) -> Iterator[tuple]:

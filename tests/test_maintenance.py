@@ -175,3 +175,105 @@ def test_crashed_compaction_is_invisible_and_swept(spark, tmp_path):
     removed = tbl.remove_orphans(older_than_s=0)
     assert "bucket=0/part-crashed-deadbeef.parquet" in removed
     assert _collect_sorted(spark, tbl) == expected
+
+
+# -- partition-spec evolution + append-only incremental semantics ----------
+
+
+def test_incremental_skips_compaction_rewrite(spark, tmp_path):
+    """A compaction committed mid-chain must contribute NOTHING to an
+    incremental read — its files carry rows the consumer already
+    processed (the pre-fix whole-range file diff re-emitted every
+    compacted row)."""
+    tbl = IcebergishTable(str(tmp_path / "t"), num_buckets=4)
+
+    def batch(lo, n):
+        return spark.range(lo, lo + n).select(
+            F.concat(F.lit("clip-"), F.col("id")).alias("clip_id"),
+            F.col("id").cast("double").alias("x"),
+        )
+
+    s1 = tbl.append(batch(0, 100))
+    tbl.append(batch(100, 50))
+    assert tbl.compact(spark) is not None
+    tbl.append(batch(150, 25))
+
+    inc = tbl.read_incremental(spark, from_snapshot_id=s1)
+    got = sorted(r.clip_id for r in inc.collect())
+    want = sorted(f"clip-{i}" for i in range(100, 175))
+    assert got == want  # 75 appended rows, zero re-emitted
+
+
+def test_rebucket_preserves_rows_and_history(spark, tmp_path):
+    tbl = _mk_table(spark, tmp_path / "t", appends=2, rows_per=100, buckets=4)
+    pre_sid = tbl.current_snapshot_id()
+    pre_rows = {(r.clip_id, r.x) for r in tbl.read(spark).collect()}
+
+    sid = tbl.rebucket(spark, 8)
+    assert sid == tbl.current_snapshot_id()
+    snap = tbl.snapshot()
+    assert snap["operation"] == "rebucket"
+    assert snap["num_buckets"] == 8
+    assert snap["summary"]["previous_num_buckets"] == 4
+
+    post = tbl.read(spark)
+    assert {(r.clip_id, r.x) for r in post.collect()} == pre_rows
+    # the new spec really is bucket(8, clip_id)
+    chk = post.withColumn(
+        "want", F.pmod(F.xxhash64("clip_id"), F.lit(8)).cast("int")
+    ).where(F.col("bucket") != F.col("want"))
+    assert chk.count() == 0
+    assert max(tbl.bucket_ids()) > 3
+
+    # time travel: the pre-rebucket snapshot still reads under ITS spec
+    old = tbl.read(spark, snapshot_id=pre_sid)
+    assert {(r.clip_id, r.x) for r in old.collect()} == pre_rows
+    assert old.agg(F.max("bucket")).collect()[0][0] <= 3
+    assert max(tbl.bucket_ids(snapshot_id=pre_sid)) <= 3
+
+    # manifest-level pruning under the new spec
+    some = tbl.read(spark, buckets=[3]).collect()
+    assert some and all(r.bucket == 3 for r in some)
+
+
+def test_append_after_rebucket_follows_manifest_spec(spark, tmp_path):
+    tbl = _mk_table(spark, tmp_path / "t", appends=1, rows_per=80, buckets=4)
+    tbl.rebucket(spark, 8)
+    # a STALE handle constructed with the old default must not mix specs
+    stale = IcebergishTable(str(tmp_path / "t"), num_buckets=4)
+    stale.append(
+        spark.range(1000, 1040).select(
+            F.concat(F.lit("clip-"), F.col("id")).alias("clip_id"),
+            F.col("id").cast("double").alias("x"),
+        )
+    )
+    snap = stale.snapshot()
+    assert snap["num_buckets"] == 8
+    new = IcebergishTable(str(tmp_path / "t")).read(spark).where("clip_id >= 'clip-1000'")
+    chk = new.withColumn(
+        "want", F.pmod(F.xxhash64("clip_id"), F.lit(8)).cast("int")
+    ).where(F.col("bucket") != F.col("want"))
+    assert chk.count() == 0
+
+
+def test_incremental_skips_rebucket_and_reads_later_appends(spark, tmp_path):
+    tbl = _mk_table(spark, tmp_path / "t", appends=1, rows_per=60, buckets=4)
+    s1 = tbl.current_snapshot_id()
+    tbl.rebucket(spark, 8)
+    tbl.append(
+        spark.range(500, 530).select(
+            F.concat(F.lit("clip-"), F.col("id")).alias("clip_id"),
+            F.col("id").cast("double").alias("x"),
+        )
+    )
+    inc = tbl.read_incremental(spark, from_snapshot_id=s1)
+    got = sorted(r.clip_id for r in inc.collect())
+    assert got == sorted(f"clip-{i}" for i in range(500, 530))
+
+
+def test_rebucket_rejects_bad_args(spark, tmp_path):
+    tbl = _mk_table(spark, tmp_path / "t", appends=1, rows_per=10, buckets=4)
+    with pytest.raises(ValueError, match="already has"):
+        tbl.rebucket(spark, 4)
+    with pytest.raises(ValueError, match=">= 1"):
+        tbl.rebucket(spark, 0)

@@ -284,3 +284,41 @@ def test_incremental_stream_from_manifest_diff(spark, tmp_path):
     got3 = spark.read.parquet(f"{out}/decisions").toPandas()
     assert len(got3) == 300
     assert sorted(got3.clip_id) == sorted(got2.clip_id)
+
+
+def test_incremental_stream_skips_compaction(spark, tmp_path):
+    """Maintenance committed mid-stream must be invisible to the
+    incremental consumer: a compaction rewrite re-homes already-
+    processed rows, and the old whole-range file diff would re-emit
+    all of them (the append-only changelog walk skips rewrite and
+    rebucket snapshots)."""
+    from bdqc_spark.plans.models import fit_cohort_models
+    from bdqc_spark.plans.profile import profile_clips
+    from bdqc_spark.sources.iceberg import IcebergishTable
+    from bdqc_spark.streaming.incremental_source import clips_incremental_stream
+    from bdqc_spark.synth.clips import generate_clips_df
+
+    table = IcebergishTable(str(tmp_path / "tbl"), num_buckets=4)
+    first = generate_clips_df(spark, 150, seed=33)
+    table.append(first)
+    # two appends → ≥2 files per bucket → compactable
+    table.append(generate_clips_df(spark, 50, seed=33, start=150))
+    models = spark.createDataFrame(
+        fit_cohort_models(profile_clips(table.read(spark))).collect()
+    )
+    out = str(tmp_path / "o")
+    ckpt = str(tmp_path / "c")
+    q = clips_incremental_stream(spark, table.root, models, out, ckpt)
+    q.awaitTermination(180)
+    assert spark.read.parquet(f"{out}/decisions").count() == 200
+
+    # compact + append; only the appended clips may be emitted
+    assert table.compact(spark) is not None
+    third = generate_clips_df(spark, 40, seed=33, start=200)
+    table.append(third)
+    q = clips_incremental_stream(spark, table.root, models, out, ckpt)
+    q.awaitTermination(180)
+    got = spark.read.parquet(f"{out}/decisions").toPandas()
+    assert len(got) == 240  # 200 + 40, zero re-emitted by the rewrite
+    third_ids = {r.clip_id for r in third.select("clip_id").collect()}
+    assert third_ids <= set(got.clip_id)
