@@ -38,6 +38,17 @@ def main(argv: list[str] | None = None) -> int:
         "older than the safety window (scheduled table maintenance; "
         "skip on tables other jobs read via time travel)",
     )
+    ap.add_argument(
+        "--rebucket",
+        type=int,
+        default=None,
+        metavar="N",
+        help="BEFORE the run, evolve the input table's partition spec "
+        "to bucket(N, clip_id) — a row-count-asserted rewrite "
+        "snapshot; older snapshots stay readable under their own "
+        "spec and incremental consumers skip the rewrite (use when "
+        "the corpus outgrows the bucket count it was created with)",
+    )
     args = ap.parse_args(argv)
 
     from bdqc_spark.session import build_session
@@ -49,6 +60,11 @@ def main(argv: list[str] | None = None) -> int:
     if not tbl.exists():
         print(f"no snapshot at {args.table}", file=sys.stderr)
         return 2
+    if args.rebucket is not None:
+        if args.snapshot:
+            print("--rebucket cannot be combined with --snapshot", file=sys.stderr)
+            return 2
+        tbl.rebucket(spark, args.rebucket)
     snapshot = args.snapshot or tbl.current_snapshot_id()
     result = run_pipeline(
         spark,

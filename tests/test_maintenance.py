@@ -277,3 +277,47 @@ def test_rebucket_rejects_bad_args(spark, tmp_path):
         tbl.rebucket(spark, 4)
     with pytest.raises(ValueError, match=">= 1"):
         tbl.rebucket(spark, 0)
+
+
+def test_cli_rebucket_flag(spark, tmp_path):
+    """--rebucket N evolves the spec before the run; the pipeline then
+    processes the NEW bucket list and decisions are unchanged vs the
+    old spec (bucketing is physical layout, not semantics)."""
+    import json
+    import subprocess
+    import sys as _sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    from bdqc_spark.synth.clips import generate_clips_df
+
+    table = str(tmp_path / "clips")
+    tbl = IcebergishTable(table, num_buckets=4)
+    tbl.append(generate_clips_df(spark, 150, seed=35))
+
+    def run_cli(out, *extra):
+        proc = subprocess.run(
+            [_sys.executable, os.path.join(repo, "run_pipeline.py"),
+             "--table", table, "--out", str(tmp_path / out),
+             "--master", "local[4]", *extra],
+            capture_output=True, text=True, cwd=repo, timeout=420,
+        )
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        return json.loads(proc.stdout.strip().splitlines()[-1])
+
+    base = run_cli("out_a")
+    assert base["processed_buckets"] == [0, 1, 2, 3]
+    evolved = run_cli("out_b", "--rebucket", "8")
+    assert len(evolved["processed_buckets"]) > 4
+    a = spark.read.parquet(str(tmp_path / "out_a" / "decisions")).toPandas()
+    b = spark.read.parquet(str(tmp_path / "out_b" / "decisions")).toPandas()
+    ka = a.sort_values("clip_id")[["clip_id", "keep"]].reset_index(drop=True)
+    kb = b.sort_values("clip_id")[["clip_id", "keep"]].reset_index(drop=True)
+    assert ka.equals(kb)
+    # --rebucket + --snapshot is refused
+    proc = subprocess.run(
+        [_sys.executable, os.path.join(repo, "run_pipeline.py"),
+         "--table", table, "--out", str(tmp_path / "out_c"),
+         "--master", "local[4]", "--rebucket", "16", "--snapshot", "deadbeef"],
+        capture_output=True, text=True, cwd=repo, timeout=120,
+    )
+    assert proc.returncode == 2
