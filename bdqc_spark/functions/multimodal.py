@@ -278,6 +278,79 @@ def profile_images(images: DataFrame, id_col: str = "image_id") -> DataFrame:
     return images.mapInPandas(image_features_batches, f"{passthrough}, {IMAGE_FEATURES_SCHEMA}")
 
 
+def resize_bilinear(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """(h, w, 3) uint8 → (out_h, out_w, 3) uint8 bilinear resize —
+    vectorized numpy gather (4 corner reads + 2 lerps per output
+    pixel, no Python loops). Uses the half-pixel-center convention
+    (align_corners=False, the OpenCV/PIL default), so up- and
+    down-scaling are both well-defined and an identity resize is
+    exact."""
+    if out_h < 1 or out_w < 1:
+        raise ValueError(f"bad target size {out_h}x{out_w}")
+    h, w = img.shape[:2]
+    if (h, w) == (out_h, out_w):
+        return img
+    # half-pixel centers: src = (dst + 0.5) * scale - 0.5
+    ys = np.clip((np.arange(out_h) + 0.5) * (h / out_h) - 0.5, 0, h - 1)
+    xs = np.clip((np.arange(out_w) + 0.5) * (w / out_w) - 0.5, 0, w - 1)
+    y0 = np.minimum(ys.astype(np.int64), h - 1)
+    x0 = np.minimum(xs.astype(np.int64), w - 1)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    fy = (ys - y0)[:, None, None]
+    fx = (xs - x0)[None, :, None]
+    p = img.astype(np.float32)
+    top = p[y0][:, x0] * (1 - fx) + p[y0][:, x1] * fx
+    bot = p[y1][:, x0] * (1 - fx) + p[y1][:, x1] * fx
+    out = top * (1 - fy) + bot * fy
+    return np.clip(np.rint(out), 0, 255).astype(np.uint8)
+
+
+def _resize_batches(out_h: int, out_w: int):
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            ok = np.zeros(n, bool)
+            payload: list = [None] * n
+            for i, raw in enumerate(pdf["bytes"]):
+                if raw is None:
+                    continue
+                try:
+                    img = decode_image(bytes(raw))
+                    payload[i] = encode_png(resize_bilinear(img, out_h, out_w))
+                except (NotImplementedError, ValueError):
+                    continue
+                ok[i] = True
+            cols = {"bytes": payload, "resize_ok": ok, "width": np.where(ok, out_w, 0).astype(np.int32), "height": np.where(ok, out_h, 0).astype(np.int32)}
+            for keep in pdf.columns:
+                if keep != "bytes":
+                    cols[keep] = pdf[keep].to_numpy()
+            yield pd.DataFrame(cols)
+
+    return run
+
+
+def resize_images(images: DataFrame, height: int, width: int) -> DataFrame:
+    """images(id, bytes [, meta...]) → same rows with `bytes` resized
+    to (height, width) and re-encoded as PNG (the one format this
+    sandbox can both decode and encode losslessly). Same execution
+    contract as profile_images: one mapInPandas pass, bytes consumed
+    inside the stage, corrupt/undecodable rows degrade to
+    resize_ok=false with a null payload — the batch-prep step a
+    vision training pipeline runs ahead of tensorization."""
+    if height < 1 or width < 1:
+        raise ValueError(f"bad target size {height}x{width}")
+    passthrough = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in images.schema.fields
+        if f.name != "bytes"
+    )
+    return images.mapInPandas(
+        _resize_batches(height, width),
+        f"{passthrough}, bytes binary, resize_ok boolean, width int, height int",
+    )
+
+
 def decode_video_frames(raw: bytes, every_k: int = 2) -> list[np.ndarray]:
     """Debug 'video' = concatenated RGB8 frames; sample every k-th.
     Real containers (mp4/webm) are NOT decodable in this sandbox."""

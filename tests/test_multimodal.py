@@ -242,3 +242,69 @@ def test_profile_videos_spark(spark):
     assert out.loc["static", "sampled_frames"] == 2
     assert out.loc["static", "motion"] == 0.0
     assert out.loc["moving", "motion"] > 5.0
+
+
+# -- bilinear resize (the brief's multimodal "resize" op) ------------------
+
+
+def test_resize_bilinear_identity_and_flat():
+    from bdqc_spark.functions.multimodal import resize_bilinear
+
+    img = _img(5, w=20, h=10)
+    assert resize_bilinear(img, 10, 20) is img  # identity exact
+    flat = np.full((8, 8, 3), 77, np.uint8)
+    out = resize_bilinear(flat, 5, 13)
+    assert out.shape == (5, 13, 3)
+    assert (out == 77).all()  # constant image stays constant at any size
+
+
+def test_resize_bilinear_gradient_values():
+    """A linear horizontal ramp must stay (approximately) linear under
+    bilinear resampling — interior values match the analytic ramp."""
+    from bdqc_spark.functions.multimodal import resize_bilinear
+
+    w = 64
+    ramp = np.tile(np.arange(w, dtype=np.uint8) * 4, (8, 1))
+    img = np.stack([ramp] * 3, axis=-1)
+    out = resize_bilinear(img, 8, 32).astype(np.float64)
+    # centers: src_x = (dst + .5)*2 - .5 → value = 4*src_x
+    want = 4.0 * ((np.arange(32) + 0.5) * 2 - 0.5)
+    got = out[4, :, 0]
+    assert np.abs(got[1:-1] - want[1:-1]).max() <= 1.0
+
+
+def test_resize_bilinear_rejects_bad_size():
+    import pytest as _pytest
+
+    from bdqc_spark.functions.multimodal import resize_bilinear
+
+    with _pytest.raises(ValueError):
+        resize_bilinear(_img(1), 0, 4)
+
+
+def test_resize_images_spark(spark):
+    import pandas as pd
+
+    from bdqc_spark.functions.multimodal import (
+        decode_png,
+        encode_png,
+        resize_images,
+    )
+
+    rows = [
+        ("a", encode_png(_img(1, w=32, h=16))),
+        ("b", encode_image_rgb8(_img(2, w=10, h=10))),
+        ("c", b"\x89PNG....garbage"),
+        ("d", None),
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["image_id", "bytes"]))
+    out = resize_images(df, height=8, width=12).toPandas().set_index("image_id")
+    assert bool(out.loc["a", "resize_ok"]) and bool(out.loc["b", "resize_ok"])
+    assert not out.loc["c", "resize_ok"] and not out.loc["d", "resize_ok"]
+    assert out.loc["c", "bytes"] is None
+    for k in ("a", "b"):
+        dec = decode_png(bytes(out.loc[k, "bytes"]))
+        assert dec.shape == (8, 12, 3)
+    # deterministic: resizing twice yields identical PNG bytes
+    again = resize_images(df, height=8, width=12).toPandas().set_index("image_id")
+    assert bytes(again.loc["a", "bytes"]) == bytes(out.loc["a", "bytes"])
