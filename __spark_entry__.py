@@ -1947,6 +1947,31 @@ def q_clips_augment(spark, sf_dir):
     )
 
 
+def q_clips_mv_outliers(spark, sf_dir):
+    """Multivariate (Mahalanobis) outlier report (rows-only: the
+    chi-square joint-distribution lens has no SQL twin; numpy-fit
+    parity, masking resistance and the planted joint-anomaly recall
+    are pytest-gated in tests/test_multivariate.py). Reweighted
+    two-pass covariance fit per cohort (masking defense), then a
+    pure-Catalyst quadratic form after one broadcast join — the
+    deeper pass a curator runs on rows every per-attribute rule
+    passed."""
+    ensure_shipped(spark)
+    from bdqc_spark.operators.multivariate import (
+        fit_covariance_trimmed,
+        score_mahalanobis,
+    )
+    from bdqc_spark.plans.decide import flatten_profiles
+    from bdqc_spark.plans.profile import profile_clips
+
+    flat = flatten_profiles(profile_clips(_clips_df(spark))).where(F.col("pcm_ok"))
+    attrs = ["dur_ms", "rms", "n_tokens", "speech_ratio"]
+    models = fit_covariance_trimmed(flat, ["codec", "lang_pred"], attrs)
+    return score_mahalanobis(flat, models, ["codec", "lang_pred"], attrs).select(
+        "clip_id", "md2", "mv_outlier"
+    )
+
+
 def q_clips_segment(spark, sf_dir):
     """Fixed-length training-segment windowing (rows-only: byte-slice
     segmentation has no SQL twin; slice-exactness, overlap counts and
@@ -2496,6 +2521,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scrub_unicode_documents": q_scrub_unicode_documents,
         "clips_resample": q_clips_resample,
         "clips_augment": q_clips_augment,
+        "clips_mv_outliers": q_clips_mv_outliers,
         "doc_length_drift": q_doc_length_drift,
         "clips_segment": q_clips_segment,
         "audio_fingerprints": q_audio_fingerprints,
