@@ -1056,6 +1056,55 @@ SELECT doc_id, lang, quality FROM q WHERE quality >= 0.7
 """
 
 
+_QUALITY_EXPR_SQL = """(
+      0.25 * (CASE WHEN len(regexp_extract_all(text, '[^ \t\n\r]+')) BETWEEN 5 AND 100000 THEN 1.0 ELSE 0.0 END)
+      + 0.25 * least(1.0, (CASE WHEN length(text) > 0 THEN CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(text) ELSE 0.0 END) / 0.6)
+      + 0.2 * (1.0 - least(1.0, (CASE WHEN length(text) > 0 THEN CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / length(text) ELSE 0.0 END) / 0.3))
+      + 0.1 * (1.0 - least(1.0, (CASE WHEN length(text) > 0 THEN CAST(length(text) - length(regexp_replace(text, '[.,;:!?''"()\\[\\]{}<>@#$%^&*+=/\\\\|~`_-]', '', 'g')) AS DOUBLE) / length(text) ELSE 0.0 END) / 0.3))
+      + 0.2 * (CASE WHEN len(regexp_extract_all(lower(text), '[a-z]+')) > 0
+               THEN CAST(len(list_distinct(regexp_extract_all(lower(text), '[a-z]+'))) AS DOUBLE) / len(regexp_extract_all(lower(text), '[a-z]+'))
+               ELSE 0.0 END)
+)"""
+
+
+def q_doc_quality_buckets(spark, sf_dir):
+    """CCNet-style curriculum buckets (Wenzek et al. 2020 §4.3: the
+    corpus is split per language into head/middle/tail thirds by
+    model quality and training samples the head preferentially).
+    ntile(3) over a TOTAL order (quality desc, doc_id) — the
+    tie-break key makes the assignment engine-deterministic, so the
+    DuckDB oracle reproduces it exactly. One window shuffle on lang;
+    at 100 TB the same plan holds (per-language partitions)."""
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.col("quality").desc(), F.col("doc_id").asc()
+    )
+    return (
+        d.select("doc_id", "lang", F.round(TX.quality_score(F.col("text")), 6).alias("quality"))
+        .withColumn("tercile", F.ntile(3).over(w))
+        .withColumn(
+            "bucket",
+            F.element_at(F.lit(["head", "middle", "tail"]), F.col("tercile")),
+        )
+        .select("doc_id", "lang", "quality", "bucket")
+    )
+
+
+ORACLE_QUALITY_BUCKETS = f"""
+WITH q AS (
+  SELECT doc_id, lang, round({_QUALITY_EXPR_SQL}, 6) AS quality FROM documents
+),
+t AS (
+  SELECT doc_id, lang, quality,
+    ntile(3) OVER (PARTITION BY lang ORDER BY quality DESC, doc_id ASC) AS tercile
+  FROM q
+)
+SELECT doc_id, lang, quality,
+  CASE tercile WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+FROM t
+"""
+
+
 def q_corpus_report(spark, sf_dir):
     """Curator-facing corpus rollup: per-language doc counts, exact-dup
     document counts (normalized-text key), token totals and the
@@ -1082,15 +1131,6 @@ def q_corpus_report(spark, sf_dir):
     )
 
 
-_QUALITY_EXPR_SQL = """(
-      0.25 * (CASE WHEN len(regexp_extract_all(text, '[^ \t\n\r]+')) BETWEEN 5 AND 100000 THEN 1.0 ELSE 0.0 END)
-      + 0.25 * least(1.0, (CASE WHEN length(text) > 0 THEN CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(text) ELSE 0.0 END) / 0.6)
-      + 0.2 * (1.0 - least(1.0, (CASE WHEN length(text) > 0 THEN CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / length(text) ELSE 0.0 END) / 0.3))
-      + 0.1 * (1.0 - least(1.0, (CASE WHEN length(text) > 0 THEN CAST(length(text) - length(regexp_replace(text, '[.,;:!?''"()\\[\\]{}<>@#$%^&*+=/\\\\|~`_-]', '', 'g')) AS DOUBLE) / length(text) ELSE 0.0 END) / 0.3))
-      + 0.2 * (CASE WHEN len(regexp_extract_all(lower(text), '[a-z]+')) > 0
-               THEN CAST(len(list_distinct(regexp_extract_all(lower(text), '[a-z]+'))) AS DOUBLE) / len(regexp_extract_all(lower(text), '[a-z]+'))
-               ELSE 0.0 END)
-)"""
 
 ORACLE_CORPUS_REPORT = f"""
 WITH per AS (
@@ -2539,6 +2579,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality_clf": q_doc_quality_clf,
         "emb_decontaminate": q_emb_decontaminate,
         "corpus_report": q_corpus_report,
+        "doc_quality_buckets": q_doc_quality_buckets,
     }
 
 
@@ -2601,5 +2642,6 @@ def oracle_sql() -> dict[str, str]:
         "doc_decontaminate": ORACLE_DECONTAMINATE,
         "emb_decontaminate": ORACLE_EMB_DECONTAMINATE,
         "corpus_report": ORACLE_CORPUS_REPORT.replace("{norm_sql}", _NORM_SQL),
+        "doc_quality_buckets": ORACLE_QUALITY_BUCKETS,
         "doc_top_terms": ORACLE_TOP_TERMS,
     }

@@ -40,6 +40,7 @@ DEMOTED_ORACLE_QUERIES = [
     "doc_top_terms",
     "emb_decontaminate",
     "corpus_report",
+    "doc_quality_buckets",
 ]
 
 
