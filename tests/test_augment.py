@@ -132,3 +132,43 @@ def test_augment_noise_measured_snr_on_clip(spark, clips):
     # int16 re-quantization adds ~-50 dB; at 15 dB target it is noise
     # on the noise — allow 1 dB
     assert abs(got - 15.0) < 1.0, got
+
+
+# -- property-based (hypothesis) -------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    n=st.integers(min_value=1, max_value=5000),
+    factor=st.floats(min_value=0.5, max_value=2.0),
+    seed=st.integers(min_value=0, max_value=2**16),
+)
+def test_speed_perturb_length_property(n, factor, seed):
+    rng = np.random.default_rng(seed)
+    x = rng.uniform(-1, 1, n).astype(np.float32)
+    y = speed_perturb(x, 16000, factor)
+    want = max(int(round(n * 16000 / max(int(round(16000 * factor)), 1))), 1)
+    assert len(y) == want
+    assert y.dtype == np.float32
+    # the anti-alias FIR legitimately overshoots ±1 on full-range
+    # noise (Gibbs ringing, bounded by the kernel's ℓ1 norm); the
+    # wire encode step clips to [-1, 1] (functions/audio.encode)
+    assert np.isfinite(y).all()
+    assert np.all(np.abs(y) <= 1.5)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    snr=st.floats(min_value=0.0, max_value=60.0),
+    seed=st.integers(min_value=0, max_value=2**16),
+)
+def test_mix_noise_bounded_and_deterministic(snr, seed):
+    rng = np.random.default_rng(3)
+    x = (0.5 * np.sin(np.arange(8000) * 0.1)).astype(np.float32)
+    a = mix_noise(x, snr, np.random.default_rng(seed))
+    b = mix_noise(x, snr, np.random.default_rng(seed))
+    assert np.array_equal(a, b)  # pure function of (signal, snr, rng state)
+    assert np.all(a <= 1.0) and np.all(a >= -1.0)

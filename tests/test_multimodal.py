@@ -308,3 +308,28 @@ def test_resize_images_spark(spark):
     # deterministic: resizing twice yields identical PNG bytes
     again = resize_images(df, height=8, width=12).toPandas().set_index("image_id")
     assert bytes(again.loc["a", "bytes"]) == bytes(out.loc["a", "bytes"])
+
+
+def test_resize_bilinear_properties():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from bdqc_spark.functions.multimodal import resize_bilinear
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        h=st.integers(1, 24),
+        w=st.integers(1, 24),
+        oh=st.integers(1, 24),
+        ow=st.integers(1, 24),
+        seed=st.integers(0, 2**16),
+    )
+    def prop(h, w, oh, ow, seed):
+        img = np.random.default_rng(seed).integers(0, 256, (h, w, 3), np.uint8)
+        out = resize_bilinear(img, oh, ow)
+        assert out.shape == (oh, ow, 3)
+        assert out.dtype == np.uint8
+        # bilinear output is bounded by input range (no ringing)
+        assert out.min() >= img.min() and out.max() <= img.max()
+
+    prop()

@@ -196,3 +196,29 @@ def test_null_categorical_attr_does_not_crash_or_flag(spark):
     exp = explain_decisions(profiles, models).toPandas()
     cat = exp[exp.rule_id == "categorical.rare_sr"]
     assert null_ids.isdisjoint(set(cat.clip_id))
+
+
+def test_pipeline_on_tiny_corpus_below_cohort_support(spark, tmp_path_factory):
+    """Below MIN_COHORT_N no deviation/categorical rule may fire (no
+    models), static rules still apply, and the run completes with
+    consistent metrics — the cold-start corpus case."""
+    import shutil as _sh
+
+    root = str(tmp_path_factory.mktemp("tiny_tbl"))
+    _sh.rmtree(root, ignore_errors=True)
+    tbl = IcebergishTable(root, num_buckets=2)
+    tbl.append(generate_clips_df(spark, 12, seed=9))
+    out = str(tmp_path_factory.mktemp("tiny_out"))
+    run_pipeline(spark, tbl.read(spark), out)
+    dec = _decisions(spark, out)
+    assert len(dec) == 12
+    fired = {r for hits in dec.rule_hits for r in hits}
+    assert not any(r.startswith(("robust_z.", "categorical.")) for r in fired)
+    metrics = spark.read.parquet(f"{out}/metrics").toPandas()
+    assert metrics.rows_seen.sum() == 12
+    assert metrics.rows_dropped.sum() == (~dec.keep).sum()
+    # oracle agrees end-to-end even at this size
+    golden_tiny = oracle_labels(generate_clips_pandas(12, seed=9)).sort_values(
+        "clip_id"
+    )
+    assert list(dec.sort_values("clip_id").keep) == list(golden_tiny.keep)
