@@ -1105,6 +1105,75 @@ FROM t
 """
 
 
+def q_doc_bigram_ppl(spark, sf_dir):
+    """Corpus-trained bigram-LM perplexity — the in-engine analog of
+    CCNet's KenLM scoring stage (Wenzek et al. 2020 train an LM and
+    score every doc; here both the training counts AND the scoring
+    are ONE declarative plan, so the whole thing is Catalyst + a
+    DuckDB oracle). Add-k smoothing (k=0.5) over corpus bigram/
+    unigram-context counts; per-doc ppl = exp(-mean ln P(w2|w1)).
+    Scale shape: two count aggregations (map-side combined) + one
+    shuffle join of bigram instances against the count tables —
+    c12/c1 are vocabulary-sized (MBs even at 100 TB of text in a
+    closed domain → broadcast; open-vocab falls back to a hash
+    join). Docs with <2 tokens carry no bigram evidence and are
+    excluded (same convention as the char-LM's no-evidence rows)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+    big = (
+        d.select("doc_id", toks.alias("t"))
+        .where(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 1), "
+                    "i -> struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2))"
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", "b.w1", "b.w2")
+    )
+    c12 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = big.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    v = big.agg(F.countDistinct("w2").alias("v"))
+    lp = F.log(
+        (F.col("c12") + F.lit(0.5)) / (F.col("c1") + F.lit(0.5) * F.col("v"))
+    )
+    return (
+        big.join(F.broadcast(c12), ["w1", "w2"])
+        .join(F.broadcast(c1), ["w1"])
+        .crossJoin(F.broadcast(v))
+        .select("doc_id", lp.alias("lp"))
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.exp(-F.avg("lp")), 6).alias("bigram_ppl"),
+            F.count(F.lit(1)).alias("n_bigrams"),
+        )
+    )
+
+
+ORACLE_BIGRAM_PPL = """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents
+),
+big AS (
+  SELECT doc_id, t[CAST(i AS INT)] AS w1, t[CAST(i AS INT) + 1] AS w2
+  FROM toks, unnest(generate_series(1, len(t) - 1)) AS g(i)
+  WHERE len(t) >= 2
+),
+c12 AS (SELECT w1, w2, count(*) AS c12 FROM big GROUP BY 1, 2),
+c1 AS (SELECT w1, count(*) AS c1 FROM big GROUP BY 1),
+v AS (SELECT count(DISTINCT w2) AS v FROM big),
+s AS (
+  SELECT b.doc_id, ln((c12.c12 + 0.5) / (c1.c1 + 0.5 * v.v)) AS lp
+  FROM big b JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+)
+SELECT doc_id, round(exp(-avg(lp)), 6) AS bigram_ppl, count(*) AS n_bigrams
+FROM s GROUP BY doc_id
+"""
+
+
 def q_corpus_report(spark, sf_dir):
     """Curator-facing corpus rollup: per-language doc counts, exact-dup
     document counts (normalized-text key), token totals and the
@@ -2580,6 +2649,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_decontaminate": q_emb_decontaminate,
         "corpus_report": q_corpus_report,
         "doc_quality_buckets": q_doc_quality_buckets,
+        "doc_bigram_ppl": q_doc_bigram_ppl,
     }
 
 
@@ -2643,5 +2713,6 @@ def oracle_sql() -> dict[str, str]:
         "emb_decontaminate": ORACLE_EMB_DECONTAMINATE,
         "corpus_report": ORACLE_CORPUS_REPORT.replace("{norm_sql}", _NORM_SQL),
         "doc_quality_buckets": ORACLE_QUALITY_BUCKETS,
+        "doc_bigram_ppl": ORACLE_BIGRAM_PPL,
         "doc_top_terms": ORACLE_TOP_TERMS,
     }

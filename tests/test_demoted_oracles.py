@@ -41,6 +41,7 @@ DEMOTED_ORACLE_QUERIES = [
     "emb_decontaminate",
     "corpus_report",
     "doc_quality_buckets",
+    "doc_bigram_ppl",
 ]
 
 
