@@ -2241,6 +2241,24 @@ def q_ann_ivf_topk(spark, sf_dir):
     )
 
 
+def q_ann_pq_topk(spark, sf_dir):
+    """Product-quantization ANN (rows-only: k-means codebooks have no
+    SQL twin; recall@10 vs exact L2 and codebook quality are
+    pytest-gated in tests/test_stats_operators.py). Vectors compress
+    dim×4 bytes → M bytes (32× at dim=64/M=8) — the memory story
+    that keeps 10^12 vectors resident; scoring is the asymmetric-
+    distance LUT as a plan literal consumed by aggregate/element_at —
+    pure Catalyst, no Python in the scoring pass."""
+    ensure_shipped(spark)
+    from bdqc_spark.operators.similarity import pq_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    return pq_topk(
+        e, "vec_id", "embedding", k=5, dim=64, m_subspaces=8, n_codes=64,
+        n_queries=10,
+    )
+
+
 _BPE_MERGES: dict[str, list] = {}
 
 
@@ -2631,6 +2649,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clips_resample": q_clips_resample,
         "clips_augment": q_clips_augment,
         "clips_mv_outliers": q_clips_mv_outliers,
+        "ann_pq_topk": q_ann_pq_topk,
         "doc_length_drift": q_doc_length_drift,
         "clips_segment": q_clips_segment,
         "audio_fingerprints": q_audio_fingerprints,

@@ -243,3 +243,131 @@ def ann_lsh_topk(
         .where(F.col("rk") <= k)
         .select("q_id", "c_id", "cosine", "rk")
     )
+
+
+def train_pq_codebooks(
+    sample: np.ndarray,
+    m_subspaces: int = 8,
+    n_codes: int = 256,
+    kmeans_iters: int = 8,
+    seed: int = 13,
+) -> np.ndarray:
+    """Product-quantization codebooks (Jégou, Douze & Schmid, 2011,
+    "Product quantization for nearest neighbor search"): split the
+    vector into M contiguous subspaces and k-means each independently.
+    Returns (M, n_codes, dim/M) float64. Driver-side on a bounded
+    sample — same training contract as the IVF coarse quantizer."""
+    n, dim = sample.shape
+    if dim % m_subspaces != 0:
+        raise ValueError(f"dim {dim} not divisible by M={m_subspaces}")
+    d_sub = dim // m_subspaces
+    n_codes = min(n_codes, n)
+    rng = np.random.default_rng(seed)
+    books = np.empty((m_subspaces, n_codes, d_sub))
+    for m in range(m_subspaces):
+        sub = sample[:, m * d_sub : (m + 1) * d_sub]
+        cents = sub[rng.choice(n, n_codes, replace=False)].copy()
+        for _ in range(kmeans_iters):
+            d2 = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            for j in range(n_codes):
+                msk = assign == j
+                if msk.any():
+                    cents[j] = sub[msk].mean(axis=0)
+        books[m] = cents
+    return books
+
+
+def pq_topk(
+    df: DataFrame,
+    id_col: str,
+    emb_col: str,
+    k: int,
+    dim: int,
+    m_subspaces: int = 8,
+    n_codes: int = 64,
+    sample_size: int = 2000,
+    seed: int = 13,
+    n_queries: int = 30,
+) -> DataFrame:
+    """PQ approximate top-k by L2 distance: vectors compress to M
+    uint8 codes (dim×4 bytes → M bytes, 32× at dim=64/M=8 — the
+    memory story that lets 10^12 vectors live in RAM), queries score
+    candidates with the asymmetric-distance lookup table (ADC).
+
+    Spark shape: codebooks train driver-side on ONE bounded sample
+    (IVF contract); ENCODING is one Arrow-batched numpy pass
+    (argmin over n_codes per subspace); SCORING is pure Catalyst —
+    each query's M×n_codes distance LUT is numpy-computed from the
+    codebooks (KBs), shipped as a flattened array LITERAL, and the
+    approximate distance is an `aggregate` over the code array with
+    `element_at` — zero Python, zero shuffle beyond the top-k window.
+    The query set is a bounded head (like brute_force_topk's gating):
+    each query contributes one LUT literal to the plan, which is the
+    right shape for "score the corpus against a few probes", not for
+    all-pairs."""
+    sample = np.asarray(
+        [np.asarray(r[0], dtype=np.float64) for r in df.select(emb_col).limit(sample_size).collect()]
+    )
+    if sample.size == 0:
+        raise ValueError(f"pq_topk: no vectors in '{emb_col}'")
+    if sample.ndim != 2 or sample.shape[1] != dim:
+        raise ValueError(f"pq_topk: expected {dim}-dim vectors, got {sample.shape}")
+    books = train_pq_codebooks(sample, m_subspaces, n_codes, seed=seed)
+    n_codes_eff = books.shape[1]
+    d_sub = dim // m_subspaces
+
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    @pandas_udf(ArrayType(IntegerType()))
+    def _encode(emb: pd.Series) -> pd.Series:
+        if len(emb) == 0:
+            return pd.Series([], dtype=object)
+        x = np.asarray([np.asarray(v, dtype=np.float64) for v in emb])
+        codes = np.empty((len(x), m_subspaces), dtype=np.int32)
+        for m in range(m_subspaces):
+            sub = x[:, m * d_sub : (m + 1) * d_sub]
+            d2 = ((sub[:, None, :] - books[m][None, :, :]) ** 2).sum(axis=2)
+            codes[:, m] = np.argmin(d2, axis=1)
+        return pd.Series(list(codes))
+
+    coded = df.select(
+        F.col(id_col).alias("c_id"), _encode(F.col(emb_col)).alias("codes")
+    ).localCheckpoint(eager=False)
+
+    queries = [
+        (r[0], np.asarray(r[1], dtype=np.float64))
+        for r in df.select(id_col, emb_col).orderBy(id_col).limit(n_queries).collect()
+    ]
+    outs = []
+    for q_id, q in queries:
+        # ADC lookup table: ||q_sub - centroid||² per (subspace, code),
+        # flattened so subspace m / code c sits at index m*n_codes+c
+        lut = np.empty((m_subspaces, n_codes_eff))
+        for m in range(m_subspaces):
+            qs = q[m * d_sub : (m + 1) * d_sub]
+            lut[m] = ((books[m] - qs[None, :]) ** 2).sum(axis=1)
+        lut_lit = F.lit([float(v) for v in lut.ravel()])
+        adc = F.aggregate(
+            F.expr("transform(codes, (c, m) -> struct(c AS c, m AS m))"),
+            F.lit(0.0),
+            lambda acc, x: acc
+            + F.element_at(lut_lit, x["m"] * F.lit(n_codes_eff) + x["c"] + F.lit(1)),
+        )
+        outs.append(
+            coded.where(F.col("c_id") != F.lit(q_id)).select(
+                F.lit(q_id).alias("q_id"),
+                "c_id",
+                F.round(adc, 6).alias("adc_dist"),
+            )
+        )
+    allq = outs[0]
+    for o in outs[1:]:
+        allq = allq.unionByName(o)
+    w = Window.partitionBy("q_id").orderBy(F.asc("adc_dist"), F.asc("c_id"))
+    return (
+        allq.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("q_id", "c_id", "adc_dist", "rk")
+    )

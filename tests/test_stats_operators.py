@@ -312,3 +312,68 @@ def test_simhash_neighbors_feed_connected_components(spark):
     comp = {r.id: r.canonical_id for r in connected_components(pairs).collect()}
     assert comp.get(1) == comp.get(2) == 1
     assert 4 not in comp
+
+
+def test_pq_codebooks_reduce_quantization_error():
+    import numpy as np
+
+    from bdqc_spark.operators.similarity import train_pq_codebooks
+
+    rng = np.random.default_rng(4)
+    x = rng.normal(size=(600, 16))
+    books = train_pq_codebooks(x, m_subspaces=4, n_codes=16, seed=1)
+    assert books.shape == (4, 16, 4)
+
+    def recon_err(b):
+        err = 0.0
+        for m in range(4):
+            sub = x[:, m * 4 : (m + 1) * 4]
+            d2 = ((sub[:, None, :] - b[m][None, :, :]) ** 2).sum(axis=2)
+            err += d2.min(axis=1).sum()
+        return err
+
+    trained = recon_err(books)
+    raw = train_pq_codebooks(x, m_subspaces=4, n_codes=16, kmeans_iters=0, seed=1)
+    assert trained < 0.8 * recon_err(raw)  # k-means actually helps
+    import pytest as _p
+
+    with _p.raises(ValueError, match="divisible"):
+        train_pq_codebooks(x, m_subspaces=5)
+
+
+def test_pq_topk_recall_vs_bruteforce_l2(spark):
+    """PQ/ADC top-10 by L2 must overlap the exact L2 top-10 heavily on
+    clustered data (the regime PQ is built for); ADC distances must
+    rank the true nearest cluster first."""
+    import numpy as np
+    import pandas as pd
+
+    from bdqc_spark.operators.similarity import pq_topk
+
+    rng = np.random.default_rng(9)
+    centers = rng.normal(scale=5.0, size=(8, 32))
+    vecs = np.concatenate(
+        [c + rng.normal(scale=0.3, size=(25, 32)) for c in centers]
+    )
+    pdf = pd.DataFrame(
+        {"vec_id": np.arange(len(vecs)), "embedding": [list(map(float, v)) for v in vecs]}
+    )
+    df = spark.createDataFrame(pdf)
+    out = pq_topk(
+        df, "vec_id", "embedding", k=10, dim=32, m_subspaces=8, n_codes=64,
+        sample_size=200, n_queries=12,
+    ).toPandas()
+    assert set(out.groupby("q_id").size()) == {10}
+    overlaps, r_at_10 = [], []
+    for q_id, grp in out.groupby("q_id"):
+        d2 = ((vecs - vecs[q_id][None, :]) ** 2).sum(axis=1)
+        d2[q_id] = np.inf
+        exact10 = set(np.argsort(d2)[:10])
+        overlaps.append(len(set(grp.c_id) & exact10) / 10)
+        # the standard PQ metric (Jégou et al. §5): recall@R = is the
+        # TRUE nearest neighbor inside the approx top-10? (within-
+        # cluster fine ranking is what quantization legitimately
+        # blurs; finding the neighbor's neighborhood is the job)
+        r_at_10.append(int(np.argmin(d2)) in set(grp.c_id))
+    assert np.mean(r_at_10) >= 0.9, r_at_10
+    assert np.mean(overlaps) >= 0.6, overlaps
