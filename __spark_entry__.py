@@ -1516,6 +1516,58 @@ SELECT id AS doc_id, MIN(r) AS canonical_id FROM reach GROUP BY id
 )
 
 
+def q_doc_dedup_weights(spark, sf_dir):
+    """Soft-dedup training weights: every document gets weight
+    1/|its duplicate cluster| (cluster singletons and un-clustered
+    docs weigh 1.0) — the repetition-aware loss weighting a training
+    pipeline applies instead of hard-dropping near-dups (the
+    count-and-downweight alternative discussed in Lee et al. 2022
+    §5). Composes the cluster resolver: one small aggregation over
+    the KB-sized cluster table + a broadcast left join back onto the
+    corpus — no new shuffle of the fact table."""
+    clusters = q_dedup_clusters(spark, sf_dir)
+    sizes = clusters.groupBy("canonical_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    weighted = clusters.join(sizes, "canonical_id").select(
+        "doc_id",
+        "cluster_size",
+        F.round(F.lit(1.0) / F.col("cluster_size"), 6).alias("weight"),
+    )
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    return d.join(F.broadcast(weighted), "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("cluster_size", F.lit(1)).alias("cluster_size"),
+        F.coalesce("weight", F.lit(1.0)).alias("weight"),
+    )
+
+
+ORACLE_DEDUP_WEIGHTS = (
+    "WITH RECURSIVE "
+    + "{pairs_cte}"
+    + """,
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS id FROM edges),
+reach(id, r) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r
+),
+clus AS (SELECT id AS doc_id, MIN(r) AS canonical_id FROM reach GROUP BY id),
+sz AS (SELECT canonical_id, CAST(count(*) AS BIGINT) AS cluster_size FROM clus GROUP BY 1)
+SELECT d.doc_id,
+  coalesce(sz.cluster_size, 1) AS cluster_size,
+  coalesce(round(1.0 / sz.cluster_size, 6), 1.0) AS weight
+FROM documents d
+LEFT JOIN clus ON d.doc_id = clus.doc_id
+LEFT JOIN sz ON clus.canonical_id = sz.canonical_id
+"""
+)
+
+
 # ---- embedding-cosine near-dup pairs (training-data dedup family) --------------
 def q_dedup_embedding_cosine(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
@@ -2669,6 +2721,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_report": q_corpus_report,
         "doc_quality_buckets": q_doc_quality_buckets,
         "doc_bigram_ppl": q_doc_bigram_ppl,
+        "doc_dedup_weights": q_doc_dedup_weights,
     }
 
 
@@ -2733,5 +2786,8 @@ def oracle_sql() -> dict[str, str]:
         "corpus_report": ORACLE_CORPUS_REPORT.replace("{norm_sql}", _NORM_SQL),
         "doc_quality_buckets": ORACLE_QUALITY_BUCKETS,
         "doc_bigram_ppl": ORACLE_BIGRAM_PPL,
+        "doc_dedup_weights": ORACLE_DEDUP_WEIGHTS.replace(
+            "{pairs_cte}", _NGRAM_PAIRS_CTE.format(norm_sql=_NORM_SQL)
+        ),
         "doc_top_terms": ORACLE_TOP_TERMS,
     }

@@ -42,6 +42,7 @@ DEMOTED_ORACLE_QUERIES = [
     "corpus_report",
     "doc_quality_buckets",
     "doc_bigram_ppl",
+    "doc_dedup_weights",
 ]
 
 
