@@ -2311,6 +2311,21 @@ def q_ann_pq_topk(spark, sf_dir):
     )
 
 
+def q_ann_ivf_pq_topk(spark, sf_dir):
+    """IVF-PQ composed index (rows-only: k-means has no SQL twin;
+    recall and pruning are pytest-gated). The production shape: cells
+    prune candidates to ~n_probe/n_centroids, PQ codes compress them
+    32×, ADC LUT scores them in pure Catalyst."""
+    ensure_shipped(spark)
+    from bdqc_spark.operators.similarity import ivf_pq_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    return ivf_pq_topk(
+        e, "vec_id", "embedding", k=5, dim=64,
+        n_centroids=16, n_probe=6, m_subspaces=8, n_codes=64, n_queries=10,
+    )
+
+
 _BPE_MERGES: dict[str, list] = {}
 
 
@@ -2702,6 +2717,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clips_augment": q_clips_augment,
         "clips_mv_outliers": q_clips_mv_outliers,
         "ann_pq_topk": q_ann_pq_topk,
+        "ann_ivf_pq_topk": q_ann_ivf_pq_topk,
         "doc_length_drift": q_doc_length_drift,
         "clips_segment": q_clips_segment,
         "audio_fingerprints": q_audio_fingerprints,

@@ -371,3 +371,119 @@ def pq_topk(
         .where(F.col("rk") <= k)
         .select("q_id", "c_id", "adc_dist", "rk")
     )
+
+
+def ivf_pq_topk(
+    df: DataFrame,
+    id_col: str,
+    emb_col: str,
+    k: int,
+    dim: int,
+    n_centroids: int = 16,
+    n_probe: int = 6,
+    m_subspaces: int = 8,
+    n_codes: int = 64,
+    sample_size: int = 2000,
+    seed: int = 13,
+    n_queries: int = 30,
+) -> DataFrame:
+    """IVF-PQ: the production ANN index shape (FAISS `IVFx,PQy`,
+    after Jégou et al. 2011 §IV) — coarse cells prune the candidate
+    set to ~n_probe/n_centroids of the corpus, PQ codes compress the
+    candidates 32×, and asymmetric-distance lookup tables score them.
+
+    Composition of the two existing trainers (one bounded driver
+    sample feeds both); candidates are (cell, codes) pairs — the
+    payload a 10^12-vector index actually stores. The search is an
+    equi-join on cell id feeding a pure-Catalyst ADC aggregate (the
+    per-query LUT rides the plan as an array literal); fine ranking
+    within the probed cells is PQ-approximate, exactly as in the
+    flat `pq_topk`. Cosine-normalized like `ivf_topk` so cell
+    assignment matches; ADC then ranks by L2 on the normalized
+    vectors (monotone in cosine)."""
+    sample = np.asarray(
+        [np.asarray(r[0], dtype=np.float64) for r in df.select(emb_col).limit(sample_size).collect()]
+    )
+    if sample.size == 0:
+        raise ValueError(f"ivf_pq_topk: no vectors in '{emb_col}'")
+    if sample.ndim != 2 or sample.shape[1] != dim:
+        raise ValueError(f"ivf_pq_topk: expected {dim}-dim vectors, got {sample.shape}")
+    norms = np.linalg.norm(sample, axis=1, keepdims=True)
+    nsample = sample / np.maximum(norms, 1e-12)
+    rng = np.random.default_rng(seed)
+    cents = nsample[rng.choice(len(nsample), min(n_centroids, len(nsample)), replace=False)]
+    for _ in range(5):
+        assign = np.argmax(nsample @ cents.T, axis=1)
+        for j in range(len(cents)):
+            m = assign == j
+            if m.any():
+                c = nsample[m].mean(axis=0)
+                nn = np.linalg.norm(c)
+                if nn > 0:
+                    cents[j] = c / nn
+    cent_t = cents.T.copy()
+    books = train_pq_codebooks(nsample, m_subspaces, n_codes, seed=seed)
+    n_codes_eff = books.shape[1]
+    d_sub = dim // m_subspaces
+
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, IntegerType, StructField, StructType
+
+    out_t = StructType(
+        [
+            StructField("cell", IntegerType()),
+            StructField("codes", ArrayType(IntegerType())),
+        ]
+    )
+
+    @pandas_udf(out_t)
+    def _index(emb: pd.Series) -> pd.DataFrame:
+        if len(emb) == 0:
+            return pd.DataFrame({"cell": [], "codes": []})
+        x = np.asarray([np.asarray(v, dtype=np.float64) for v in emb])
+        x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        cell = np.argmax(x @ cent_t, axis=1).astype(np.int32)
+        codes = np.empty((len(x), m_subspaces), dtype=np.int32)
+        for m in range(m_subspaces):
+            sub = x[:, m * d_sub : (m + 1) * d_sub]
+            d2 = ((sub[:, None, :] - books[m][None, :, :]) ** 2).sum(axis=2)
+            codes[:, m] = np.argmin(d2, axis=1)
+        return pd.DataFrame({"cell": cell, "codes": list(codes)})
+
+    indexed = df.select(
+        F.col(id_col).alias("c_id"), _index(F.col(emb_col)).alias("ix")
+    ).select("c_id", "ix.cell", "ix.codes").localCheckpoint(eager=False)
+
+    queries = [
+        (r[0], np.asarray(r[1], dtype=np.float64))
+        for r in df.select(id_col, emb_col).orderBy(id_col).limit(n_queries).collect()
+    ]
+    outs = []
+    for q_id, q in queries:
+        qn = q / max(np.linalg.norm(q), 1e-12)
+        probe = [int(c) for c in np.argsort(-(qn @ cent_t))[:n_probe]]
+        lut = np.empty((m_subspaces, n_codes_eff))
+        for m in range(m_subspaces):
+            qs = qn[m * d_sub : (m + 1) * d_sub]
+            lut[m] = ((books[m] - qs[None, :]) ** 2).sum(axis=1)
+        lut_lit = F.lit([float(v) for v in lut.ravel()])
+        adc = F.aggregate(
+            F.expr("transform(codes, (c, m) -> struct(c AS c, m AS m))"),
+            F.lit(0.0),
+            lambda acc, x: acc
+            + F.element_at(lut_lit, x["m"] * F.lit(n_codes_eff) + x["c"] + F.lit(1)),
+        )
+        outs.append(
+            indexed.where(F.col("cell").isin(probe) & (F.col("c_id") != F.lit(q_id))).select(
+                F.lit(q_id).alias("q_id"), "c_id", F.round(adc, 6).alias("adc_dist")
+            )
+        )
+    allq = outs[0]
+    for o in outs[1:]:
+        allq = allq.unionByName(o)
+    w = Window.partitionBy("q_id").orderBy(F.asc("adc_dist"), F.asc("c_id"))
+    return (
+        allq.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("q_id", "c_id", "adc_dist", "rk")
+    )

