@@ -1205,7 +1205,7 @@ ORACLE_CORPUS_REPORT = f"""
 WITH per AS (
   SELECT lang,
     len(regexp_extract_all(text, '[^ \t\n\r]+')) AS toks,
-    {_QUALITY_EXPR_SQL} AS q,
+    round({_QUALITY_EXPR_SQL}, 6) AS q,
     {{norm_sql}} AS nrm
   FROM documents
 ),
@@ -2673,17 +2673,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collect_nested": q_collect_nested,
         "window_lag": q_window_lag,
         "window_running": q_window_running,
-        "orderby_limit": q_orderby_limit,
-        "union_by_name": q_union_by_name,
+        # r5 rotation (r4 VERDICT ask #2): the round-4 flagship
+        # operators take the slots of six redundant single-builtin
+        # rows (orderby_limit, union_by_name, array_funcs, json_funcs,
+        # string_funcs, conditional — all demoted, still green via
+        # tools/check_oracle.py + tests/test_demoted_oracles.py)
+        "emb_decontaminate": q_emb_decontaminate,
+        "corpus_report": q_corpus_report,
         "intersect_except": q_intersect_except,
-        "array_funcs": q_array_funcs,
-        "json_funcs": q_json_funcs,
+        "doc_bigram_ppl": q_doc_bigram_ppl,
+        "doc_quality_clf": q_doc_quality_clf,
         "tumbling_window": q_tumbling_window,
         "sliding_window": q_sliding_window,
         "categorical_model": q_categorical_model,
         "sessionize_batch": q_sessionize_batch,
-        "string_funcs": q_string_funcs,
-        "conditional": q_conditional,
+        "ann_ivf_pq_topk": q_ann_ivf_pq_topk,
+        "clips_mv_outliers": q_clips_mv_outliers,
         "doc_text_stats": q_doc_text_stats,
         "doc_quality_filter": q_doc_quality_filter,
         "dedup_exact": q_dedup_exact,
@@ -2704,6 +2709,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "datetime_funcs": q_datetime_funcs,
         "math_funcs": q_math_funcs,
         "split_explode": q_split_explode,
+        "orderby_limit": q_orderby_limit,
+        "union_by_name": q_union_by_name,
+        "array_funcs": q_array_funcs,
+        "json_funcs": q_json_funcs,
+        "string_funcs": q_string_funcs,
+        "conditional": q_conditional,
         # remaining rows-only (pytest-gated) operators
         "clips_audio_features": q_clips_audio_features,
         "simhash_buckets": q_simhash_buckets,
@@ -2715,9 +2726,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scrub_unicode_documents": q_scrub_unicode_documents,
         "clips_resample": q_clips_resample,
         "clips_augment": q_clips_augment,
-        "clips_mv_outliers": q_clips_mv_outliers,
         "ann_pq_topk": q_ann_pq_topk,
-        "ann_ivf_pq_topk": q_ann_ivf_pq_topk,
         "doc_length_drift": q_doc_length_drift,
         "clips_segment": q_clips_segment,
         "audio_fingerprints": q_audio_fingerprints,
@@ -2732,11 +2741,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_pack_bins": q_doc_pack_bins,
         "doc_decontaminate": q_doc_decontaminate,
         "doc_top_terms": q_doc_top_terms,
-        "doc_quality_clf": q_doc_quality_clf,
-        "emb_decontaminate": q_emb_decontaminate,
-        "corpus_report": q_corpus_report,
         "doc_quality_buckets": q_doc_quality_buckets,
-        "doc_bigram_ppl": q_doc_bigram_ppl,
         "doc_dedup_weights": q_doc_dedup_weights,
     }
 

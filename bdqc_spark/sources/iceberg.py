@@ -63,6 +63,17 @@ class IcebergishTable:
         with open(os.path.join(self.meta_dir, f"snap-{sid}.json")) as f:
             return json.load(f)
 
+    def _snapshot_if_present(self, snapshot_id: str | None) -> dict | None:
+        """snapshot(), but an EXPIRED manifest (deleted by
+        expire_snapshots) reads as None instead of raising — lineage
+        walks treat that as a broken chain and degrade to the plain
+        file diff rather than crashing (r4 ADVICE: the documented
+        fallback was unreachable because only `is None` was checked)."""
+        try:
+            return self.snapshot(snapshot_id)
+        except FileNotFoundError:
+            return None
+
     def _commit_snapshot(self, manifest: dict) -> str:
         """Write immutable manifest then atomically swap the pointer."""
         os.makedirs(self.meta_dir, exist_ok=True)
@@ -247,11 +258,20 @@ class IcebergishTable:
                 break
             chain.append(snap)
             sid = snap["parent_snapshot_id"]
-            snap = self.snapshot(sid) if sid is not None else None
+            snap = self._snapshot_if_present(sid) if sid is not None else None
         if sid is None and from_snapshot_id is not None:
             broken = True  # from-snapshot not an ancestor (or expired)
+        if not broken:
+            # the per-append diff below loads each chain element's
+            # parent; the OLDEST element's parent is from_snapshot
+            # itself, which may be expired even when the rest of the
+            # chain is intact — degrade to the file diff then too
+            for s in chain:
+                if s["parent_snapshot_id"] and self._snapshot_if_present(s["parent_snapshot_id"]) is None:
+                    broken = True
+                    break
         if broken:
-            old = self.snapshot(from_snapshot_id)
+            old = self._snapshot_if_present(from_snapshot_id)
             old_files = (
                 {rel for fs in old["bucket_files"].values() for rel in fs}
                 if old

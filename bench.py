@@ -24,11 +24,18 @@ Two parts:
    is the criterion estimator, median pair and all raw draws with
    their wall-clock windows recorded alongside.
 
-Prints ONE JSON line:
+Output contract (the driver captures the last ~2000 chars of stdout
+and parses the final line — r4's artifact was lost to a single giant
+line, so the split below is load-bearing):
+  - The FULL diagnostic record (every draw, window, stage split, the
+    pairing) is written to the sidecar file BENCH_DETAIL.json next to
+    this script. Nothing bulky goes to stdout.
+  - stdout gets exactly ONE compact JSON line (<1.9 KB, enforced by
+    tests/test_bench_output.py):
   {"metric": "headline_total_sec", "value": <sec>, "unit": "sec",
    "queries": {...per-query sec...}, "sf": <sf>, "n_clips": ...,
-   "clips_per_sec": ..., "clips_per_sec_n": ..., "clips_per_sec_4n": ...,
-   "scaling_efficiency": ...}
+   "clips_per_sec": ..., "clips_per_sec_n2": ..., "clips_per_sec_4n8": ...,
+   "scaling_efficiency": ..., "scaling_efficiency_median": ...}
 """
 
 from __future__ import annotations
@@ -131,29 +138,32 @@ def _warmup(spark, tbl):
     _sh.rmtree(out, ignore_errors=True)
 
 
-def _probe_start(cpu_ids: list[int], runs: int, warm_buckets: int):
+def _probe_start(cpu_ids: list[int] | None, runs: int, warm_buckets: int, n_cpus: int | None = None):
     """Launch an affinity-pinned probe subprocess (tools/scale_probe.py
     pins the EXPLICIT core set, then local[N]) without waiting.
     bench runs the 2-core and 8-core probes SIMULTANEOUSLY on
-    disjoint sets so every draw pair shares host conditions."""
+    disjoint sets so every draw pair shares host conditions.
+    cpu_ids=None (small-host fallback) lets scale_probe pick its own
+    highest-n_cpus default pin for sequential probing."""
     import subprocess
 
     here = os.path.dirname(os.path.abspath(__file__))
+    argv = [
+        sys.executable,
+        os.path.join(here, "tools", "scale_probe.py"),
+        "--cpus",
+        str(len(cpu_ids) if cpu_ids is not None else n_cpus),
+        "--clips-cache",
+        SCALE_CACHE,
+        "--runs",
+        str(runs),
+        "--warm-buckets",
+        str(warm_buckets),
+    ]
+    if cpu_ids is not None:
+        argv += ["--cpu-ids", ",".join(str(c) for c in cpu_ids)]
     return subprocess.Popen(
-        [
-            sys.executable,
-            os.path.join(here, "tools", "scale_probe.py"),
-            "--cpus",
-            str(len(cpu_ids)),
-            "--cpu-ids",
-            ",".join(str(c) for c in cpu_ids),
-            "--clips-cache",
-            SCALE_CACHE,
-            "--runs",
-            str(runs),
-            "--warm-buckets",
-            str(warm_buckets),
-        ],
+        argv,
         stdout=subprocess.PIPE,
         stderr=subprocess.DEVNULL,
         text=True,
@@ -165,6 +175,41 @@ def _probe_wait(proc) -> list:
     if proc.returncode != 0:
         raise RuntimeError(f"scale probe failed rc={proc.returncode}")
     return json.loads(out.strip().splitlines()[-1])["draws"]
+
+
+def _pin_sets() -> tuple[list[int], list[int]] | None:
+    """Two DISJOINT pinned core sets for the simultaneous 4N/N probes,
+    derived from this process's actual affinity mask (hard-coding ids
+    24-31/22-23 broke on hosts whose mask lacks them). Highest ids go
+    to the 8-core level (cpu0's neighborhood absorbs IRQ noise), the
+    next two to the 2-core level. Returns None when fewer than 10
+    cores are available — caller falls back to sequential probing."""
+    allowed = sorted(os.sched_getaffinity(0))
+    if len(allowed) < 10:
+        return None
+    return allowed[-8:], allowed[-10:-8]
+
+
+def _compact_headline(result: dict) -> dict:
+    """The <1.9 KB stdout summary of a full bench result: drops the
+    per-draw/per-pair diagnostics (sidecar-only) and keeps every
+    criterion number. tests/test_bench_output.py enforces the size
+    bound so the r4 parsed:null regression cannot recur."""
+    keep = (
+        "metric",
+        "value",
+        "unit",
+        "queries",
+        "sf",
+        "n_clips",
+        "clips_per_sec",
+        "n_scale_clips",
+        "clips_per_sec_n2",
+        "clips_per_sec_4n8",
+        "scaling_efficiency",
+        "scaling_efficiency_median",
+    )
+    return {k: result[k] for k in keep if k in result}
 
 
 def _prime_page_cache(root: str) -> None:
@@ -259,15 +304,29 @@ def main() -> None:
     # median ratio recorded alongside.
     draws_8, draws_2 = [], []
     rounds = max(1, SCALE_RUNS // 2)
-    for _ in range(rounds):
-        # Disjoint high-id sets: cpus 24-31 for the 4N level, 22-23
-        # for the N level (cpu0's neighborhood absorbs IRQ noise).
-        # 6 draws at 8 cores ≈ 2 draws at 2 cores in wall time, so
-        # the windows tile each other.
-        p8 = _probe_start(list(range(24, 32)), runs=6, warm_buckets=32)
-        p2 = _probe_start([22, 23], runs=2, warm_buckets=16)
-        draws_8.extend(_probe_wait(p8))
-        draws_2.extend(_probe_wait(p2))
+    sets = _pin_sets()
+    if sets is not None:
+        set8, set2 = sets
+        for _ in range(rounds):
+            # Disjoint high-id sets (derived from the affinity mask).
+            # 6 draws at 8 cores ≈ 2 draws at 2 cores in wall time, so
+            # the windows tile each other.
+            p8 = _probe_start(set8, runs=6, warm_buckets=32)
+            p2 = _probe_start(set2, runs=2, warm_buckets=16)
+            draws_8.extend(_probe_wait(p8))
+            draws_2.extend(_probe_wait(p2))
+    else:
+        # <10 usable cores: sequential probes with scale_probe's own
+        # highest-N default pin (no explicit ids). No window overlap →
+        # the degenerate per-level-best fallback below computes the
+        # ratio.
+        allowed = sorted(os.sched_getaffinity(0))
+        big = min(8, max(2, len(allowed) - 1))
+        for _ in range(rounds):
+            pb = _probe_start(None, runs=2, warm_buckets=32, n_cpus=big)
+            draws_8.extend(_probe_wait(pb))
+            ps = _probe_start(None, runs=2, warm_buckets=16, n_cpus=2)
+            draws_2.extend(_probe_wait(ps))
 
     def _median(xs):
         xs = sorted(xs)
@@ -325,7 +384,13 @@ def main() -> None:
         "scale_pairs": pairs,
         "scale_draws_sec": {"cpus2": draws_2, "cpus8": draws_8},
     }
-    print(json.dumps(result))
+    # Full diagnostics go ONLY to the sidecar — stdout must stay one
+    # compact line or the driver's tail capture starts mid-object and
+    # the official artifact records parsed:null (the r4 failure).
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as f:
+        json.dump(result, f, indent=1)
+    print(json.dumps(_compact_headline(result)))
 
 
 if __name__ == "__main__":

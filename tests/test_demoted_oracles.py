@@ -17,31 +17,33 @@ from bdqc_spark.sources.tables import TABLE_NAMES
 
 SF_DIR = os.environ.get("SF_DIR_SMOKE", "/root/testdata/sf0.001")
 
-# r4 rotation (r3 ADVICE #4): string_funcs + conditional moved back
-# inside the driver's recording window so external evidence keeps
-# sampling cheap oracle-backed scalar-function queries; window_rank +
-# cube_metrics (each redundant with an in-window sibling —
-# topk_per_group / rollup_metrics) took their demoted slots.
+# r5 rotation (r4 VERDICT ask #2): the round-4 flagship operators
+# (emb_decontaminate, corpus_report, doc_bigram_ppl, doc_quality_clf,
+# ann_ivf_pq_topk, clips_mv_outliers) moved INSIDE the driver's
+# recording window; six redundant single-builtin oracle rows
+# (orderby_limit, union_by_name, array_funcs, json_funcs,
+# string_funcs, conditional) took their demoted slots and get the
+# same continuous in-suite oracle check here.
 DEMOTED_ORACLE_QUERIES = [
     "window_rank",
     "cube_metrics",
     "datetime_funcs",
     "math_funcs",
     "split_explode",
+    "orderby_limit",
+    "union_by_name",
+    "array_funcs",
+    "json_funcs",
+    "string_funcs",
+    "conditional",
     "doc_length_drift",
     "doc_repetition",
-    # r4 additions land past the window by registry order (the first
-    # 50 slots are pinned to the flagship + oracle mix the driver
-    # records); they get the same continuous in-suite oracle check
     "doc_train_split",
     "doc_stratified_sample",
     "doc_pack_bins",
     "doc_decontaminate",
     "doc_top_terms",
-    "emb_decontaminate",
-    "corpus_report",
     "doc_quality_buckets",
-    "doc_bigram_ppl",
     "doc_dedup_weights",
 ]
 
@@ -77,6 +79,13 @@ def test_flagships_inside_recording_window():
         "doc_langid",
         "minhash_lsh_pairs",
         "ann_lsh_topk",
+        # r4 flagships rotated in for r5 (VERDICT r4 ask #2)
+        "emb_decontaminate",
+        "corpus_report",
+        "doc_bigram_ppl",
+        "doc_quality_clf",
+        "ann_ivf_pq_topk",
+        "clips_mv_outliers",
     ]:
         assert name in win, f"{name} fell past the driver recording window"
     assert len(win) == 50

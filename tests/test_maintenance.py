@@ -321,3 +321,54 @@ def test_cli_rebucket_flag(spark, tmp_path):
         capture_output=True, text=True, cwd=repo, timeout=120,
     )
     assert proc.returncode == 2
+
+
+def test_incremental_after_expired_from_snapshot_falls_back_to_diff(spark, tmp_path):
+    """expire_snapshots deletes the consumer's remembered from-snapshot
+    manifest; read_incremental must DEGRADE to the documented plain
+    file diff (here: emit everything still present, at-least-once)
+    instead of crashing with FileNotFoundError (r4 ADVICE — the
+    fallback was unreachable because only `snap is None` was checked
+    while snapshot() raises for a deleted manifest)."""
+    tbl = IcebergishTable(str(tmp_path / "t"), num_buckets=4)
+
+    def batch(lo, n):
+        return spark.range(lo, lo + n).select(
+            F.concat(F.lit("clip-"), F.col("id")).alias("clip_id"),
+            F.col("id").cast("double").alias("x"),
+        )
+
+    s1 = tbl.append(batch(0, 50))
+    tbl.append(batch(50, 25))
+    tbl.append(batch(75, 25))
+    expired = tbl.expire_snapshots(keep_last=1)
+    assert s1 in expired  # the consumer's checkpoint manifest is gone
+
+    # crash repro before the fix: appended_files raised FileNotFoundError
+    inc = tbl.read_incremental(spark, from_snapshot_id=s1)
+    got = sorted(r.clip_id for r in inc.collect())
+    # old manifest unreadable -> old_files = empty -> full current set
+    # (at-least-once; the consumer dedups on clip_id downstream)
+    assert got == sorted(f"clip-{i}" for i in range(100))
+
+
+def test_stream_reader_survives_expired_checkpoint_snapshot(spark, tmp_path):
+    """Same degradation through appended_files when the remembered
+    offset's manifest was expired mid-stream: the file-diff fallback
+    emits the current snapshot instead of crashing."""
+    tbl = IcebergishTable(str(tmp_path / "t"), num_buckets=4)
+
+    def batch(lo, n):
+        return spark.range(lo, lo + n).select(
+            F.concat(F.lit("clip-"), F.col("id")).alias("clip_id"),
+            F.col("id").cast("double").alias("x"),
+        )
+
+    s1 = tbl.append(batch(0, 40))
+    tbl.append(batch(40, 20))
+    tbl.expire_snapshots(keep_last=1)
+    files = tbl.appended_files(from_snapshot_id=s1)
+    # every returned path must exist (readable by a consumer)
+    for rel in files:
+        assert os.path.exists(os.path.join(tbl.data_dir, rel))
+    assert len(files) > 0

@@ -106,3 +106,43 @@ def test_bad_inputs_raise(spark, docs):
 def test_model_roundtrips_weights():
     m = QualityModel(weights=tuple([0.0] * D), bias=1.5, holdout_acc=1.0, n_train=10)
     assert len(m.weights) == D
+
+
+def test_hash_threshold_sampler_used_on_large_corpus(spark):
+    """r4 VERDICT ask #5: the training sample must come from the
+    hash-threshold pre-filtered stream (xxhash64(id) % mod == 0) when
+    that stream is big enough — at 100 TB the TakeOrdered heap then
+    sees ~1/mod of the corpus, not every row. Proven here by training
+    on a corpus where the filtered path yields >= sample_n rows and
+    checking every sampled id satisfies the filter predicate."""
+    big = spark.range(4000).select(
+        F.concat(F.lit("doc-"), F.col("id")).alias("doc_id"),
+        F.concat(F.lit("the quick brown fox number "), F.col("id")).alias("text"),
+    )
+    mod, n = 8, 50
+    m = train_quality_classifier(spark, big, sample_n=n, seed=13, sample_mod=mod)
+    assert m.n_train > 0
+    # reconstruct the expected filtered sample independently
+    want = {
+        r["doc_id"]
+        for r in big.where(F.pmod(F.xxhash64("doc_id"), F.lit(mod)) == 0)
+        .orderBy(F.xxhash64("doc_id"), "doc_id")
+        .limit(n)
+        .collect()
+    }
+    assert len(want) == n  # filtered stream really is >= sample_n
+    # training twice with/without the corpus rows OUTSIDE the filter
+    # must give identical models: rows with hash%mod != 0 are invisible
+    only_filtered = big.where(F.pmod(F.xxhash64("doc_id"), F.lit(mod)) == 0)
+    m2 = train_quality_classifier(spark, only_filtered, sample_n=n, seed=13, sample_mod=mod)
+    assert m2.weights == m.weights and m2.bias == m.bias
+
+
+def test_small_corpus_falls_back_to_full_scan(spark, docs):
+    """Filtered stream < sample_n -> deterministic unfiltered
+    fallback (same rows the pre-r5 sampler chose)."""
+    m1 = train_quality_classifier(spark, docs, sample_n=300, seed=13, sample_mod=64)
+    m2 = train_quality_classifier(spark, docs, sample_n=300, seed=13, sample_mod=10**9)
+    # with mod so large nothing passes the filter, both runs use the
+    # fallback path and must agree exactly
+    assert m1.weights == m2.weights and m1.bias == m2.bias

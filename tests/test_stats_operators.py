@@ -276,7 +276,11 @@ def test_simhash_neighbors_exact_vs_bruteforce(spark):
     df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     fps = simhash_fingerprints(df, "doc_id", "text").collect()
     ids = np.array([r.doc_id for r in fps])
-    hs = np.array([r.simhash for r in fps], dtype=np.uint64)
+    # simhash comes back as a (possibly negative) Spark long; build
+    # int64 first and reinterpret the bits — constructing uint64
+    # straight from negative Python ints is a numpy DeprecationWarning
+    # headed for a hard error
+    hs = np.array([r.simhash for r in fps], dtype=np.int64).view(np.uint64)
     x = hs[:, None] ^ hs[None, :]
     dist = np.zeros(x.shape, dtype=np.int64)
     for _ in range(64):
