@@ -7,10 +7,13 @@ batched `mapInPandas` over (bytes, metadata). The Spark-side shape —
 schema, batch flow, partitioning, null/corrupt handling — is real
 and tested.
 
-Image decoding is REAL for PNG: a from-scratch decoder (stdlib zlib
-inflate + chunk parse + scanline filter reconstruction per the PNG
-spec — sub/up/average/paeth) handles 8-bit grayscale/RGB/RGBA/
-palette, plus the engine's raw RGB8 debug format (8-byte header
+Image decoding is REAL for PNG and baseline JPEG: PNG via a
+from-scratch decoder (stdlib zlib inflate + chunk parse + scanline
+filter reconstruction per the PNG spec — sub/up/average/paeth,
+8-bit grayscale/RGB/RGBA/palette); JPEG via the from-scratch
+baseline codec in functions/jpeg.py (marker parse, canonical
+Huffman, dequant + IDCT, 4:2:0/4:2:2/4:4:4 chroma upsampling,
+YCbCr→RGB); plus the engine's raw RGB8 debug format (8-byte header
 "RGB8" + w:u16 + h:u16, then w*h*3 bytes).
 
 Video decoding is REAL for Y4M (YUV4MPEG2): the mjpegtools stream
@@ -19,11 +22,11 @@ stream header followed by "FRAME\\n" + raw planar YUV per frame. The
 parser handles C420*/C422/C444/Cmono chroma modes, frame-samples
 every k-th Y (luma) plane without touching the skipped bytes, and
 feeds profile_videos (per-clip luma stats + inter-frame motion).
-Compressed containers (mp4/webm/JPEG) remain NotImplementedError
-stubs — no DCT/ffmpeg libs in this sandbox; `decode_video_frames`
-samples the concatenated-RGB8 debug format. Swapping in real
-decoders changes ONE function each; every Spark-facing schema and
-UDF signature stays fixed.
+Compressed video containers (mp4/webm) remain NotImplementedError
+stubs — no ffmpeg in this sandbox; `decode_video_frames` samples
+the concatenated-RGB8 debug format. Swapping in real decoders
+changes ONE function each; every Spark-facing schema and UDF
+signature stays fixed.
 """
 
 from __future__ import annotations
@@ -214,14 +217,20 @@ def encode_png(arr: np.ndarray, filter_type: int = 0) -> bytes:
 
 def decode_image(raw: bytes) -> np.ndarray:
     """bytes → (h, w, 3) uint8. PNG decodes for real (from-scratch
-    decoder above); the RGB8 debug format decodes; JPEG/other formats
-    raise NotImplementedError (callers treat any raise as
-    decode_ok=False, same as corrupt audio)."""
+    decoder above), baseline JPEG decodes for real (from-scratch
+    codec in functions/jpeg.py), the RGB8 debug format decodes;
+    other formats raise (callers treat any raise as decode_ok=False,
+    same as corrupt audio)."""
     if raw[:8] == PNG_SIG:
         return decode_png(raw)
+    if raw[:2] == b"\xff\xd8":
+        from bdqc_spark.functions.jpeg import decode_jpeg
+
+        return decode_jpeg(raw)
     if len(raw) < 8 or raw[:4] != _MAGIC:
         raise NotImplementedError(
-            "only PNG and the RGB8 debug format are decodable in this sandbox"
+            "only PNG, baseline JPEG and the RGB8 debug format are "
+            "decodable in this sandbox"
         )
     w, h = struct.unpack("<HH", raw[4:8])
     body = np.frombuffer(raw, dtype=np.uint8, offset=8)

@@ -29,8 +29,12 @@ def test_rgb8_roundtrip():
 def test_unknown_format_raises_not_implemented():
     import pytest
 
-    # JPEG: genuinely undecodable in this sandbox
+    # mp4-ish container: genuinely undecodable in this sandbox
     with pytest.raises(NotImplementedError):
+        decode_image(b"\x00\x00\x00\x18ftypmp42" + b"\x00" * 64)
+    # JPEG SOI with garbage body: decodable format (r5: from-scratch
+    # baseline codec in functions/jpeg.py), corrupt file
+    with pytest.raises(ValueError):
         decode_image(b"\xff\xd8\xff\xe0\x00\x10JFIF" + b"\x00" * 64)
     # PNG signature with garbage body: decodable format, corrupt file
     with pytest.raises(ValueError):
