@@ -248,59 +248,75 @@ class IcebergishTable:
         if from_snapshot_id is None:
             return sorted(rel for fs in new["bucket_files"].values() for rel in fs)
 
+        chain = self._lineage_chain(new, from_snapshot_id)
+        if chain is None:
+            return self._file_diff(new, from_snapshot_id)
+
+        added: list[str] = []
+        for s in chain:
+            added.extend(self._append_added_files(s))
+        return sorted(set(added))
+
+    def _lineage_chain(self, new: dict, from_snapshot_id: str) -> list[dict] | None:
+        """Snapshots in (from, to], OLDEST FIRST — or None when the
+        lineage is broken (expired intermediate/boundary manifest, or
+        from-snapshot not an ancestor); callers then degrade to the
+        plain file diff."""
         chain: list[dict] = []
         sid = new["snapshot_id"]
         snap: dict | None = new
-        broken = False
         while sid is not None and sid != from_snapshot_id:
             if snap is None:
-                broken = True  # expired intermediate manifest
-                break
+                return None  # expired intermediate manifest
             chain.append(snap)
             sid = snap["parent_snapshot_id"]
             snap = self._snapshot_if_present(sid) if sid is not None else None
         if sid is None and from_snapshot_id is not None:
-            broken = True  # from-snapshot not an ancestor (or expired)
-        if not broken:
-            # the per-append diff below loads each chain element's
-            # parent; the OLDEST element's parent is from_snapshot
-            # itself, which may be expired even when the rest of the
-            # chain is intact — degrade to the file diff then too
-            for s in chain:
-                if s["parent_snapshot_id"] and self._snapshot_if_present(s["parent_snapshot_id"]) is None:
-                    broken = True
-                    break
-        if broken:
-            old = self._snapshot_if_present(from_snapshot_id)
-            old_files = (
-                {rel for fs in old["bucket_files"].values() for rel in fs}
-                if old
-                else set()
-            )
-            return sorted(
-                rel
-                for fs in new["bucket_files"].values()
-                for rel in fs
-                if rel not in old_files
-            )
+            return None  # from-snapshot not an ancestor (or expired)
+        # the per-append diff loads each element's parent; the OLDEST
+        # element's parent is from_snapshot itself, which may be
+        # expired even when the rest of the chain is intact
+        for s in chain:
+            if s["parent_snapshot_id"] and self._snapshot_if_present(s["parent_snapshot_id"]) is None:
+                return None
+        chain.reverse()
+        return chain
 
-        added: list[str] = []
-        for s in chain:  # newest → oldest; order is normalized below
-            if s["operation"] not in ("append",):
-                continue
-            parent = self.snapshot(s["parent_snapshot_id"]) if s["parent_snapshot_id"] else None
-            parent_files = (
-                {rel for fs in parent["bucket_files"].values() for rel in fs}
-                if parent
-                else set()
-            )
-            added.extend(
-                rel
-                for fs in s["bucket_files"].values()
-                for rel in fs
-                if rel not in parent_files
-            )
-        return sorted(set(added))
+    def _file_diff(self, new: dict, from_snapshot_id: str) -> list[str]:
+        """Best-effort fallback changelog: files of the target snapshot
+        not referenced by the (possibly expired) from-snapshot.
+        At-least-once — may re-list rewritten files — but never lists
+        a file outside the target manifest, so copy-on-write deletes
+        stay invisible."""
+        old = self._snapshot_if_present(from_snapshot_id)
+        old_files = (
+            {rel for fs in old["bucket_files"].values() for rel in fs} if old else set()
+        )
+        return sorted(
+            rel
+            for fs in new["bucket_files"].values()
+            for rel in fs
+            if rel not in old_files
+        )
+
+    def _append_added_files(self, s: dict) -> list[str]:
+        """Data files an APPEND snapshot added vs its parent (empty
+        for rewrite/rebucket/delete snapshots — their files carry no
+        new rows)."""
+        if s["operation"] != "append":
+            return []
+        parent = self.snapshot(s["parent_snapshot_id"]) if s["parent_snapshot_id"] else None
+        parent_files = (
+            {rel for fs in parent["bucket_files"].values() for rel in fs}
+            if parent
+            else set()
+        )
+        return [
+            rel
+            for fs in s["bucket_files"].values()
+            for rel in fs
+            if rel not in parent_files
+        ]
 
     def read_incremental(
         self,
@@ -316,22 +332,243 @@ class IcebergishTable:
         the 100 TB incremental pattern: a downstream job remembers the
         snapshot it last processed and reads only the new files, never
         rescanning the table (``from_snapshot_id=None`` degrades to a
-        full read of the target snapshot)."""
+        full read of the target snapshot).
+
+        DELETE-AWARE (r4 VERDICT ask #4): an in-range ``delete``
+        snapshot's tombstoned keys are anti-filtered out of every
+        EARLIER in-range append's rows — a deleted row is never
+        emitted, and copy-on-write rewrite files are never listed, so
+        deletions cannot resurrect. Ordering is respected: a key
+        deleted and then RE-APPENDED later in range IS emitted (only
+        appends before the delete are filtered). If a delete
+        snapshot's tombstone sidecar is missing (expired), the reader
+        degrades to the file-diff fallback, whose target-manifest
+        files are already delete-clean."""
         new = self.snapshot(to_snapshot_id)
         if new is None:
             raise ValueError(f"no snapshot at {self.root}")
-        paths = [
-            os.path.join(self.data_dir, rel)
-            for rel in self.appended_files(from_snapshot_id, to_snapshot_id)
-            if os.path.exists(os.path.join(self.data_dir, rel))
-        ]
-        if not paths:
-            return spark.createDataFrame([], self._schema_ddl(new))
-        return (
-            spark.read.option("basePath", self.data_dir)
-            .schema(self._schema_ddl(new))
-            .parquet(*paths)
+
+        def _read(rels: list[str]) -> DataFrame | None:
+            paths = [
+                os.path.join(self.data_dir, rel)
+                for rel in rels
+                if os.path.exists(os.path.join(self.data_dir, rel))
+            ]
+            if not paths:
+                return None
+            return (
+                spark.read.option("basePath", self.data_dir)
+                .schema(self._schema_ddl(new))
+                .parquet(*paths)
+            )
+
+        empty = spark.createDataFrame([], self._schema_ddl(new))
+        chain = (
+            self._lineage_chain(new, from_snapshot_id)
+            if from_snapshot_id is not None
+            else None
         )
+        if chain is None:
+            rels = self.appended_files(from_snapshot_id, to_snapshot_id)
+            df = _read(rels)
+            return df if df is not None else empty
+
+        # missing tombstone sidecar for an in-range delete → degrade
+        # to the (delete-clean) file diff
+        del_keys: dict[int, list] = {}
+        for i, s in enumerate(chain):
+            if s["operation"] == "delete":
+                keys = self.deleted_keys(s["snapshot_id"])
+                if keys is None:
+                    df = _read(self._file_diff(new, from_snapshot_id))
+                    return df if df is not None else empty
+                del_keys[i] = keys
+
+        # keys deleted AFTER chain position i (suffix unions)
+        suffix: set = set()
+        filt_after: dict[int, frozenset] = {}
+        for i in range(len(chain) - 1, -1, -1):
+            filt_after[i] = frozenset(suffix)
+            suffix |= set(del_keys.get(i, ()))
+
+        # group appends by their anti-filter set → one scan per group
+        groups: dict[frozenset, list[str]] = {}
+        for i, s in enumerate(chain):
+            rels = self._append_added_files(s)
+            if rels:
+                groups.setdefault(filt_after[i], []).extend(rels)
+
+        pieces = []
+        key_field = next(
+            (f for f in empty.schema.fields if f.name == self.bucket_key), None
+        )
+        for fset, rels in sorted(groups.items(), key=lambda kv: kv[1]):
+            df = _read(sorted(set(rels)))
+            if df is None:
+                continue
+            if fset:
+                keys = sorted(fset)
+                if len(keys) <= 1000:
+                    df = df.where(~F.col(self.bucket_key).isin(keys))
+                else:
+                    # big tombstone set: broadcast anti-join instead of
+                    # an IN-list literal bloating the plan
+                    from pyspark.sql.types import StructField, StructType
+
+                    kdf = spark.createDataFrame(
+                        [(k,) for k in keys],
+                        StructType([StructField(self.bucket_key, key_field.dataType)]),
+                    )
+                    df = df.join(F.broadcast(kdf), self.bucket_key, "left_anti")
+            pieces.append(df)
+        if not pieces:
+            return empty
+        out = pieces[0]
+        for p in pieces[1:]:
+            out = out.unionByName(p)
+        return out
+
+    # -- row-level delete -------------------------------------------------
+    def _delete_keys_path(self, snapshot_id: str) -> str:
+        return os.path.join(self.meta_dir, "deletes", f"del-{snapshot_id}.json")
+
+    def delete(self, spark: SparkSession, predicate) -> str | None:
+        """Row-level DELETE (copy-on-write, Iceberg's
+        `delete-mode=copy-on-write`): rewrite ONLY the data files that
+        contain matching rows, without those rows, and commit a
+        ``delete`` snapshot whose manifest swaps just the affected
+        files. This is the PII right-to-be-forgotten path a
+        training-data store must have (r4 VERDICT ask #4):
+
+        - current reads no longer see the rows (immediately);
+        - time travel to pre-delete snapshots still sees them
+          (manifest immutability) until ``expire_snapshots``;
+        - ``expire_snapshots`` + ``remove_orphans`` then PHYSICALLY
+          erase the bytes from disk — the full GDPR erasure sequence
+          is delete → expire → remove_orphans;
+        - incremental consumers skip the delete snapshot's rewritten
+          files (non-append op) and additionally anti-filter rows
+          whose keys a later in-range delete tombstoned — a deleted
+          row is never emitted or resurrected (``read_incremental``);
+        - compaction/rebucket read post-delete manifests, so the
+          deletion survives every maintenance rewrite.
+
+        ``predicate`` is a Column or SQL string. Rows where it is
+        NULL are KEPT (SQL DELETE semantics). Cost is proportional to
+        the affected files, not the table: the file-discovery scan
+        prunes via parquet pushdown, and only matching files are
+        rewritten. Deleted key values are recorded in a tombstone
+        sidecar (metadata/deletes/del-<sid>.json) for changelog
+        filtering — at real 10^12 scale that sidecar would be a
+        parquet delete-manifest, same semantics.
+
+        Returns the new snapshot id, or None when nothing matched.
+        """
+        snap = self.snapshot()
+        if snap is None:
+            raise ValueError(f"no snapshot at {self.root}")
+        cond = F.expr(predicate) if isinstance(predicate, str) else predicate
+        hit = F.coalesce(cond.cast("boolean"), F.lit(False))
+
+        # 1. which files contain matching rows (pushdown prunes the scan)
+        base = os.path.abspath(self.data_dir)
+        hits = (
+            self.read(spark)
+            .where(hit)
+            .select(F.input_file_name().alias("f"))
+            .distinct()
+            .collect()
+        )
+        affected: set[str] = set()
+        for r in hits:
+            p = r["f"]
+            if p.startswith("file:"):
+                p = p[len("file:") :]
+                while p.startswith("//"):
+                    p = p[1:]
+            affected.add(os.path.relpath(os.path.abspath(p), base))
+        if not affected:
+            return None
+
+        # 2. tombstone the deleted keys (changelog anti-filter sidecar)
+        aff_paths = [os.path.join(self.data_dir, rel) for rel in sorted(affected)]
+        reader = spark.read.option("basePath", self.data_dir).schema(self._schema_ddl(snap))
+        aff_df = reader.parquet(*aff_paths)
+        deleted_keys = sorted(
+            r["k"]
+            for r in aff_df.where(hit)
+            .select(F.col(self.bucket_key).alias("k"))
+            .distinct()
+            .collect()
+        )
+
+        # 3. rewrite affected files without the matching rows
+        before = self._data_listing()
+        (
+            aff_df.where(~hit)
+            .repartition(max(1, len({r.split("/", 1)[0] for r in affected})), BUCKET_COL)
+            .write.mode("append")
+            .partitionBy(BUCKET_COL)
+            .parquet(self.data_dir)
+        )
+        new_by_bucket: dict[str, list[str]] = {}
+        for rel in sorted(self._data_listing() - before):
+            new_by_bucket.setdefault(rel.split("/", 1)[0].split("=", 1)[1], []).append(rel)
+
+        import pyarrow.parquet as pq
+
+        def _rows(rels) -> int:
+            return sum(
+                pq.ParquetFile(os.path.join(self.data_dir, r)).metadata.num_rows
+                for r in rels
+            )
+
+        bucket_files = {k: list(v) for k, v in snap["bucket_files"].items()}
+        old_affected_rows = _rows(affected)
+        for k in list(bucket_files):
+            kept = [r for r in bucket_files[k] if r not in affected]
+            kept.extend(new_by_bucket.get(k, []))
+            if kept:
+                bucket_files[k] = kept
+            else:
+                del bucket_files[k]  # bucket fully deleted
+        new_affected_rows = _rows(
+            rel for fs in new_by_bucket.values() for rel in fs
+        )
+        n_deleted = old_affected_rows - new_affected_rows
+        if n_deleted <= 0:  # nothing actually removed — don't commit
+            return None
+
+        manifest = {
+            "snapshot_id": uuid.uuid4().hex[:16],
+            "parent_snapshot_id": snap["snapshot_id"],
+            "timestamp_ms": int(time.time() * 1000),
+            "operation": "delete",
+            "bucket_key": self.bucket_key,
+            "num_buckets": self.num_buckets,
+            "schema": snap["schema"],
+            "bucket_files": bucket_files,
+            "summary": {
+                "total_rows": snap["summary"]["total_rows"] - n_deleted,
+                "deleted_rows": n_deleted,
+                "rewritten_files": len(affected),
+            },
+        }
+        sid = manifest["snapshot_id"]
+        os.makedirs(os.path.join(self.meta_dir, "deletes"), exist_ok=True)
+        with open(self._delete_keys_path(sid), "w") as f:
+            json.dump({"keys": deleted_keys}, f)
+        return self._commit_snapshot(manifest)
+
+    def deleted_keys(self, snapshot_id: str) -> list | None:
+        """Tombstoned key values of a ``delete`` snapshot (None when
+        no sidecar exists — e.g. it was expired along with the
+        manifest)."""
+        try:
+            with open(self._delete_keys_path(snapshot_id)) as f:
+                return json.load(f)["keys"]
+        except FileNotFoundError:
+            return None
 
     # -- maintenance ------------------------------------------------------
     # The three table-maintenance actions every long-lived Iceberg
@@ -508,6 +745,10 @@ class IcebergishTable:
             if sid in keep:
                 continue
             os.remove(os.path.join(self.meta_dir, entry))
+            try:  # a delete snapshot's tombstone sidecar expires with it
+                os.remove(self._delete_keys_path(sid))
+            except FileNotFoundError:
+                pass
             expired.append(sid)
         if expired:
             # sever the dangling parent pointer of the oldest retained

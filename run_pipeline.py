@@ -39,6 +39,16 @@ def main(argv: list[str] | None = None) -> int:
         "skip on tables other jobs read via time travel)",
     )
     ap.add_argument(
+        "--erase-where",
+        default=None,
+        metavar="SQL_PREDICATE",
+        help="BEFORE the run, row-level DELETE matching rows from the "
+        "input table (copy-on-write rewrite of only the affected "
+        "files) — the PII right-to-be-forgotten path. Combine with "
+        "--maintain to also expire old snapshots and sweep the "
+        "superseded files, which physically erases the bytes",
+    )
+    ap.add_argument(
         "--rebucket",
         type=int,
         default=None,
@@ -65,6 +75,17 @@ def main(argv: list[str] | None = None) -> int:
             print("--rebucket cannot be combined with --snapshot", file=sys.stderr)
             return 2
         tbl.rebucket(spark, args.rebucket)
+    erased = None
+    if args.erase_where:
+        if args.snapshot:
+            print("--erase-where cannot be combined with --snapshot", file=sys.stderr)
+            return 2
+        del_sid = tbl.delete(spark, args.erase_where)
+        erased = (
+            {"snapshot": del_sid, "rows": tbl.snapshot()["summary"]["deleted_rows"]}
+            if del_sid
+            else {"snapshot": None, "rows": 0}
+        )
     snapshot = args.snapshot or tbl.current_snapshot_id()
     result = run_pipeline(
         spark,
@@ -104,6 +125,7 @@ def main(argv: list[str] | None = None) -> int:
                 "master": spark.sparkContext.master,
                 "html_report": report_path,
                 "maintenance": maintenance,
+                "erased": erased,
             }
         )
     )
