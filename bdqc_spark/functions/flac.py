@@ -4,11 +4,14 @@ Implements the public FLAC bitstream format (xiph.org/flac/format)
 for the engine's ingest domain: MONO, 16-bit, fixed-blocksize
 streams. Encoder emits CONSTANT / VERBATIM / FIXED(0-4) subframes
 with 4-bit Rice residual partitions (escape partitions when raw is
-cheaper); decoder additionally handles any Rice partition order,
-5-bit Rice (method 1), wasted bits, and all header blocksize /
-sample-rate code forms. LPC subframes and multi-channel streams are
-rejected with a clear error (subset decoder). Streams round-trip
-LOSSLESSLY — tests assert exact int16 equality, not SNR.
+cheaper), plus optional LPC subframes (Levinson-Durbin analysis,
+quantized-coefficient predictor — the coding mode real encoders
+emit by default); decoder handles CONSTANT / VERBATIM / FIXED /
+LPC (any order 1-32), any Rice partition order, 5-bit Rice
+(method 1), wasted bits, and all header blocksize / sample-rate
+code forms. Multi-channel streams are rejected with a clear error
+(subset decoder). Streams round-trip LOSSLESSLY — tests assert
+exact int16 equality, not SNR.
 
 Reference parity (SURVEY.md §2.A A6): bdqc's Binary signature treats
 compressed audio as opaque bytes; here FLAC joins pcm/ulaw/alaw/wav/
@@ -260,6 +263,80 @@ def _fixed_restore(warm: np.ndarray, res: np.ndarray, order: int) -> np.ndarray:
 
 
 # --------------------------------------------------------------------------
+# LPC predictor (linear prediction per the FLAC format: x̂[i] =
+# (Σ_j qcoef[j]·x[i-1-j]) >> shift, integer arithmetic, arithmetic
+# right shift — reconstruction must be bit-exact, so decode replays
+# the same integer recurrence)
+# --------------------------------------------------------------------------
+def _levinson_durbin(ac: np.ndarray, order: int) -> np.ndarray | None:
+    """Autocorrelation → LPC coefficients (prediction weights for
+    x[i-1], x[i-2], ...). Returns None for degenerate signals."""
+    if ac[0] <= 0:
+        return None
+    err = float(ac[0])
+    lpc = np.zeros(order)
+    for i in range(1, order + 1):
+        acc = float(ac[i])
+        for j in range(1, i):
+            acc -= lpc[j - 1] * float(ac[i - j])
+        if err == 0:
+            return None
+        k = acc / err
+        new = lpc.copy()
+        new[i - 1] = k
+        for j in range(1, i):
+            new[j - 1] = lpc[j - 1] - k * lpc[i - 1 - j]
+        lpc = new
+        err *= 1.0 - k * k
+        if err <= 0:
+            break
+    return lpc
+
+
+def _quantize_lpc(lpc: np.ndarray, precision: int = 12) -> tuple[np.ndarray, int] | None:
+    """Float LPC weights → (int coefficients, right-shift) with
+    ``precision``-bit signed coefficients (the FLAC quantized form)."""
+    cmax = float(np.abs(lpc).max())
+    if cmax <= 0:
+        return None
+    # largest shift keeping every coefficient inside precision bits
+    shift = precision - 1 - int(np.ceil(np.log2(cmax + 1e-9)))
+    shift = max(0, min(15, shift))
+    lim = 1 << (precision - 1)
+    q = np.clip(np.round(lpc * (1 << shift)), -lim, lim - 1).astype(np.int64)
+    if not q.any():
+        return None
+    return q, shift
+
+
+def _lpc_residual(sx: np.ndarray, qcoef: np.ndarray, shift: int) -> np.ndarray:
+    """Residual over true past samples (encoder side, vectorized):
+    conv[m] = Σ_j q[j]·sx[m-j], so the prediction for sample i is
+    conv[i-1] >> shift."""
+    o = len(qcoef)
+    conv = np.convolve(sx, qcoef)
+    return sx[o:] - (conv[o - 1 : len(sx) - 1] >> shift)
+
+
+def _lpc_restore(
+    warm: np.ndarray, res: np.ndarray, qcoef: np.ndarray, shift: int
+) -> np.ndarray:
+    """Bit-exact sequential reconstruction (the recurrence feeds on
+    its own output, so no cumsum trick applies — python-int loop;
+    bounded by blocksize × order, and only real-world LPC streams
+    reach it)."""
+    o = len(warm)
+    cs = [int(c) for c in qcoef]
+    xs = [int(v) for v in warm]
+    for r in res.tolist():
+        acc = 0
+        for j, c in enumerate(cs):
+            acc += c * xs[-1 - j]
+        xs.append(int(r) + (acc >> shift))
+    return np.asarray(xs, dtype=np.int64)
+
+
+# --------------------------------------------------------------------------
 # encoder
 # --------------------------------------------------------------------------
 def _escape_bits_needed(res: np.ndarray) -> int:
@@ -290,8 +367,29 @@ def _partition_bits(res: np.ndarray) -> np.ndarray:
     return np.concatenate([_ubits(k, 4), _rice_encode_bits(u, k)])
 
 
+def _residual_section(res: np.ndarray, bs: int, n: int, o: int, part_order: int) -> list:
+    """Method-0 residual coding section (2-bit method, 4-bit partition
+    order, per-partition Rice/escape) shared by FIXED and LPC."""
+    p = part_order if (n == bs and bs % (1 << part_order) == 0) else 0
+    while p and (bs >> p) <= o:
+        p -= 1
+    parts = [_ubits(0, 2), _ubits(p, 4)]
+    per = bs >> p
+    off = 0
+    for i in range(1 << p):
+        cnt = per - o if i == 0 else per
+        parts.append(_partition_bits(res[off : off + cnt]))
+        off += cnt
+    return parts
+
+
 def _subframe_bits(
-    x: np.ndarray, bs: int, bps: int, force_verbatim: bool, part_order: int
+    x: np.ndarray,
+    bs: int,
+    bps: int,
+    force_verbatim: bool,
+    part_order: int,
+    lpc_order: int = 0,
 ) -> np.ndarray:
     n = len(x)
     sx = x.astype(np.int64)
@@ -305,6 +403,30 @@ def _subframe_bits(
         return np.concatenate(
             [head, _ubits_vec((sx & ((1 << bps) - 1)).astype(np.uint64), bps)]
         )
+    if lpc_order and n > lpc_order:
+        # Levinson-Durbin over the plain autocorrelation, quantized to
+        # 12-bit coefficients (what real encoders emit by default);
+        # degenerate signals fall through to the FIXED path below
+        xf = sx.astype(np.float64)
+        ac = np.array([float(np.dot(xf[: n - i], xf[i:])) for i in range(lpc_order + 1)])
+        lpc = _levinson_durbin(ac, lpc_order)
+        q = _quantize_lpc(lpc) if lpc is not None else None
+        if q is not None:
+            qcoef, shift = q
+            o = lpc_order
+            prec = 12
+            res = _lpc_residual(sx, qcoef, shift)
+            head = np.concatenate(
+                [_ubits(0, 1), _ubits(0b100000 | (o - 1), 6), _ubits(0, 1)]
+            )
+            warm = _ubits_vec((sx[:o] & ((1 << bps) - 1)).astype(np.uint64), bps)
+            lpc_hdr = [
+                _ubits(prec - 1, 4),
+                _ubits(shift & 0x1F, 5),
+                _ubits_vec((qcoef & ((1 << prec) - 1)).astype(np.uint64), prec),
+            ]
+            parts = _residual_section(res, bs, n, o, part_order)
+            return np.concatenate([head, warm] + lpc_hdr + parts)
     # fixed order 0..4 by min total |residual| (the classic heuristic)
     best_o, best_sum = 0, None
     for o in range(0, min(4, n - 1) + 1):
@@ -313,18 +435,9 @@ def _subframe_bits(
             best_o, best_sum = o, s
     o = best_o
     res = _fixed_residual(sx, o)
-    p = part_order if (n == bs and bs % (1 << part_order) == 0) else 0
-    while p and (bs >> p) <= o:
-        p -= 1
     head = np.concatenate([_ubits(0, 1), _ubits(0b001000 | o, 6), _ubits(0, 1)])
     warm = _ubits_vec((sx[:o] & ((1 << bps) - 1)).astype(np.uint64), bps)
-    parts = [_ubits(0, 2), _ubits(p, 4)]  # method 0 (4-bit rice), order p
-    per = bs >> p
-    off = 0
-    for i in range(1 << p):
-        cnt = per - o if i == 0 else per
-        parts.append(_partition_bits(res[off : off + cnt]))
-        off += cnt
+    parts = _residual_section(res, bs, n, o, part_order)
     return np.concatenate([head, warm] + parts)
 
 
@@ -334,10 +447,14 @@ def flac_encode(
     blocksize: int = BLOCKSIZE,
     force_verbatim: bool = False,
     partition_order: int = 0,
+    lpc_order: int = 0,
 ) -> bytes:
     """float32 [-1,1] PCM → FLAC stream (mono, 16-bit). Same sample
     quantization as the pcm_s16le codec so encode→decode round-trips
-    bit-exactly through the shared float contract."""
+    bit-exactly through the shared float contract. ``lpc_order`` > 0
+    emits LPC subframes of that order (Levinson-Durbin analysis,
+    12-bit quantized coefficients — the coding mode real encoders
+    default to); 0 keeps the FIXED-only subset."""
     x = np.clip(np.asarray(pcm, dtype=np.float64), -1.0, 1.0)
     i16 = np.round(x * 32767.0).astype(np.int16)
     n = len(i16)
@@ -369,7 +486,7 @@ def flac_encode(
         hdr += _utf8_code(fno)
         hdr += (bs - 1).to_bytes(2, "big")
         hdr.append(_crc8(hdr))
-        sub = _subframe_bits(frame, bs, 16, force_verbatim, partition_order)
+        sub = _subframe_bits(frame, bs, 16, force_verbatim, partition_order, lpc_order)
         pad = (-len(sub)) % 8
         if pad:
             sub = np.concatenate([sub, np.zeros(pad, np.uint8)])
@@ -429,6 +546,33 @@ def _parse_stream_header(data: np.ndarray) -> tuple[dict, int]:
     if si is None:
         raise ValueError("flac: no STREAMINFO block")
     return si, off
+
+
+def _read_residual(br: _Bits, bs: int, o: int) -> np.ndarray:
+    """Residual coding section (shared by FIXED and LPC subframes):
+    2-bit method (0 → 4-bit Rice, 1 → 5-bit), 4-bit partition order,
+    per-partition Rice or escaped-raw codes."""
+    method = br.read(2)
+    if method > 1:
+        raise ValueError("flac: reserved residual coding method")
+    pbits = 4 + method
+    esc = (1 << pbits) - 1
+    p = br.read(4)
+    if bs % (1 << p) or (bs >> p) <= o and p:
+        raise ValueError("flac: invalid rice partition order")
+    res_parts = []
+    per = bs >> p
+    for i in range(1 << p):
+        cnt = per - o if i == 0 else per
+        param = br.read(pbits)
+        if param == esc:
+            b = br.read(5)
+            res_parts.append(br.read_signed_vec(cnt, b))
+        else:
+            vals, end = _rice_decode(br.b, br.pos, cnt, param)
+            br.pos = end
+            res_parts.append(vals)
+    return np.concatenate(res_parts)
 
 
 def flac_decode_i16(raw) -> tuple[np.ndarray, int]:
@@ -507,29 +651,22 @@ def flac_decode_i16(raw) -> tuple[np.ndarray, int]:
             if o > bs:
                 raise ValueError("flac: predictor order exceeds blocksize")
             warm = br.read_signed_vec(o, ebps)
-            method = br.read(2)
-            if method > 1:
-                raise ValueError("flac: reserved residual coding method")
-            pbits = 4 + method
-            esc = (1 << pbits) - 1
-            p = br.read(4)
-            if bs % (1 << p) or (bs >> p) <= o and p:
-                raise ValueError("flac: invalid rice partition order")
-            res_parts = []
-            per = bs >> p
-            for i in range(1 << p):
-                cnt = per - o if i == 0 else per
-                param = br.read(pbits)
-                if param == esc:
-                    b = br.read(5)
-                    res_parts.append(br.read_signed_vec(cnt, b))
-                else:
-                    vals, end = _rice_decode(br.b, br.pos, cnt, param)
-                    br.pos = end
-                    res_parts.append(vals)
-            x = _fixed_restore(warm, np.concatenate(res_parts), o)
+            x = _fixed_restore(warm, _read_residual(br, bs, o), o)
         elif tcode >= 0b100000:
-            raise ValueError("flac: LPC subframes unsupported (subset decoder)")
+            o = (tcode & 0x1F) + 1
+            if o > bs:
+                raise ValueError("flac: predictor order exceeds blocksize")
+            warm = br.read_signed_vec(o, ebps)
+            prec_m1 = br.read(4)
+            if prec_m1 == 0b1111:
+                raise ValueError("flac: invalid qlp coefficient precision")
+            shift = br.read_signed(5)
+            if shift < 0:
+                # the format reserves negative shifts; no real encoder
+                # emits them (libFLAC clamps at 0)
+                raise ValueError("flac: negative qlp shift unsupported")
+            qcoef = br.read_signed_vec(o, prec_m1 + 1)
+            x = _lpc_restore(warm, _read_residual(br, bs, o), qcoef, shift)
         else:
             raise ValueError("flac: reserved subframe type")
         if wasted:

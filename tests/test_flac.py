@@ -176,3 +176,100 @@ def test_decode_arrow_slice_parity():
     a = decode_arrow_slice(buf, 1, 1 + len(raw), "flac")
     b = decode(raw, "flac")
     assert np.array_equal(a, b)
+
+
+# ---------------------------------------------------------------------------
+# LPC subframes (r4 VERDICT ask #6: the coding mode real encoders
+# emit by default — decode must be bit-exact, not approximate)
+# ---------------------------------------------------------------------------
+@pytest.mark.parametrize("order", [1, 2, 4, 8, 12, 32])
+def test_lpc_roundtrip_exact_all_orders(order):
+    rng = np.random.default_rng(order)
+    t = np.arange(16000) / 16000
+    x = (
+        0.4 * np.sin(2 * np.pi * 220 * t)
+        + 0.2 * np.sin(2 * np.pi * 660 * t)
+        + 0.02 * rng.standard_normal(len(t))
+    ).clip(-1, 1).astype(np.float32)
+    raw = flac_encode(x, lpc_order=order, partition_order=2)
+    dec, sr = flac_decode_i16(raw)
+    assert np.array_equal(dec, _i16(x))
+    assert sr == 16000
+
+
+@pytest.mark.parametrize("name", list(CASES))
+def test_lpc_roundtrip_exact_all_case_signals(name):
+    x = CASES[name]
+    raw = flac_encode(x, lpc_order=8)
+    dec, _ = flac_decode_i16(raw)
+    assert np.array_equal(dec, _i16(x)), name
+
+
+def test_lpc_stream_really_contains_lpc_subframes():
+    """The order-8 stream must not silently fall back to FIXED:
+    find a frame whose subframe type code is 0b100000|(order-1)."""
+    t = np.arange(8192) / 16000
+    x = (0.5 * np.sin(2 * np.pi * 330 * t)).astype(np.float32)
+    raw = flac_encode(x, lpc_order=8)
+    from bdqc_spark.functions.flac import _Bits, _parse_stream_header
+
+    data = np.frombuffer(raw, np.uint8)
+    _, off = _parse_stream_header(data)
+    br = _Bits(data[off:])
+    assert br.read(14) == 0x3FFE  # first frame sync
+    # skip to the subframe header: reserved+blocking(2) + bs/sr/ch/ss
+    # codes(15) + utf8 frame number 0 (8) + 16-bit blocksize (16,
+    # bs_code 0b0111) + crc8 (8) = 49 bits after sync
+    br.read(2 + 4 + 4 + 4 + 3 + 1 + 8 + 16 + 8)
+    assert br.read(1) == 0  # padding bit
+    tcode = br.read(6)
+    assert tcode == (0b100000 | 7), bin(tcode)  # LPC, order 8
+
+
+def test_lpc_compresses_tonal_better_than_fixed():
+    # tonal + noise floor: the regime where LPC beats the fixed
+    # predictors (a NOISELESS sine is so smooth that order-4
+    # differencing already wins — that is not the interesting case)
+    rng = np.random.default_rng(21)
+    t = np.arange(16000) / 16000
+    x = (
+        0.45 * np.sin(2 * np.pi * 247 * t)
+        + 0.1 * np.sin(2 * np.pi * 494 * t)
+        + 0.02 * rng.standard_normal(len(t))
+    ).clip(-1, 1).astype(np.float32)
+    lpc = flac_encode(x, lpc_order=8, partition_order=2)
+    fixed = flac_encode(x, partition_order=2)
+    dec_l, _ = flac_decode_i16(lpc)
+    dec_f, _ = flac_decode_i16(fixed)
+    assert np.array_equal(dec_l, dec_f)  # identical samples either way
+    assert len(lpc) < len(fixed)  # ...but LPC wins on tonal content
+
+
+def test_lpc_corruption_detected():
+    t = np.arange(8192) / 16000
+    x = (0.5 * np.sin(2 * np.pi * 330 * t)).astype(np.float32)
+    raw = bytearray(flac_encode(x, lpc_order=8))
+    raw[len(raw) // 2] ^= 0x40  # flip a bit mid-frame
+    with pytest.raises(ValueError):
+        flac_decode_i16(bytes(raw))
+
+
+def test_lpc_profile_batch_integration(spark):
+    """A clips table whose FLAC bytes are LPC-coded flows through the
+    real profile path (plans/profile.profile_clips) with pcm_ok=True
+    and exact decoded duration."""
+    from bdqc_spark.plans.profile import profile_clips
+
+    t = np.arange(4800) / 16000
+    x = (0.3 * np.sin(2 * np.pi * 200 * t)).astype(np.float32)
+    raw = flac_encode(x, lpc_order=8)
+    df = spark.createDataFrame(
+        [("lpc-1", bytearray(raw), 16000, 300, "flac", "hi there")],
+        "clip_id string, bytes binary, sr_hz int, dur_ms int, codec string, transcript string",
+    )
+    out = profile_clips(df).collect()
+    assert len(out) == 1
+    audio = out[0]["audio"]
+    assert audio["pcm_ok"]
+    assert audio["n_samples"] == 4800
+    assert abs(audio["dur_ms_decoded"] - 300) <= 1
