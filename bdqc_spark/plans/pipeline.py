@@ -69,6 +69,110 @@ def _write_models_snapshot(rows: list, models_dir: str) -> None:
     shutil.rmtree(models_dir, ignore_errors=True)
     os.rename(tmp, models_dir)
 
+def _read_models_snapshot(models_dir: str) -> list | None:
+    """Driver-side read of a persisted cohort_models snapshot (KB-
+    sized) as row dicts — used to hold the PREVIOUS snapshot in memory
+    across the overwrite so drift can compare old vs new."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    files = sorted(glob.glob(os.path.join(models_dir, "*.parquet")))
+    if not files:
+        return None
+    rows = pq.read_table(files).to_pylist()
+    for r in rows:
+        if r.get("histogram") is not None:
+            r["histogram"] = dict(r["histogram"])
+    return rows
+
+
+def _write_drift_table(
+    spark: SparkSession,
+    old_rows: list,
+    new_rows: list,
+    models_new: DataFrame,
+    drift_dir: str,
+    run_id: str,
+    input_snapshot: str,
+) -> int:
+    """Stage B2 (bdqc's temporal QC, wired in per r4 VERDICT ask #7):
+    compare the previous cohort-model snapshot against the one just
+    fit and APPEND a drift state table — numeric robust-z per
+    (cohort, attribute) + categorical histogram TVD. Runs ONLY on
+    incremental refits (a fresh out dir has no previous snapshot), so
+    the serial path of fresh runs and scaling probes pays nothing.
+    Inputs are KB-sized model tables: the comparison never touches
+    the fact table, so its cost is flat at any corpus size.
+    Returns the number of drifted=True rows."""
+    from bdqc_spark.plans.drift import categorical_drift, numeric_drift
+
+    old_df = spark.createDataFrame(old_rows, schema=models_new.schema)
+    num = numeric_drift(old_df, models_new).collect()
+    # old_rows are dicts (pyarrow read-back); new_rows are Spark Rows
+    # (collect_cohort_models) — both support item access
+    cat_attrs = sorted(
+        {r["attribute"] for r in old_rows if r["histogram"] is not None}
+        & {r["attribute"] for r in new_rows if r["histogram"] is not None}
+    )
+    cats = []
+    for attr in cat_attrs:
+        cats.extend(categorical_drift(old_df, models_new, attr).collect())
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    now_ns = time.time_ns()
+    recs = [
+        {
+            "kind": "numeric",
+            "codec": r["codec"],
+            "lang_pred": r["lang_pred"],
+            "attribute": r["attribute"],
+            "n_old": r["n_old"],
+            "n_new": r["n_new"],
+            "metric": None if r["drift_z"] is None else float(r["drift_z"]),
+            "threshold": None,
+            "drifted": r["drifted"],
+        }
+        for r in num
+    ] + [
+        {
+            "kind": "categorical",
+            "codec": r["codec"],
+            "lang_pred": r["lang_pred"],
+            "attribute": r["attribute"],
+            "n_old": r["n_old"],
+            "n_new": r["n_new"],
+            "metric": float(r["tvd"]),
+            "threshold": r["tvd_threshold"],
+            "drifted": r["drifted"],
+        }
+        for r in cats
+    ]
+    tbl = pa.table(
+        {
+            "kind": pa.array([r["kind"] for r in recs], pa.string()),
+            "codec": pa.array([r["codec"] for r in recs], pa.string()),
+            "lang_pred": pa.array([r["lang_pred"] for r in recs], pa.string()),
+            "attribute": pa.array([r["attribute"] for r in recs], pa.string()),
+            "n_old": pa.array([r["n_old"] for r in recs], pa.int64()),
+            "n_new": pa.array([r["n_new"] for r in recs], pa.int64()),
+            "metric": pa.array([r["metric"] for r in recs], pa.float64()),
+            "threshold": pa.array([r["threshold"] for r in recs], pa.float64()),
+            "drifted": pa.array([r["drifted"] for r in recs], pa.bool_()),
+            "run_id": pa.array([run_id] * len(recs), pa.string()),
+            "input_snapshot": pa.array([input_snapshot] * len(recs), pa.string()),
+            "written_at": pa.array([now_ns] * len(recs), pa.int64()),
+        }
+    )
+    os.makedirs(drift_dir, exist_ok=True)
+    path = os.path.join(drift_dir, f"drift-{now_ns}-{uuid.uuid4().hex[:8]}.parquet")
+    pq.write_table(tbl, path + ".tmp")
+    os.rename(path + ".tmp", path)
+    return sum(1 for r in recs if r["drifted"])
+
+
 def metrics_table(
     decisions: DataFrame, key_col: str, run_id: str, wall_ms: int, attempt: int
 ) -> DataFrame:
@@ -131,6 +235,9 @@ class PipelineResult:
         self.run_id = run_id
         self.processed_buckets = processed_buckets
         self.stage_seconds: dict[str, float] = {}
+        # None: no previous model snapshot existed (fresh run / resume
+        # fast path); int: drifted=True row count in the drift table
+        self.drift_flagged: int | None = None
 
 
 def _tick(result: PipelineResult, stage: str, t0: float) -> float:
@@ -331,6 +438,9 @@ def _finish_pipeline(
     if not pending and models_current and os.path.isdir(models_dir):
         models = spark.read.parquet(models_dir)
     else:
+        # hold the PREVIOUS snapshot (if any) across the overwrite so
+        # stage B2 can diff old vs new (bdqc's temporal QC)
+        old_models_rows = _read_models_snapshot(models_dir) if os.path.isdir(models_dir) else None
         models_rows = collect_cohort_models(profiles, exact=exact_models)
         models = spark.createDataFrame(models_rows)
         # Persist the snapshot driver-side (pyarrow): it is ~100 rows;
@@ -338,6 +448,18 @@ def _finish_pipeline(
         # the serial path of every run.
         _write_models_snapshot(models_rows, models_dir)
         _append_lineage(lineage_dir, [-1], input_snapshot, attempt, t_stage, models_status)
+        if old_models_rows:
+            t_b2 = time.time()
+            result.drift_flagged = _write_drift_table(
+                spark,
+                old_models_rows,
+                models_rows,
+                models,
+                os.path.join(os.path.dirname(models_dir), "drift"),
+                result.run_id,
+                input_snapshot,
+            )
+            result.stage_seconds["B2_drift"] = round(time.time() - t_b2, 2)
     t_stage = _tick(result, "B_models", t_stage)
     if fail_after_stage == "models":
         raise RuntimeError("injected failure after models stage")

@@ -50,6 +50,32 @@ def write_html_report(spark: SparkSession, out_dir: str, path: str) -> str:
         )
         return f"<table border=1 cellpadding=4><tr>{h}</tr>{b}</table>"
 
+    # Model drift vs the previous snapshot (stage B2): show the
+    # LATEST comparison's flagged rows, strongest first. Absent on
+    # fresh runs (no previous snapshot to compare against).
+    drift_section = ""
+    import os
+
+    drift_dir = f"{out_dir}/drift"
+    if os.path.isdir(drift_dir) and any(
+        f.endswith(".parquet") for f in os.listdir(drift_dir)
+    ):
+        d = spark.read.parquet(drift_dir)
+        latest = d.agg(F.max("written_at")).collect()[0][0]
+        top = (
+            d.where((F.col("written_at") == latest) & F.col("drifted"))
+            .orderBy(F.desc("metric"))
+            .limit(20)
+            .collect()
+        )
+        n_compared = d.where(F.col("written_at") == latest).count()
+        drift_section = f"""
+<h2>Model drift vs previous snapshot</h2>
+<p>{len(top)} flagged of {n_compared} compared (cohort, attribute) cells</p>
+{table(['kind', 'codec', 'lang', 'attribute', 'n_old', 'n_new', 'metric'],
+       [[r.kind, r.codec, r.lang_pred, r.attribute, r.n_old, r.n_new,
+         f"{r.metric:.3f}" if r.metric is not None else ""] for r in top])}"""
+
     doc = f"""<!doctype html><html><head><meta charset="utf-8">
 <title>bdqc-spark QC report</title></head><body>
 <h1>bdqc-spark QC report</h1>
@@ -62,6 +88,7 @@ def write_html_report(spark: SparkSession, out_dir: str, path: str) -> str:
 <h2>Per-partition</h2>
 {table(['partition', 'rows_seen', 'rows_dropped', 'scrub_edits', 'wall_ms'],
        [[r.partition_id, r.rows_seen, r.rows_dropped, r.scrub_edits, r.wall_ms] for r in metrics])}
+{drift_section}
 </body></html>"""
     with open(path, "w") as f:
         f.write(doc)

@@ -126,6 +126,9 @@ def main(argv: list[str] | None = None) -> int:
                 "html_report": report_path,
                 "maintenance": maintenance,
                 "erased": erased,
+                # None on fresh runs (no previous model snapshot);
+                # else the number of drifted (cohort, attribute) cells
+                "drift_flagged": result.drift_flagged,
             }
         )
     )
