@@ -1915,7 +1915,14 @@ def q_clips_flac_profile(spark, sf_dir):
                 rows.append(
                     {
                         "clip_id": f"flac-{int(i):08d}",
-                        "bytes": flac_encode(np.clip(pcm, -1, 1), sr=sr),
+                        # even ids: FIXED-predictor subset; odd ids:
+                        # LPC order-8 (r5) — both wire forms flow
+                        # through the same ingest decode
+                        "bytes": flac_encode(
+                            np.clip(pcm, -1, 1),
+                            sr=sr,
+                            lpc_order=8 if int(i) % 2 else 0,
+                        ),
                         "sr_hz": sr,
                         "dur_ms": int(ns * 1000 / sr),
                         "codec": "flac",
@@ -1941,6 +1948,61 @@ def q_clips_flac_profile(spark, sf_dir):
         F.round(F.col("audio.rms"), 6).alias("rms"),
         F.col("audio.hdr_sr").alias("hdr_sr"),
         (F.col("audio.hdr_sr") == F.col("sr_hz")).alias("hdr_sr_consistent"),
+    )
+
+
+def q_images_profile(spark, sf_dir):
+    """Image binary-column profiling through the REAL from-scratch
+    codecs (rows-only: codec correctness — golden bytes, T.81 DCT
+    parity, PSNR bounds — is pytest-gated in tests/test_jpeg.py and
+    tests/test_multimodal.py). Bytes are synthesized inside
+    mapInPandas (distributed, deterministic per-index RNG): one third
+    PNG, one third baseline JPEG (alternating 4:4:4 / 4:2:0), the
+    rest deliberately corrupt — decode_ok must partition exactly by
+    construction, and the mean channel stats must match the painted
+    color for every decodable row."""
+    ensure_shipped(spark)
+    from bdqc_spark.functions.multimodal import profile_images
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        from bdqc_spark.functions.jpeg import encode_jpeg
+        from bdqc_spark.functions.multimodal import encode_png
+
+        for b in batches:
+            rows = []
+            for i in b["id"]:
+                i = int(i)
+                rng = np.random.default_rng([777, i])
+                h, w = int(rng.integers(8, 40)), int(rng.integers(8, 40))
+                img = np.zeros((h, w, 3), np.uint8)
+                img[..., i % 3] = int(rng.integers(120, 255))
+                kind = i % 3
+                if kind == 0:
+                    raw = encode_png(img)
+                elif kind == 1:
+                    raw = encode_jpeg(img, quality=90, subsampling="444" if i % 2 else "420")
+                else:
+                    raw = b"\xff\xd8corrupt" + bytes(rng.integers(0, 256, 32).astype(np.uint8))
+                rows.append({"image_id": f"img-{i:06d}", "bytes": raw, "kind": kind})
+            yield pd.DataFrame(rows)
+
+    imgs = spark.range(0, 96).repartition(8).mapInPandas(
+        gen, "image_id string, bytes binary, kind int"
+    )
+    prof = profile_images(imgs)
+    return prof.select(
+        "image_id",
+        "kind",
+        "decode_ok",
+        "width",
+        "height",
+        F.round(F.col("mean_r"), 2).alias("mean_r"),
+        F.round(F.col("mean_g"), 2).alias("mean_g"),
+        F.round(F.col("mean_b"), 2).alias("mean_b"),
+        (F.col("decode_ok") == (F.col("kind") < 2)).alias("decode_as_expected"),
     )
 
 
@@ -2743,6 +2805,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_top_terms": q_doc_top_terms,
         "doc_quality_buckets": q_doc_quality_buckets,
         "doc_dedup_weights": q_doc_dedup_weights,
+        "images_profile": q_images_profile,
     }
 
 
