@@ -299,6 +299,57 @@ class IcebergishTable:
             if rel not in old_files
         )
 
+    def incremental_file_plan(
+        self, from_snapshot_id: str | None, to_snapshot_id: str | None = None
+    ) -> list[tuple[str, frozenset]]:
+        """The row-exact incremental read plan shared by
+        ``read_incremental`` and the streaming source: a list of
+        (relative data file path, drop_keys) where ``drop_keys`` is
+        the set of bucket-key values tombstoned by a LATER in-range
+        ``delete`` snapshot — the consumer must anti-filter those
+        rows out of that file (ordering-exact: a key re-appended
+        after its delete appears in a later file with an empty/
+        smaller drop set and IS delivered).
+
+        Fallbacks (broken lineage, expired tombstone sidecar,
+        from=None) return the target snapshot's file diff with EMPTY
+        drop sets — those files belong to the target manifest, which
+        copy-on-write deletes already scrubbed, so deleted rows still
+        never surface (at-least-once on re-emission only)."""
+        new = self.snapshot(to_snapshot_id)
+        if new is None:
+            raise ValueError(f"no snapshot at {self.root}")
+        if from_snapshot_id is None:
+            return [
+                (rel, frozenset())
+                for rel in sorted(
+                    r for fs in new["bucket_files"].values() for r in fs
+                )
+            ]
+        chain = self._lineage_chain(new, from_snapshot_id)
+        if chain is not None:
+            del_keys: dict[int, list] = {}
+            for i, s in enumerate(chain):
+                if s["operation"] == "delete":
+                    keys = self.deleted_keys(s["snapshot_id"])
+                    if keys is None:
+                        chain = None  # expired sidecar → diff fallback
+                        break
+                    del_keys[i] = keys
+        if chain is None:
+            return [
+                (rel, frozenset()) for rel in self._file_diff(new, from_snapshot_id)
+            ]
+        suffix: set = set()
+        plan: list[tuple[str, frozenset]] = []
+        for i in range(len(chain) - 1, -1, -1):
+            fset = frozenset(suffix)
+            for rel in self._append_added_files(chain[i]):
+                plan.append((rel, fset))
+            suffix |= set(del_keys.get(i, ()))
+        plan.sort()
+        return plan
+
     def _append_added_files(self, s: dict) -> list[str]:
         """Data files an APPEND snapshot added vs its parent (empty
         for rewrite/rebucket/delete snapshots — their files carry no
@@ -363,40 +414,10 @@ class IcebergishTable:
             )
 
         empty = spark.createDataFrame([], self._schema_ddl(new))
-        chain = (
-            self._lineage_chain(new, from_snapshot_id)
-            if from_snapshot_id is not None
-            else None
-        )
-        if chain is None:
-            rels = self.appended_files(from_snapshot_id, to_snapshot_id)
-            df = _read(rels)
-            return df if df is not None else empty
-
-        # missing tombstone sidecar for an in-range delete → degrade
-        # to the (delete-clean) file diff
-        del_keys: dict[int, list] = {}
-        for i, s in enumerate(chain):
-            if s["operation"] == "delete":
-                keys = self.deleted_keys(s["snapshot_id"])
-                if keys is None:
-                    df = _read(self._file_diff(new, from_snapshot_id))
-                    return df if df is not None else empty
-                del_keys[i] = keys
-
-        # keys deleted AFTER chain position i (suffix unions)
-        suffix: set = set()
-        filt_after: dict[int, frozenset] = {}
-        for i in range(len(chain) - 1, -1, -1):
-            filt_after[i] = frozenset(suffix)
-            suffix |= set(del_keys.get(i, ()))
-
-        # group appends by their anti-filter set → one scan per group
+        # group files by their anti-filter set → one scan per group
         groups: dict[frozenset, list[str]] = {}
-        for i, s in enumerate(chain):
-            rels = self._append_added_files(s)
-            if rels:
-                groups.setdefault(filt_after[i], []).extend(rels)
+        for rel, fset in self.incremental_file_plan(from_snapshot_id, to_snapshot_id):
+            groups.setdefault(fset, []).append(rel)
 
         pieces = []
         key_field = next(

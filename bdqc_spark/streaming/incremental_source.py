@@ -59,10 +59,15 @@ def _current_snapshot_id(root: str) -> str | None:
 
 
 class _FilePartition(InputPartition):
-    def __init__(self, path: str, bucket: int, columns: list):
+    def __init__(self, path: str, bucket: int, columns: list, drop_keys=(), key_col="clip_id"):
         self.path = path
         self.bucket = bucket
         self.columns = columns  # (name, ddl_type) in output order
+        # keys tombstoned by a delete committed AFTER this file's
+        # append, within the micro-batch's snapshot range — rows with
+        # these keys must not be emitted (delete-aware changelog, r5)
+        self.drop_keys = tuple(drop_keys)
+        self.key_col = key_col
 
 
 class IcebergishStreamReader(DataSourceStreamReader):
@@ -83,29 +88,46 @@ class IcebergishStreamReader(DataSourceStreamReader):
         new = _read_manifest(self.root, end.get("snapshot_id"))
         if new is None:
             return []
-        # Append-only changelog semantics (shared with
-        # IcebergishTable.read_incremental): walk the snapshot lineage
-        # and take only files ADDED BY APPEND snapshots — a compaction
-        # or rebucket committed mid-stream must not re-emit rows the
-        # stream already processed.
+        # Row-exact changelog semantics (shared plan with
+        # IcebergishTable.read_incremental): only files ADDED BY
+        # APPEND snapshots — a compaction or rebucket committed
+        # mid-stream must not re-emit rows the stream already
+        # processed — and each file carries the key set tombstoned by
+        # LATER in-range deletes, so a deleted row is never emitted
+        # while a key re-appended after its delete still is (r5).
         from bdqc_spark.sources.iceberg import IcebergishTable
 
         tbl = IcebergishTable(self.root)
-        rels = tbl.appended_files(start.get("snapshot_id"), end.get("snapshot_id"))
+        plan = tbl.incremental_file_plan(start.get("snapshot_id"), end.get("snapshot_id"))
         parts = []
         data_dir = os.path.join(self.root, "data")
-        for rel in rels:
+        for rel, drop_keys in plan:
             path = os.path.join(data_dir, rel)
             if not os.path.exists(path):
                 continue  # appended then rewritten+orphan-swept in-range
             bucket = int(rel.split("/", 1)[0].split("=", 1)[1])
-            parts.append(_FilePartition(path, bucket, self.schema_cols))
+            parts.append(
+                _FilePartition(
+                    path, bucket, self.schema_cols, drop_keys, tbl.bucket_key
+                )
+            )
         return parts
 
     def read(self, partition: _FilePartition) -> Iterator[tuple]:
         import pyarrow.parquet as pq
 
         tbl = pq.read_table(partition.path)
+        if partition.drop_keys:
+            import pyarrow as pa
+            import pyarrow.compute as pc
+
+            mask = pc.invert(
+                pc.is_in(
+                    tbl.column(partition.key_col),
+                    value_set=pa.array(list(partition.drop_keys)),
+                )
+            )
+            tbl = tbl.filter(mask)
         cols = []
         for name, _ in partition.columns:
             if name == "bucket":
