@@ -453,7 +453,37 @@ class IcebergishTable:
     def _delete_keys_path(self, snapshot_id: str) -> str:
         return os.path.join(self.meta_dir, "deletes", f"del-{snapshot_id}.json")
 
-    def delete(self, spark: SparkSession, predicate) -> str | None:
+    def delete_keys(self, spark: SparkSession, keys: list) -> str | None:
+        """PII-erasure fast path: delete the rows whose bucket key is
+        in ``keys``, with the file-discovery scan PRUNED to the keys'
+        hash buckets through the manifest (``read(buckets=...)`` —
+        Iceberg's manifest-level pruning). At 10^12 rows a
+        right-to-be-forgotten request for one user touches only that
+        user's clips' buckets, not the table; the general
+        ``delete(predicate)`` path must scan (with parquet pushdown)
+        because an arbitrary predicate can match anywhere."""
+        keys = sorted(set(keys))
+        if not keys:
+            return None
+        snap = self.snapshot()
+        if snap is None:
+            raise ValueError(f"no snapshot at {self.root}")
+        key_type = next(
+            (e.split(":", 1)[1] for e in snap["schema"] if e.split(":", 1)[0] == self.bucket_key),
+            "string",
+        )
+        kdf = spark.createDataFrame([(k,) for k in keys], f"{self.bucket_key} {key_type}")
+        buckets = sorted(
+            r[BUCKET_COL]
+            for r in self.with_bucket(kdf).select(BUCKET_COL).distinct().collect()
+        )
+        return self.delete(
+            spark, F.col(self.bucket_key).isin(keys), scan_buckets=buckets
+        )
+
+    def delete(
+        self, spark: SparkSession, predicate, scan_buckets: list[int] | None = None
+    ) -> str | None:
         """Row-level DELETE (copy-on-write, Iceberg's
         `delete-mode=copy-on-write`): rewrite ONLY the data files that
         contain matching rows, without those rows, and commit a
@@ -491,10 +521,12 @@ class IcebergishTable:
         cond = F.expr(predicate) if isinstance(predicate, str) else predicate
         hit = F.coalesce(cond.cast("boolean"), F.lit(False))
 
-        # 1. which files contain matching rows (pushdown prunes the scan)
+        # 1. which files contain matching rows (pushdown prunes the
+        # scan; scan_buckets additionally prunes the FILE LIST via the
+        # manifest — the delete_keys fast path)
         base = os.path.abspath(self.data_dir)
         hits = (
-            self.read(spark)
+            self.read(spark, buckets=scan_buckets)
             .where(hit)
             .select(F.input_file_name().alias("f"))
             .distinct()

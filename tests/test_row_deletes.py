@@ -284,3 +284,45 @@ def test_cli_erase_where(spark, tmp_path):
         capture_output=True, text=True, cwd=repo, timeout=420,
     )
     assert proc2.returncode == 2
+
+
+def test_delete_keys_prunes_discovery_to_hash_buckets(spark, tmp_path):
+    """The PII fast path must bound the file-discovery scan to the
+    keys' hash buckets (manifest pruning), and produce exactly the
+    same table state as the general predicate delete."""
+    tbl = IcebergishTable(str(tmp_path / "t"), num_buckets=8)
+    tbl.append(_batch(spark, 0, 200))
+    victims = [r.clip_id for r in tbl.read(spark).limit(4).collect()]
+
+    scanned = []
+    orig_read = tbl.read
+
+    def spy_read(spark_, buckets=None, **kw):
+        scanned.append(buckets)
+        return orig_read(spark_, buckets=buckets, **kw)
+
+    tbl.read = spy_read
+    sid = tbl.delete_keys(spark, victims)
+    tbl.read = orig_read
+    assert sid is not None
+    # discovery used a bounded bucket list, not a full-table scan
+    discovery_buckets = scanned[0]
+    assert discovery_buckets is not None
+    assert 0 < len(discovery_buckets) <= len(victims)
+    left = {r.clip_id for r in tbl.read(spark).collect()}
+    assert not (set(victims) & left) and len(left) == 196
+
+    # parity with the general path on a fresh copy
+    tbl2 = IcebergishTable(str(tmp_path / "t2"), num_buckets=8)
+    tbl2.append(_batch(spark, 0, 200))
+    tbl2.delete(spark, F.col("clip_id").isin(victims))
+    assert {r.clip_id for r in tbl2.read(spark).collect()} == left
+
+
+def test_delete_keys_empty_and_missing(spark, tmp_path):
+    tbl = IcebergishTable(str(tmp_path / "t"), num_buckets=4)
+    tbl.append(_batch(spark, 0, 20))
+    before = tbl.current_snapshot_id()
+    assert tbl.delete_keys(spark, []) is None
+    assert tbl.delete_keys(spark, ["no-such-clip"]) is None
+    assert tbl.current_snapshot_id() == before
