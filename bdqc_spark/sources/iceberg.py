@@ -521,13 +521,18 @@ class IcebergishTable:
         cond = F.expr(predicate) if isinstance(predicate, str) else predicate
         hit = F.coalesce(cond.cast("boolean"), F.lit(False))
 
-        # 1. which files contain matching rows (pushdown prunes the
-        # scan; scan_buckets additionally prunes the FILE LIST via the
-        # manifest — the delete_keys fast path)
+        # 1. which files contain matching rows. The RAW predicate goes
+        # into where() — filter semantics already drop null/false rows,
+        # and wrapping it in coalesce(cast(...)) would block parquet
+        # predicate pushdown, turning the discovery scan into a full
+        # decode (plan-asserted in tests). The null-safe `hit` form is
+        # only needed on the KEEP side below, where null must mean
+        # "keep". scan_buckets additionally prunes the FILE LIST via
+        # the manifest — the delete_keys fast path.
         base = os.path.abspath(self.data_dir)
         hits = (
             self.read(spark, buckets=scan_buckets)
-            .where(hit)
+            .where(cond)
             .select(F.input_file_name().alias("f"))
             .distinct()
             .collect()
@@ -549,7 +554,7 @@ class IcebergishTable:
         aff_df = reader.parquet(*aff_paths)
         deleted_keys = sorted(
             r["k"]
-            for r in aff_df.where(hit)
+            for r in aff_df.where(cond)
             .select(F.col(self.bucket_key).alias("k"))
             .distinct()
             .collect()

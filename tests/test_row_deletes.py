@@ -326,3 +326,39 @@ def test_delete_keys_empty_and_missing(spark, tmp_path):
     assert tbl.delete_keys(spark, []) is None
     assert tbl.delete_keys(spark, ["no-such-clip"]) is None
     assert tbl.current_snapshot_id() == before
+
+
+def test_delete_discovery_scan_pushes_predicate_down(spark, tmp_path):
+    """The file-discovery scan must reach the parquet reader with the
+    predicate pushed down (at 100 TB the discovery cost is footer/
+    row-group skipping, not a full decode of every column)."""
+    tbl = IcebergishTable(str(tmp_path / "t"), num_buckets=4)
+    tbl.append(_batch(spark, 0, 100))
+    # the raw predicate, exactly as delete()'s discovery scan uses it
+    plan = (
+        tbl.read(spark)
+        .where(F.col("x") >= 90.0)
+        .select(F.input_file_name().alias("f"))
+        .distinct()
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [" in plan
+    assert "GreaterThanOrEqual(x,90.0)" in plan, plan[:2000]
+
+
+def test_incremental_big_tombstone_uses_broadcast_anti_join(spark, tmp_path):
+    """Above the IN-list threshold the anti-filter must compile to a
+    BroadcastHashJoin LeftAnti (a literal IN list of 10^5 keys would
+    bloat the plan; a shuffle join would move the fact table)."""
+    tbl = IcebergishTable(str(tmp_path / "t"), num_buckets=4)
+    s1 = tbl.append(_batch(spark, 0, 10))
+    tbl.append(_batch(spark, 10, 2000))
+    tbl.delete(spark, (F.col("x") >= 100) & (F.col("x") < 1300))  # 1200 keys > 1000
+    inc = tbl.read_incremental(spark, from_snapshot_id=s1)
+    plan = inc._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan[:2000]
+    got = sorted(r.clip_id for r in inc.collect())
+    want = sorted(f"clip-{i}" for i in range(10, 2010) if not (100 <= i < 1300))
+    assert got == want
