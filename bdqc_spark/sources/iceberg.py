@@ -155,9 +155,51 @@ class IcebergishTable:
             "num_buckets": self.num_buckets,
             "schema": [f"{f.name}:{f.dataType.simpleString()}" for f in df.schema.fields],
             "bucket_files": bucket_files,
+            "file_stats": self._manifest_file_stats(prev, bucket_files),
             "summary": {"total_rows": total_rows},
         }
         return self._commit_snapshot(manifest)
+
+    # -- file-level column statistics (Iceberg manifest stats) ------------
+    def _numeric_file_stats(self, rel: str) -> dict:
+        """Per-file [min, max] for numeric columns, from the parquet
+        footer (no data scan). Strings/binary are skipped — the
+        numeric metadata columns (dur_ms, sr_hz, ...) are what range
+        predicates prune on; Iceberg truncates strings instead, a
+        refinement this adapter doesn't need."""
+        import pyarrow.parquet as pq
+
+        md = pq.ParquetFile(os.path.join(self.data_dir, rel)).metadata
+        stats: dict[str, list] = {}
+        for rg_i in range(md.num_row_groups):
+            rg = md.row_group(rg_i)
+            for ci in range(rg.num_columns):
+                col = rg.column(ci)
+                st = col.statistics
+                if st is None or not st.has_min_max:
+                    continue
+                mn, mx = st.min, st.max
+                if not isinstance(mn, (int, float, bool)) or isinstance(mn, bool):
+                    continue
+                name = col.path_in_schema
+                cur = stats.get(name)
+                if cur is None:
+                    stats[name] = [mn, mx]
+                else:
+                    cur[0] = min(cur[0], mn)
+                    cur[1] = max(cur[1], mx)
+        return stats
+
+    def _manifest_file_stats(self, prev: dict | None, bucket_files: dict) -> dict:
+        """file_stats for a new manifest: carry forward the previous
+        manifest's entries for retained files (no re-read), compute
+        footer stats only for files new to this snapshot."""
+        prev_stats = (prev or {}).get("file_stats") or {}
+        out: dict[str, dict] = {}
+        for fs in bucket_files.values():
+            for rel in fs:
+                out[rel] = prev_stats[rel] if rel in prev_stats else self._numeric_file_stats(rel)
+        return out
 
     # -- read -------------------------------------------------------------
     def _schema_ddl(self, snap: dict) -> str:
@@ -176,6 +218,7 @@ class IcebergishTable:
         buckets: list[int] | None = None,
         snapshot_id: str | None = None,
         merge_schema: bool = False,
+        range_filter: dict | None = None,
     ) -> DataFrame:
         """Scan the table AT A SNAPSHOT (default: current) — the file
         list comes from the manifest, never from directory listing,
@@ -195,6 +238,17 @@ class IcebergishTable:
         written under evolved schemas (a later append that ADDED a
         column): old files surface the new column as null — Iceberg's
         add-column evolution semantics.
+
+        ``range_filter`` is manifest-level FILE skipping on the
+        per-file numeric column stats recorded at write time
+        (Iceberg's min/max manifest stats): ``{"dur_ms": (lo, hi)}``
+        (either bound None) drops every file whose recorded
+        [min, max] cannot intersect — the reader never lists, opens
+        or plans those files, a stronger cut than parquet row-group
+        pushdown (which still pays an open per file). Files without
+        recorded stats (pre-stats manifests) are conservatively kept.
+        The caller must still apply the real predicate — file stats
+        only bound which files MIGHT match.
         """
         snap = self.snapshot(snapshot_id)
         if snap is None:
@@ -203,6 +257,26 @@ class IcebergishTable:
         if buckets is not None:
             keys = {str(int(b)) for b in buckets}
             files_by_bucket = {k: v for k, v in files_by_bucket.items() if k in keys}
+        if range_filter:
+            fstats = snap.get("file_stats") or {}
+
+            def _may_match(rel: str) -> bool:
+                st = fstats.get(rel)
+                if st is None:
+                    return True  # unknown stats → cannot skip
+                for col, (lo, hi) in range_filter.items():
+                    cs = st.get(col)
+                    if cs is None:
+                        continue
+                    if lo is not None and cs[1] < lo:
+                        return False
+                    if hi is not None and cs[0] > hi:
+                        return False
+                return True
+
+            files_by_bucket = {
+                k: [r for r in v if _may_match(r)] for k, v in files_by_bucket.items()
+            }
         paths = [
             os.path.join(self.data_dir, rel)
             for fs in files_by_bucket.values()
@@ -482,7 +556,11 @@ class IcebergishTable:
         )
 
     def delete(
-        self, spark: SparkSession, predicate, scan_buckets: list[int] | None = None
+        self,
+        spark: SparkSession,
+        predicate,
+        scan_buckets: list[int] | None = None,
+        scan_range: dict | None = None,
     ) -> str | None:
         """Row-level DELETE (copy-on-write, Iceberg's
         `delete-mode=copy-on-write`): rewrite ONLY the data files that
@@ -531,7 +609,7 @@ class IcebergishTable:
         # the manifest — the delete_keys fast path.
         base = os.path.abspath(self.data_dir)
         hits = (
-            self.read(spark, buckets=scan_buckets)
+            self.read(spark, buckets=scan_buckets, range_filter=scan_range)
             .where(cond)
             .select(F.input_file_name().alias("f"))
             .distinct()
@@ -606,6 +684,7 @@ class IcebergishTable:
             "num_buckets": self.num_buckets,
             "schema": snap["schema"],
             "bucket_files": bucket_files,
+            "file_stats": self._manifest_file_stats(snap, bucket_files),
             "summary": {
                 "total_rows": snap["summary"]["total_rows"] - n_deleted,
                 "deleted_rows": n_deleted,
@@ -708,6 +787,7 @@ class IcebergishTable:
             "num_buckets": self.num_buckets,
             "schema": snap["schema"],
             "bucket_files": bucket_files,
+            "file_stats": self._manifest_file_stats(snap, bucket_files),
             "summary": {
                 "total_rows": snap["summary"]["total_rows"],
                 "compacted_buckets": victims,
@@ -778,6 +858,7 @@ class IcebergishTable:
             "num_buckets": new_num_buckets,
             "schema": snap["schema"],
             "bucket_files": new_by_bucket,
+            "file_stats": self._manifest_file_stats(snap, new_by_bucket),
             "summary": {
                 "total_rows": snap["summary"]["total_rows"],
                 "previous_num_buckets": int(snap["num_buckets"]),
