@@ -276,7 +276,7 @@ def adpcm_encode_blocks(samples: np.ndarray) -> np.ndarray:
 # 'RIFF' <u32 size> 'WAVE', then even-aligned <4cc><u32 size> chunks;
 # 'fmt ' carries (format_tag u16, channels u16, sample_rate u32,
 # byte_rate u32, block_align u16, bits u16), 'data' carries samples.
-# Supported format tags: 1 PCM (8-bit unsigned / 16-bit signed),
+# Supported format tags: 1 PCM (8-bit unsigned / 16/24/32-bit signed),
 # 3 IEEE float32, 6 A-law, 7 µ-law, 0x11 IMA ADPCM (mono, with the
 # spec's `fact` chunk carrying the true sample count past the final
 # block's padding). Multi-channel payloads are downmixed to mono
@@ -346,7 +346,7 @@ def _parse_wav(data: np.ndarray, start: int, end: int) -> dict:
     if tag == _WAV_TAG_IMA_ADPCM and ch != 1:
         raise ValueError("wav ima-adpcm payloads supported mono only")
     ok = (
-        (tag == _WAV_TAG_PCM and bits in (8, 16))
+        (tag == _WAV_TAG_PCM and bits in (8, 16, 24, 32))
         or (tag == _WAV_TAG_F32 and bits == 32)
         or (tag in (_WAV_TAG_ALAW, _WAV_TAG_ULAW) and bits == 8)
         or (tag == _WAV_TAG_IMA_ADPCM and bits == 4)
@@ -394,6 +394,14 @@ def _decode_wav(data: np.ndarray, start: int, end: int) -> np.ndarray:
         raise ValueError("wav data chunk not a whole number of frames")
     if tag == _WAV_TAG_PCM and bits == 16:
         pcm = body.view("<i2").astype(np.float32) / np.float32(32767.0)
+    elif tag == _WAV_TAG_PCM and bits == 24:
+        # 3-byte little-endian two's complement (studio-grade PCM)
+        b = body.reshape(-1, 3).astype(np.int32)
+        v = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
+        v -= (v >> 23) << 24  # sign-extend bit 23
+        pcm = v.astype(np.float32) / np.float32(8388607.0)
+    elif tag == _WAV_TAG_PCM and bits == 32:
+        pcm = body.view("<i4").astype(np.float32) / np.float32(2147483647.0)
     elif tag == _WAV_TAG_PCM:  # 8-bit unsigned, midpoint 128
         pcm = (body.astype(np.float32) - np.float32(128.0)) / np.float32(127.0)
     elif tag == _WAV_TAG_F32:
@@ -424,6 +432,19 @@ def encode_wav(
     if inner == "pcm_s16le":
         tag, bits = _WAV_TAG_PCM, 16
         body = encode(pcm, "pcm_s16le")
+    elif inner == "pcm_s24le":
+        tag, bits = _WAV_TAG_PCM, 24
+        x = np.clip(np.asarray(pcm, dtype=np.float64), -1.0, 1.0)
+        v = np.round(x * 8388607.0).astype(np.int32)
+        b = np.empty((v.shape[0], 3), np.uint8)
+        b[:, 0] = v & 0xFF
+        b[:, 1] = (v >> 8) & 0xFF
+        b[:, 2] = (v >> 16) & 0xFF
+        body = b.tobytes()
+    elif inner == "pcm_s32le":
+        tag, bits = _WAV_TAG_PCM, 32
+        x = np.clip(np.asarray(pcm, dtype=np.float64), -1.0, 1.0)
+        body = np.round(x * 2147483647.0).astype("<i4").tobytes()
     elif inner == "pcm_u8":
         tag, bits = _WAV_TAG_PCM, 8
         x = np.clip(np.asarray(pcm, dtype=np.float64), -1.0, 1.0)

@@ -254,7 +254,9 @@ def test_null_sr_hz_in_raw_clips_degrades_not_crashes(spark):
 # --------------------------------------------------------------------------
 # WAV (RIFF) container — wire format per the RIFF/WAVE spec
 # --------------------------------------------------------------------------
-@pytest.mark.parametrize("inner", ["pcm_s16le", "pcm_u8", "pcm_f32le", "ulaw", "alaw"])
+@pytest.mark.parametrize(
+    "inner", ["pcm_s16le", "pcm_u8", "pcm_s24le", "pcm_s32le", "pcm_f32le", "ulaw", "alaw"]
+)
 @pytest.mark.parametrize("channels", [1, 2])
 def test_wav_roundtrip_all_format_tags(inner, channels):
     pcm = _tone()
@@ -605,3 +607,31 @@ def test_bandwidth_and_dc_rules_end_to_end(spark):
     assert "audio.bandwidth_low" in hits["narrow"], hits
     assert "audio.dc_offset" in hits["dcshift"], hits
     assert hits["clean"] == [], hits
+
+
+def test_wav_24bit_precision_beats_16bit():
+    """24-bit PCM must round-trip with MORE precision than 16-bit
+    (the point of carrying the width), and the 3-byte two's-complement
+    sign extension must be exact at the extremes."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    pcm = (rng.standard_normal(4000) * 0.3).clip(-1, 1).astype(np.float32)
+    d24 = audio.decode(audio.encode_wav(pcm, 16000, inner="pcm_s24le"), "wav")
+    d16 = audio.decode(audio.encode_wav(pcm, 16000, inner="pcm_s16le"), "wav")
+    assert audio.snr_db(pcm, d24) > audio.snr_db(pcm, d16) + 20.0
+    # extremes: +1.0 / -1.0 map to ±8388607 and back within 1 LSB
+    ext = np.array([1.0, -1.0, 0.0], np.float32)
+    dec = audio.decode(audio.encode_wav(ext, 16000, inner="pcm_s24le"), "wav")
+    assert np.allclose(dec, ext, atol=2.0 / 8388607.0)
+
+
+def test_wav_24bit_odd_bytes_rejected():
+    import numpy as np
+
+    raw = bytearray(audio.encode_wav(np.zeros(100, np.float32), 16000, inner="pcm_s24le"))
+    # truncate one byte off the data chunk -> not a whole number of frames
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        audio.decode(bytes(raw[:-1]), "wav")
