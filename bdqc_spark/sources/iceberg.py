@@ -542,6 +542,12 @@ class IcebergishTable:
         snap = self.snapshot()
         if snap is None:
             raise ValueError(f"no snapshot at {self.root}")
+        # The MANIFEST's bucket count is authoritative (same partition-
+        # spec discipline as append): a handle constructed with the
+        # default count would hash the keys to the WRONG buckets and
+        # silently delete nothing.
+        if snap.get("num_buckets") not in (None, self.num_buckets):
+            self.num_buckets = int(snap["num_buckets"])
         key_type = next(
             (e.split(":", 1)[1] for e in snap["schema"] if e.split(":", 1)[0] == self.bucket_key),
             "string",

@@ -49,6 +49,15 @@ def main(argv: list[str] | None = None) -> int:
         "superseded files, which physically erases the bytes",
     )
     ap.add_argument(
+        "--erase-keys",
+        default=None,
+        metavar="FILE",
+        help="like --erase-where but takes a FILE of clip ids (one "
+        "per line) and uses the manifest-pruned fast path: the "
+        "discovery scan touches only the keys' hash buckets, not "
+        "the table",
+    )
+    ap.add_argument(
         "--rebucket",
         type=int,
         default=None,
@@ -76,11 +85,19 @@ def main(argv: list[str] | None = None) -> int:
             return 2
         tbl.rebucket(spark, args.rebucket)
     erased = None
-    if args.erase_where:
+    if args.erase_where or args.erase_keys:
         if args.snapshot:
-            print("--erase-where cannot be combined with --snapshot", file=sys.stderr)
+            print("--erase-where/--erase-keys cannot be combined with --snapshot", file=sys.stderr)
             return 2
-        del_sid = tbl.delete(spark, args.erase_where)
+        if args.erase_where and args.erase_keys:
+            print("--erase-where and --erase-keys are mutually exclusive", file=sys.stderr)
+            return 2
+        if args.erase_keys:
+            with open(args.erase_keys) as f:
+                keys = [ln.strip() for ln in f if ln.strip()]
+            del_sid = tbl.delete_keys(spark, keys)
+        else:
+            del_sid = tbl.delete(spark, args.erase_where)
         erased = (
             {"snapshot": del_sid, "rows": tbl.snapshot()["summary"]["deleted_rows"]}
             if del_sid

@@ -362,3 +362,43 @@ def test_incremental_big_tombstone_uses_broadcast_anti_join(spark, tmp_path):
     got = sorted(r.clip_id for r in inc.collect())
     want = sorted(f"clip-{i}" for i in range(10, 2010) if not (100 <= i < 1300))
     assert got == want
+
+
+def test_cli_erase_keys_file(spark, tmp_path):
+    """--erase-keys FILE drives the manifest-pruned delete_keys path."""
+    import json
+    import subprocess
+    import sys as _sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    from bdqc_spark.synth.clips import generate_clips_df
+
+    table = str(tmp_path / "clips")
+    tbl = IcebergishTable(table, num_buckets=4)
+    tbl.append(generate_clips_df(spark, 150, seed=43))
+    victims = [r.clip_id for r in tbl.read(spark).limit(2).collect()]
+    keys_file = str(tmp_path / "keys.txt")
+    with open(keys_file, "w") as f:
+        f.write("\n".join(victims) + "\n")
+
+    proc = subprocess.run(
+        [_sys.executable, os.path.join(repo, "run_pipeline.py"),
+         "--table", table, "--out", str(tmp_path / "out"),
+         "--master", "local[4]", "--erase-keys", keys_file],
+        capture_output=True, text=True, cwd=repo, timeout=420,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    res = json.loads([ln for ln in proc.stdout.splitlines() if ln.startswith("{")][-1])
+    assert res["erased"]["rows"] == 2
+    left = {r.clip_id for r in tbl.read(spark).collect()}
+    assert not (set(victims) & left) and len(left) == 148
+
+    # mutually exclusive with --erase-where
+    proc2 = subprocess.run(
+        [_sys.executable, os.path.join(repo, "run_pipeline.py"),
+         "--table", table, "--out", str(tmp_path / "out2"),
+         "--master", "local[4]", "--erase-keys", keys_file,
+         "--erase-where", "1=1"],
+        capture_output=True, text=True, cwd=repo, timeout=420,
+    )
+    assert proc2.returncode == 2
