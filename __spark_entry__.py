@@ -1568,6 +1568,127 @@ LEFT JOIN sz ON clus.canonical_id = sz.canonical_id
 )
 
 
+# ---- DSIR importance weights (data selection for pretraining) ---------------
+def q_doc_dsir_weights(spark, sf_dir):
+    """DSIR-style importance weights for data selection (Xie et al.
+    2023, arXiv:2302.03169 'Data Selection for Language Models via
+    Importance Resampling'): hashed n-gram (unigram + word-bigram)
+    bag-of-features; target distribution p fit on the in-domain proxy
+    slice (here lang = 'en' — the paper's "select data that looks
+    like the target domain"), raw distribution q on the full corpus;
+    per-doc log importance weight
+    sum_k c_k (ln p_k - ln q_k) with Laplace smoothing; top-100
+    selection flag. Feature buckets are substr(md5(feature), 1, 2) —
+    256 buckets keyed by a hash both engines share, so the DuckDB
+    oracle verifies the weights to 6 dp.
+
+    Scale shape: ONE explode of the feature stream (the cost class of
+    every n-gram pass), two map-side-combined aggregations onto a
+    256-row distribution table, the ratio table broadcast back, one
+    per-doc sum — zero UDFs, zero driver loops, distribution tables
+    O(256) regardless of corpus size. The demo `selected` flag ranks
+    globally (fine at fixture scale); the production selection is a
+    map-only threshold filter with the cutoff from a quantile sketch
+    of log_weight, or Gumbel-noise resampling — both stay one pass."""
+    d = _t(spark, sf_dir, "documents")
+    n_buckets = 256
+    feats = F.concat(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"[a-z]+"), F.lit(0)),
+        TX.word_ngram_array(F.col("text"), 2),
+    )
+    base = d.select(
+        "doc_id",
+        (F.col("lang") == "en").alias("is_target"),
+        F.transform(
+            feats, lambda x: F.substring(F.md5(x.cast("binary")), 1, 2)
+        ).alias("bks"),
+    )
+    pairs = base.select("doc_id", "is_target", F.explode("bks").alias("b"))
+    qc = pairs.groupBy("b").agg(F.count(F.lit(1)).alias("cq"))
+    pc = pairs.where("is_target").groupBy("b").agg(F.count(F.lit(1)).alias("cp"))
+    totals = pairs.agg(
+        F.count(F.lit(1)).alias("tq"),
+        F.sum(F.col("is_target").cast("long")).alias("tp"),
+    )
+    ratio = (
+        qc.join(pc, "b", "left")
+        .crossJoin(totals)
+        .select(
+            "b",
+            (
+                F.log(
+                    (F.coalesce("cp", F.lit(0)) + 1).cast("double")
+                    / (F.col("tp") + n_buckets)
+                )
+                - F.log((F.col("cq") + 1).cast("double") / (F.col("tq") + n_buckets))
+            ).alias("lr"),
+        )
+    )
+    scores = (
+        pairs.join(F.broadcast(ratio), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum("lr"), 6).alias("log_weight"),
+            F.count(F.lit(1)).alias("n_feats"),
+        )
+    )
+    out = (
+        d.select("doc_id")
+        .join(scores, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("log_weight", F.lit(0.0)).alias("log_weight"),
+            F.coalesce("n_feats", F.lit(0).cast("long")).alias("n_feats"),
+        )
+    )
+    w = Window.orderBy(F.desc("log_weight"), F.asc("doc_id"))
+    return out.withColumn("selected", F.row_number().over(w) <= 100)
+
+
+ORACLE_DSIR_WEIGHTS = """
+WITH w AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws,
+         lang = 'en' AS is_target
+  FROM documents
+),
+uni AS (SELECT doc_id, is_target, unnest(ws) AS f FROM w),
+big AS (
+  SELECT doc_id, is_target, ws[CAST(i AS INT)] || ' ' || ws[CAST(i AS INT) + 1] AS f
+  FROM w, unnest(generate_series(1, len(ws) - 1)) AS g(i)
+  WHERE len(ws) >= 2
+),
+pairs AS (
+  SELECT doc_id, is_target, substr(md5(f), 1, 2) AS b
+  FROM (SELECT * FROM uni UNION ALL SELECT * FROM big)
+),
+qc AS (SELECT b, count(*) AS cq FROM pairs GROUP BY b),
+pc AS (SELECT b, count(*) AS cp FROM pairs WHERE is_target GROUP BY b),
+tot AS (
+  SELECT count(*) AS tq, sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS tp
+  FROM pairs
+),
+ratio AS (
+  SELECT qc.b,
+    ln((coalesce(pc.cp, 0) + 1.0) / (tot.tp + 256))
+      - ln((qc.cq + 1.0) / (tot.tq + 256)) AS lr
+  FROM qc LEFT JOIN pc USING (b) CROSS JOIN tot
+),
+scores AS (
+  SELECT p.doc_id, round(sum(r.lr), 6) AS log_weight,
+         CAST(count(*) AS BIGINT) AS n_feats
+  FROM pairs p JOIN ratio r USING (b) GROUP BY p.doc_id
+),
+o AS (
+  SELECT d.doc_id, coalesce(s.log_weight, 0.0) AS log_weight,
+         coalesce(s.n_feats, 0) AS n_feats
+  FROM documents d LEFT JOIN scores s USING (doc_id)
+)
+SELECT doc_id, log_weight, n_feats,
+  row_number() OVER (ORDER BY log_weight DESC, doc_id ASC) <= 100 AS selected
+FROM o
+"""
+
+
 # ---- embedding-cosine near-dup pairs (training-data dedup family) --------------
 def q_dedup_embedding_cosine(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
@@ -2805,6 +2926,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_top_terms": q_doc_top_terms,
         "doc_quality_buckets": q_doc_quality_buckets,
         "doc_dedup_weights": q_doc_dedup_weights,
+        "doc_dsir_weights": q_doc_dsir_weights,
         "images_profile": q_images_profile,
     }
 
@@ -2870,6 +2992,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_report": ORACLE_CORPUS_REPORT.replace("{norm_sql}", _NORM_SQL),
         "doc_quality_buckets": ORACLE_QUALITY_BUCKETS,
         "doc_bigram_ppl": ORACLE_BIGRAM_PPL,
+        "doc_dsir_weights": ORACLE_DSIR_WEIGHTS,
         "doc_dedup_weights": ORACLE_DEDUP_WEIGHTS.replace(
             "{pairs_cte}", _NGRAM_PAIRS_CTE.format(norm_sql=_NORM_SQL)
         ),

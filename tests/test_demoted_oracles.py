@@ -45,6 +45,7 @@ DEMOTED_ORACLE_QUERIES = [
     "doc_top_terms",
     "doc_quality_buckets",
     "doc_dedup_weights",
+    "doc_dsir_weights",
 ]
 
 

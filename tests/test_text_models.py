@@ -197,3 +197,27 @@ def test_repetition_struct_matches_brute_force(spark):
     for i, t in enumerate(cases):
         exp = _brute_repetition(t)
         assert got[i] == exp, (i, t, got[i], exp)
+
+
+def test_dsir_weights_favor_target_like_docs(spark):
+    """DSIR semantics (not just oracle parity): documents in the
+    target slice (lang = 'en') must average a HIGHER importance
+    weight than the rest — the whole point of the likelihood-ratio
+    weighting — and the selected top-k must be enriched for them."""
+    import __spark_entry__ as entry
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    out = entry.queries()["doc_dsir_weights"](spark, sf).cache()
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select(
+        "doc_id", (F.col("lang") == "en").alias("tgt")
+    )
+    j = out.join(docs, "doc_id").cache()
+    rows = j.groupBy("tgt").agg(F.avg("log_weight").alias("m")).collect()
+    means = {r.tgt: r.m for r in rows}
+    assert means[True] > means[False], means
+    # top-100 enrichment: the selected set's target rate beats base rate
+    base = j.agg(F.avg(F.col("tgt").cast("double"))).collect()[0][0]
+    sel = j.where("selected").agg(F.avg(F.col("tgt").cast("double"))).collect()[0][0]
+    assert sel > base, (sel, base)
+    j.unpersist(); out.unpersist()
