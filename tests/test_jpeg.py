@@ -261,3 +261,49 @@ def test_profile_images_decodes_jpeg(spark):
     assert got["jpg_blue_420"]["mean_b"] > 180
     assert not got["corrupt"]["decode_ok"]
     assert not got["empty"]["decode_ok"]
+
+
+def _golden_two_mcu_with_restart() -> bytes:
+    """Hand-built 8×16 grayscale baseline JPEG with DRI=1 and an RST0
+    between its two MCUs — exercises the restart path (segment switch,
+    byte realignment, DC-predictor reset) that the deterministic
+    encoder never emits. MCU0 = solid 128 (all-zero coeffs: '00' DC +
+    '1010' EOB → 0x2B padded). After RST0 the DC predictor resets, so
+    MCU1 = solid 132 encodes diff +2 from zero: '011'+'10'+'1010' →
+    0x75 0x7F padded (see test_golden_with_nonzero_dc for the code
+    derivation)."""
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    out += seg(0xDB, bytes([0x00]) + bytes(QUANT_LUMA[ZIGZAG].astype(np.uint8)))
+    out += seg(0xC0, struct.pack(">BHHB", 8, 8, 16, 1) + bytes([1, 0x11, 0]))
+    dc_bits, dc_vals = DC_LUMA
+    ac_bits, ac_vals = AC_LUMA
+    out += seg(0xC4, bytes([0x00] + dc_bits + dc_vals))
+    out += seg(0xC4, bytes([0x10] + ac_bits + ac_vals))
+    out += seg(0xDD, struct.pack(">H", 1))  # DRI: restart every 1 MCU
+    out += seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    out += bytes([0x2B])          # MCU0
+    out += b"\xff\xd0"            # RST0 (byte-aligned, resets DC pred)
+    out += bytes([0x75, 0x7F])    # MCU1
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def test_decoder_restart_markers_reset_dc_predictor():
+    img = decode_jpeg(_golden_two_mcu_with_restart())
+    assert img.shape == (8, 16, 3)
+    assert (img[:, :8] == 128).all()   # first MCU
+    assert (img[:, 8:] == 132).all()   # second MCU, predictor reset
+
+
+def test_missing_restart_segment_raises():
+    raw = bytearray(_golden_two_mcu_with_restart())
+    # drop the RST0 marker: the decoder must fail loudly, not decode
+    # MCU1 against a stale predictor from a mis-aligned stream
+    i = bytes(raw).find(b"\xff\xd0")
+    del raw[i : i + 2]
+    with pytest.raises((ValueError, NotImplementedError)):
+        decode_jpeg(bytes(raw))
