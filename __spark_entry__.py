@@ -2509,6 +2509,23 @@ def q_ann_ivf_pq_topk(spark, sf_dir):
     )
 
 
+def q_semdedup(spark, sf_dir):
+    """SemDeDup semantic dedup (Abbas et al. 2023, arXiv:2303.09540) —
+    rows-only: k-means has no SQL twin; semantics are pytest-gated
+    against a pure-numpy twin of the full pipeline plus planted-
+    duplicate recall (tests/test_semdedup.py). Spherical k-means
+    clusters (driver-trained on a bounded hash-ordered sample, like
+    the IVF coarse quantizer), one vectorized assign pass, then a
+    per-cluster greedy prune under applyInPandas — k bounds both the
+    shuffle skew and the in-cluster O(m^2); an explicit cap fails
+    open on pathological cells."""
+    ensure_shipped(spark)
+    from bdqc_spark.operators.semdedup import semdedup
+
+    e = _t(spark, sf_dir, "embeddings")
+    return semdedup(e, "vec_id", "embedding", dim=64, k=8, tau=0.95)
+
+
 _BPE_MERGES: dict[str, list] = {}
 
 
@@ -2928,6 +2945,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_dedup_weights": q_doc_dedup_weights,
         "doc_dsir_weights": q_doc_dsir_weights,
         "images_profile": q_images_profile,
+        "semdedup": q_semdedup,
     }
 
 
