@@ -1014,6 +1014,76 @@ def q_doc_text_stats(spark, sf_dir):
     )
 
 
+def q_lang_vocab_stats(spark, sf_dir):
+    """Per-language vocabulary profile: token/type counts, type-token
+    ratio, and the modal token — the corpus-level sanity read before
+    training a tokenizer (a language whose TTR or top token is off is
+    mis-labeled or template spam). Tokenization is the registry's
+    whitespace convention ('[^ \\t\\n\\r]+'). Scale shape: one
+    partial-aggregated groupBy(lang, tok) shuffle over the corpus;
+    everything after runs on the vocab-sized counts table (the
+    row_number window sorts per-lang vocabularies, not the corpus)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "lang", F.explode(F.split(F.col("text"), r"\s+")).alias("tok")
+    ).filter(F.col("tok") != "")
+    counts = toks.groupBy("lang", "tok").agg(F.count("*").alias("c"))
+    w = Window.partitionBy("lang").orderBy(F.desc("c"), F.asc("tok"))
+    top = (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "lang",
+            F.col("tok").alias("top_token"),
+            F.col("c").alias("top_token_count"),
+        )
+    )
+    agg = counts.groupBy("lang").agg(
+        F.sum("c").alias("n_tokens"), F.count("*").alias("n_types")
+    )
+    nd = d.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    return (
+        agg.join(top, "lang")
+        .join(nd, "lang")
+        .select(
+            "lang",
+            "n_docs",
+            "n_tokens",
+            "n_types",
+            F.round(F.col("n_types") / F.col("n_tokens"), 6).alias("ttr"),
+            "top_token",
+            "top_token_count",
+        )
+        .orderBy("lang")
+    )
+
+
+ORACLE_LANG_VOCAB = """
+WITH toks AS (
+  SELECT lang, unnest(regexp_extract_all(text, '[^ \t\n\r]+')) AS tok
+  FROM documents
+), counts AS (
+  SELECT lang, tok, count(*) AS c FROM toks GROUP BY 1, 2
+), agg AS (
+  SELECT lang, CAST(sum(c) AS BIGINT) AS n_tokens, count(*) AS n_types
+  FROM counts GROUP BY 1
+), top AS (
+  SELECT lang, tok AS top_token, c AS top_token_count,
+         row_number() OVER (PARTITION BY lang ORDER BY c DESC, tok ASC) AS rn
+  FROM counts
+), nd AS (
+  SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1
+)
+SELECT a.lang, nd.n_docs, a.n_tokens, a.n_types,
+       round(CAST(a.n_types AS DOUBLE) / a.n_tokens, 6) AS ttr,
+       t.top_token, t.top_token_count
+FROM agg a
+JOIN top t ON a.lang = t.lang AND t.rn = 1
+JOIN nd ON nd.lang = a.lang
+ORDER BY a.lang
+"""
+
+
 ORACLE_DOC_STATS = """
 SELECT doc_id, length(text) AS n_chars_obs,
   len(regexp_extract_all(text, '[^ \t\n\r]+')) AS n_tokens,
@@ -2164,6 +2234,65 @@ def q_clips_snr(spark, sf_dir):
     )
 
 
+def q_clips_denoise(spark, sf_dir):
+    """Spectral-gating noise suppression (functions/denoise.py;
+    rows-only: an STFT has no SQL twin — SNR improvement, clean-clip
+    passthrough, numpy-twin parity and edge contracts are pytest-gated
+    in tests/test_denoise.py). One mapInArrow pass over the scan;
+    bytes consumed map-side, only scalars shuffle."""
+    from bdqc_spark.functions.denoise import clip_denoise
+
+    out = clip_denoise(_clips_df(spark))
+    return out.select(
+        "clip_id",
+        "codec",
+        "denoise_ok",
+        F.round(F.col("noise_dbfs_before"), 4).alias("noise_dbfs_before"),
+        F.round(F.col("noise_dbfs_after"), 4).alias("noise_dbfs_after"),
+        F.round(F.col("noise_reduction_db"), 4).alias("noise_reduction_db"),
+        F.round(F.col("snr_db_before"), 4).alias("snr_db_before"),
+        F.round(F.col("snr_db_after"), 4).alias("snr_db_after"),
+    )
+
+
+def q_clips_clipping(spark, sf_dir):
+    """Digital-clipping + dynamics signals (functions/clipping.py;
+    rows-only: the decode has no SQL twin — analytic known-waveform
+    recovery and Spark↔numpy parity are pytest-gated in
+    tests/test_clipping.py). One mapInArrow pass over the scan."""
+    from bdqc_spark.functions.clipping import clip_clipping
+
+    out = clip_clipping(_clips_df(spark))
+    return out.select(
+        "clip_id",
+        "codec",
+        "clip_ok",
+        F.round(F.col("clipped_frac"), 6).alias("clipped_frac"),
+        "max_clip_run",
+        F.round(F.col("crest_db"), 4).alias("crest_db"),
+        F.round(F.col("dc_offset"), 6).alias("dc_offset"),
+    )
+
+
+def q_clips_pitch(spark, sf_dir):
+    """Autocorrelation F0/voicing estimation (functions/pitch.py;
+    rows-only: an FFT has no SQL twin — known-frequency recovery,
+    noise rejection and Spark↔numpy parity are pytest-gated in
+    tests/test_pitch.py). One mapInArrow pass over the scan."""
+    from bdqc_spark.functions.pitch import clip_pitch
+
+    out = clip_pitch(_clips_df(spark))
+    return out.select(
+        "clip_id",
+        "codec",
+        "pitch_ok",
+        F.round(F.col("voiced_frac"), 4).alias("voiced_frac"),
+        F.round(F.col("f0_median_hz"), 4).alias("f0_median_hz"),
+        F.round(F.col("f0_iqr_hz"), 4).alias("f0_iqr_hz"),
+        "n_frames",
+    )
+
+
 _PIPELINE_OUT: dict[tuple[int, int], str] = {}
 
 
@@ -2946,6 +3075,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_dsir_weights": q_doc_dsir_weights,
         "images_profile": q_images_profile,
         "semdedup": q_semdedup,
+        "clips_denoise": q_clips_denoise,
+        "clips_clipping": q_clips_clipping,
+        "lang_vocab_stats": q_lang_vocab_stats,
+        "clips_pitch": q_clips_pitch,
     }
 
 
@@ -3015,4 +3148,5 @@ def oracle_sql() -> dict[str, str]:
             "{pairs_cte}", _NGRAM_PAIRS_CTE.format(norm_sql=_NORM_SQL)
         ),
         "doc_top_terms": ORACLE_TOP_TERMS,
+        "lang_vocab_stats": ORACLE_LANG_VOCAB,
     }

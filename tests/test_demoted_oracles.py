@@ -46,6 +46,7 @@ DEMOTED_ORACLE_QUERIES = [
     "doc_quality_buckets",
     "doc_dedup_weights",
     "doc_dsir_weights",
+    "lang_vocab_stats",
 ]
 
 
