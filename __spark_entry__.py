@@ -1084,6 +1084,108 @@ ORDER BY a.lang
 """
 
 
+def q_lang_zipf(spark, sf_dir):
+    """Zipf-law fit per language: OLS slope/intercept of ln(freq) on
+    ln(rank) over the top-100 tokens (deterministic rank order:
+    count desc, token asc). Natural language sits near slope ≈ −1;
+    template spam / mis-labeled languages deviate — a corpus-level QC
+    gate before tokenizer training (Zipf 1949; Piantadosi 2014
+    review). Scale shape: one partial-aggregated groupBy(lang, tok)
+    shuffle; the rank window and the regression run on the top-100
+    slice per language (KB-sized)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "lang", F.explode(F.split(F.col("text"), r"\s+")).alias("tok")
+    ).filter(F.col("tok") != "")
+    counts = toks.groupBy("lang", "tok").agg(F.count("*").alias("c"))
+    w = Window.partitionBy("lang").orderBy(F.desc("c"), F.asc("tok"))
+    xy = (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 100)
+        .select(
+            "lang",
+            F.log(F.col("rank").cast("double")).alias("x"),
+            F.log(F.col("c").cast("double")).alias("y"),
+        )
+    )
+    slope = F.covar_pop("x", "y") / F.var_pop("x")
+    return (
+        xy.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_top"),
+            F.round(slope, 6).alias("zipf_slope"),
+            F.round(F.avg("y") - slope * F.avg("x"), 6).alias("zipf_intercept"),
+        )
+        .orderBy("lang")
+    )
+
+
+ORACLE_LANG_ZIPF = """
+WITH toks AS (
+  SELECT lang, unnest(regexp_extract_all(text, '[^ \t\n\r]+')) AS tok
+  FROM documents
+), counts AS (
+  SELECT lang, tok, count(*) AS c FROM toks GROUP BY 1, 2
+), ranked AS (
+  SELECT lang, c,
+         row_number() OVER (PARTITION BY lang ORDER BY c DESC, tok ASC) AS rank
+  FROM counts
+), xy AS (
+  SELECT lang, ln(CAST(rank AS DOUBLE)) AS x, ln(CAST(c AS DOUBLE)) AS y
+  FROM ranked WHERE rank <= 100
+)
+SELECT lang, count(*) AS n_top,
+       round(covar_pop(x, y) / var_pop(x), 6) AS zipf_slope,
+       round(avg(y) - covar_pop(x, y) / var_pop(x) * avg(x), 6) AS zipf_intercept
+FROM xy GROUP BY 1 ORDER BY lang
+"""
+
+
+def q_lang_char_entropy(spark, sf_dir):
+    """Character-bigram Shannon entropy per language — the classic
+    statistical-language signature (Shannon 1951): encrypted/binary
+    junk pushes H toward log2(n_types), template spam pushes it low.
+    Computed from integer type counts via H = log2(N) − Σc·log2(c)/N
+    so the engine and the DuckDB oracle sum identical per-type terms
+    (no p-float accumulation-order drift). Scale shape: one
+    partial-aggregated groupBy(lang, bigram) shuffle; the entropy agg
+    runs on the bigram-vocabulary-sized counts table."""
+    d = _t(spark, sf_dir, "documents").filter(F.length("text") >= 2)
+    bg = d.select(
+        "lang",
+        F.explode(
+            F.expr("transform(sequence(1, length(text) - 1), i -> substring(text, i, 2))")
+        ).alias("bg"),
+    )
+    counts = bg.groupBy("lang", "bg").agg(F.count("*").alias("c"))
+    return (
+        counts.groupBy("lang")
+        .agg(
+            F.sum("c").alias("n_bigrams"),
+            F.count("*").alias("n_types"),
+            F.round(
+                F.log2(F.sum("c")) - F.sum(F.col("c") * F.log2("c")) / F.sum("c"), 6
+            ).alias("h_bits"),
+        )
+        .orderBy("lang")
+    )
+
+
+ORACLE_LANG_CHAR_ENTROPY = """
+WITH pos AS (
+  SELECT lang, text, unnest(range(1, length(text))) AS i
+  FROM documents WHERE length(text) >= 2
+), bg AS (
+  SELECT lang, substr(text, CAST(i AS INT), 2) AS bg FROM pos
+), counts AS (
+  SELECT lang, bg, count(*) AS c FROM bg GROUP BY 1, 2
+)
+SELECT lang, CAST(sum(c) AS BIGINT) AS n_bigrams, count(*) AS n_types,
+       round(log2(sum(c)) - sum(c * log2(c)) / sum(c), 6) AS h_bits
+FROM counts GROUP BY 1 ORDER BY lang
+"""
+
+
 ORACLE_DOC_STATS = """
 SELECT doc_id, length(text) AS n_chars_obs,
   len(regexp_extract_all(text, '[^ \t\n\r]+')) AS n_tokens,
@@ -2197,6 +2299,107 @@ def q_images_profile(spark, sf_dir):
     )
 
 
+def q_videos_mp4_profile(spark, sf_dir):
+    """ISO-BMFF (mp4) container profiling through the from-scratch
+    box parser (functions/mp4.py; rows-only: writer↔parser metadata
+    round-trip, largesize/version-1 layouts, strict truncation, and
+    the Spark batch contract are pytest-gated in tests/test_mp4.py).
+    Bytes are synthesized inside mapInPandas (deterministic writer;
+    one third deliberately corrupt) so parse_ok must partition
+    exactly by construction. One mapInPandas pass; only the few-KB
+    moov metadata is read per file — the ingest-time profile a video
+    corpus QC pass runs without ever touching a codec."""
+    ensure_shipped(spark)
+    from bdqc_spark.functions.mp4 import profile_mp4
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        from bdqc_spark.functions.mp4 import build_test_mp4
+
+        for b in batches:
+            rows = []
+            for i in b["id"]:
+                i = int(i)
+                rng = np.random.default_rng([909, i])
+                if i % 3 == 2:
+                    raw = b"\x00\x00\x00\x10mdat" + bytes(
+                        rng.integers(0, 256, 64).astype(np.uint8)
+                    )
+                else:
+                    raw = build_test_mp4(
+                        width=16 * (1 + i % 4), height=16, fps=24 + (i % 2),
+                        n_frames=24 + i, sr=8000 * (1 + i % 3),
+                        channels=1 + i % 2, large_mdat=(i % 2 == 0),
+                        mvhd_version=i % 2,
+                    )
+                rows.append({"video_id": f"v-{i:05d}", "bytes": raw, "kind": i % 3})
+            yield pd.DataFrame(rows)
+
+    vids = spark.range(0, 96).repartition(8).mapInPandas(
+        gen, "video_id string, bytes binary, kind int"
+    )
+    prof = profile_mp4(vids)
+    return prof.select(
+        "video_id",
+        "kind",
+        "parse_ok",
+        "major_brand",
+        F.round(F.col("duration_ms"), 2).alias("duration_ms"),
+        "n_tracks",
+        "video_codec",
+        "width",
+        "height",
+        F.round(F.col("fps"), 3).alias("fps"),
+        "audio_codec",
+        "channels",
+        "sample_rate",
+        "mdat_bytes",
+        (F.col("parse_ok") == (F.col("kind") < 2)).alias("parse_as_expected"),
+    )
+
+
+def q_clips_normalize(spark, sf_dir):
+    """EBU R128 loudness normalization rewrite pass
+    (functions/normalize.py; rows-only: gain-lands-on-target, peak
+    ceiling guard and end-to-end re-measurement are pytest-gated in
+    tests/test_normalize.py). One mapInArrow pass; rewritten payload
+    stays map-side, only the gain audit trail is selected here."""
+    from bdqc_spark.functions.normalize import clip_normalize
+
+    out = clip_normalize(_clips_df(spark), target_lufs=-20.0)
+    return out.select(
+        "clip_id",
+        "codec",
+        "norm_ok",
+        F.round(F.col("lufs_before"), 4).alias("lufs_before"),
+        F.round(F.col("lufs_after"), 4).alias("lufs_after"),
+        F.round(F.col("gain_db"), 4).alias("gain_db"),
+        "limited",
+    )
+
+
+def q_clips_trim(spark, sf_dir):
+    """VAD-gated leading/trailing silence trim rewrite pass
+    (functions/normalize.py; rows-only: planted-padding recovery and
+    exact-slice invariants are pytest-gated in
+    tests/test_normalize.py). Uses the profile stage's own VAD
+    convention so trim and profiler can never disagree about
+    silence. One mapInArrow pass."""
+    from bdqc_spark.functions.normalize import clip_trim_silence
+
+    out = clip_trim_silence(_clips_df(spark), pad_ms=100)
+    return out.select(
+        "clip_id",
+        "codec",
+        "trim_ok",
+        "lead_trim_ms",
+        "trail_trim_ms",
+        "dur_ms_after",
+    )
+
+
 def q_clips_loudness(spark, sf_dir):
     """BS.1770-style gated integrated loudness + peak/crest per clip
     (rows-only: the ITU anchors — coefficient table, −3.01 LUFS
@@ -3079,6 +3282,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clips_clipping": q_clips_clipping,
         "lang_vocab_stats": q_lang_vocab_stats,
         "clips_pitch": q_clips_pitch,
+        "videos_mp4_profile": q_videos_mp4_profile,
+        "lang_zipf": q_lang_zipf,
+        "lang_char_entropy": q_lang_char_entropy,
+        "clips_normalize": q_clips_normalize,
+        "clips_trim": q_clips_trim,
     }
 
 
@@ -3149,4 +3357,6 @@ def oracle_sql() -> dict[str, str]:
         ),
         "doc_top_terms": ORACLE_TOP_TERMS,
         "lang_vocab_stats": ORACLE_LANG_VOCAB,
+        "lang_zipf": ORACLE_LANG_ZIPF,
+        "lang_char_entropy": ORACLE_LANG_CHAR_ENTROPY,
     }

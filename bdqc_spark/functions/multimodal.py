@@ -22,11 +22,14 @@ stream header followed by "FRAME\\n" + raw planar YUV per frame. The
 parser handles C420*/C422/C444/Cmono chroma modes, frame-samples
 every k-th Y (luma) plane without touching the skipped bytes, and
 feeds profile_videos (per-clip luma stats + inter-frame motion).
-Compressed video containers (mp4/webm) remain NotImplementedError
-stubs — no ffmpeg in this sandbox; `decode_video_frames` samples
-the concatenated-RGB8 debug format. Swapping in real decoders
-changes ONE function each; every Spark-facing schema and UDF
-signature stays fixed.
+Compressed-video SAMPLE decode (H.264/VP9 entropy coding) remains a
+NotImplementedError stub — no ffmpeg in this sandbox; the mp4
+CONTAINER itself is fully parsed by the from-scratch ISO-BMFF box
+parser in functions/mp4.py (profile_mp4: tracks, codec fourccs,
+dimensions, fps, sample rate, durations, truncation checks).
+`decode_video_frames` samples the concatenated-RGB8 debug format.
+Swapping in a real sample decoder changes ONE function; every
+Spark-facing schema and UDF signature stays fixed.
 """
 
 from __future__ import annotations

@@ -47,6 +47,8 @@ DEMOTED_ORACLE_QUERIES = [
     "doc_dedup_weights",
     "doc_dsir_weights",
     "lang_vocab_stats",
+    "lang_zipf",
+    "lang_char_entropy",
 ]
 
 
