@@ -2360,6 +2360,85 @@ def q_videos_mp4_profile(spark, sf_dir):
     )
 
 
+def q_media_sniff(spark, sf_dir):
+    """Unified fileType dispatch (functions/containers.py; rows-only:
+    Ogg CRC, MP3 frame tables, per-format round-trips are
+    pytest-gated in tests/test_containers.py). A mixed bag of all
+    eight supported formats — wav/flac/ogg-opus/mp3/png/jpeg/mp4/y4m
+    — plus corrupt rows is synthesized inside mapInPandas with the
+    engine's own encoders; the sniffed format must equal the
+    constructed kind by magic-number dispatch alone. This is the
+    reference's A2 fileType-dispatch row exercised across the full
+    media family in one pass."""
+    ensure_shipped(spark)
+    from bdqc_spark.functions.containers import profile_media
+
+    kinds = ["wav", "flac", "ogg", "mp3", "png", "jpeg", "mp4", "y4m", "corrupt"]
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        from bdqc_spark.functions.audio import encode
+        from bdqc_spark.functions.containers import (
+            build_test_mp3,
+            build_test_ogg_opus,
+        )
+        from bdqc_spark.functions.flac import flac_encode
+        from bdqc_spark.functions.jpeg import encode_jpeg
+        from bdqc_spark.functions.mp4 import build_test_mp4
+        from bdqc_spark.functions.multimodal import encode_png, encode_y4m
+
+        pcm = (0.3 * np.sin(2 * np.pi * 440 * np.arange(8000) / 16000)).astype(
+            np.float32
+        )
+        img = np.zeros((8, 8, 3), np.uint8)
+        img[..., 0] = 150
+        y4m_frames = [np.zeros((16, 16), np.uint8)]
+        for b in batches:
+            rows = []
+            for i in b["id"]:
+                i = int(i)
+                kind = kinds[i % len(kinds)]
+                rng = np.random.default_rng([321, i])
+                payload = {
+                    "wav": lambda: encode(pcm, "wav", 16000),
+                    "flac": lambda: flac_encode(pcm, 16000),
+                    "ogg": lambda: build_test_ogg_opus(channels=1 + i % 2),
+                    "mp3": lambda: build_test_mp3(n_frames=10 + i % 5),
+                    "png": lambda: encode_png(img),
+                    "jpeg": lambda: encode_jpeg(img, quality=85),
+                    "mp4": lambda: build_test_mp4(width=32, height=32),
+                    "y4m": lambda: encode_y4m(y4m_frames, fps=30),
+                    "corrupt": lambda: bytes(
+                        rng.integers(1, 255, 48).astype(np.uint8)
+                    ),
+                }[kind]()
+                rows.append({"file_id": f"f-{i:04d}", "bytes": payload, "kind": kind})
+            yield pd.DataFrame(rows)
+
+    files = spark.range(0, 99).repartition(8).mapInPandas(
+        gen, "file_id string, bytes binary, kind string"
+    )
+    prof = profile_media(files)
+    return prof.select(
+        "file_id",
+        "kind",
+        "parse_ok",
+        "format",
+        "codec",
+        "channels",
+        "sample_rate",
+        "width",
+        "height",
+        F.round(F.col("duration_ms"), 3).alias("duration_ms"),
+        (
+            (F.col("parse_ok") & (F.col("format") == F.col("kind")))
+            | (~F.col("parse_ok") & (F.col("kind") == F.lit("corrupt")))
+        ).alias("sniff_as_expected"),
+    )
+
+
 def q_clips_normalize(spark, sf_dir):
     """EBU R128 loudness normalization rewrite pass
     (functions/normalize.py; rows-only: gain-lands-on-target, peak
@@ -3287,6 +3366,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_char_entropy": q_lang_char_entropy,
         "clips_normalize": q_clips_normalize,
         "clips_trim": q_clips_trim,
+        "media_sniff": q_media_sniff,
     }
 
 
