@@ -2360,6 +2360,69 @@ def q_videos_mp4_profile(spark, sf_dir):
     )
 
 
+def q_transcript_cues(spark, sf_dir):
+    """Timed-transcript (SRT/WebVTT) cue QC (functions/subtitles.py;
+    rows-only: round-trip, format edges and planted-anomaly recovery
+    are pytest-gated in tests/test_subtitles.py). Cue files are
+    synthesized inside mapInPandas with the module's own writers —
+    alternating SRT/VTT, one quarter with a planted overlap, one
+    quarter unparseable — so sub_ok and n_overlap must partition by
+    construction. One mapInPandas pass; cue text never leaves the
+    stage."""
+    ensure_shipped(spark)
+    from bdqc_spark.functions.subtitles import subtitle_qc
+
+    def gen(batches):
+        import pandas as pd
+
+        from bdqc_spark.functions.subtitles import build_srt, build_vtt
+
+        for b in batches:
+            rows = []
+            for i in b["id"]:
+                i = int(i)
+                kind = i % 4
+                base = [
+                    {"start_ms": 0, "end_ms": 1200, "text": f"cue one {i}"},
+                    {"start_ms": 1300, "end_ms": 2600, "text": "cue two"},
+                ]
+                if kind == 0:
+                    sub = build_srt(base)
+                elif kind == 1:
+                    sub = build_vtt(base)
+                elif kind == 2:
+                    base[1]["start_ms"] = 1100
+                    sub = build_srt(base)
+                else:
+                    sub = "no cues here at all"
+                rows.append(
+                    {"clip_id": f"c-{i:04d}", "subtitle": sub,
+                     "dur_ms": 3000, "kind": kind}
+                )
+            yield pd.DataFrame(rows)
+
+    files = spark.range(0, 96).repartition(8).mapInPandas(
+        gen, "clip_id string, subtitle string, dur_ms int, kind int"
+    )
+    qc = subtitle_qc(files)
+    return qc.select(
+        "clip_id",
+        "kind",
+        "sub_ok",
+        "sub_format",
+        "n_cues",
+        "n_overlap",
+        "overlap_ms",
+        "speech_ms",
+        F.round(F.col("coverage"), 4).alias("coverage"),
+        F.round(F.col("max_cps"), 3).alias("max_cps"),
+        (
+            (F.col("sub_ok") == (F.col("kind") < 3))
+            & (~F.col("sub_ok") | (F.col("n_overlap") == (F.col("kind") == 2).cast("int")))
+        ).alias("qc_as_expected"),
+    )
+
+
 def q_media_sniff(spark, sf_dir):
     """Unified fileType dispatch (functions/containers.py; rows-only:
     Ogg CRC, MP3 frame tables, per-format round-trips are
@@ -3265,15 +3328,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "ann_lsh_topk": q_ann_lsh_topk,
         "scan_project_filter": q_scan_project_filter,
-        "regex_filter": q_regex_filter,
-        "distinct_projection": q_distinct_projection,
         "agg_pricing_summary": q_agg_pricing_summary,
         "join_broadcast": q_join_broadcast,
         "join_shuffle": q_join_shuffle,
-        "join_left": q_join_left,
-        "join_semi": q_join_semi,
-        "join_anti": q_join_anti,
-        "join_theta": q_join_theta,
+        # r5 second rotation: the round-5 flagship operators take the
+        # slots of eight more redundant single-operator rows
+        # (join_left/semi/anti/theta, regex_filter,
+        # distinct_projection, collect_nested, intersect_except — all
+        # demoted, still green via tools/check_oracle.py +
+        # tests/test_demoted_oracles.py)
+        "images_profile": q_images_profile,
+        "semdedup": q_semdedup,
+        "clips_denoise": q_clips_denoise,
+        "media_sniff": q_media_sniff,
+        "lang_vocab_stats": q_lang_vocab_stats,
+        "lang_zipf": q_lang_zipf,
+        "lang_char_entropy": q_lang_char_entropy,
+        "videos_mp4_profile": q_videos_mp4_profile,
         "join_salted": q_join_salted,
         "multi_join_q3": q_multi_join_q3,
         "multi_join_q5": q_multi_join_q5,
@@ -3281,7 +3352,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantiles_mad": q_quantiles_mad,
         "topk_per_group": q_topk_per_group,
         "rollup_metrics": q_rollup_metrics,
-        "collect_nested": q_collect_nested,
         "window_lag": q_window_lag,
         "window_running": q_window_running,
         # r5 rotation (r4 VERDICT ask #2): the round-4 flagship
@@ -3291,7 +3361,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tools/check_oracle.py + tests/test_demoted_oracles.py)
         "emb_decontaminate": q_emb_decontaminate,
         "corpus_report": q_corpus_report,
-        "intersect_except": q_intersect_except,
         "doc_bigram_ppl": q_doc_bigram_ppl,
         "doc_quality_clf": q_doc_quality_clf,
         "tumbling_window": q_tumbling_window,
@@ -3315,6 +3384,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # demoted oracle queries (single-builtin checks, still verified
         # locally by tools/check_oracle.py + tests/test_demoted_oracles.py)
         "qc_documents_keepdrop_approx": q_qc_documents_keepdrop_approx,
+        "join_left": q_join_left,
+        "join_semi": q_join_semi,
+        "join_anti": q_join_anti,
+        "join_theta": q_join_theta,
+        "regex_filter": q_regex_filter,
+        "distinct_projection": q_distinct_projection,
+        "collect_nested": q_collect_nested,
+        "intersect_except": q_intersect_except,
         "window_rank": q_window_rank,
         "cube_metrics": q_cube_metrics,
         "datetime_funcs": q_datetime_funcs,
@@ -3355,18 +3432,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality_buckets": q_doc_quality_buckets,
         "doc_dedup_weights": q_doc_dedup_weights,
         "doc_dsir_weights": q_doc_dsir_weights,
-        "images_profile": q_images_profile,
-        "semdedup": q_semdedup,
-        "clips_denoise": q_clips_denoise,
         "clips_clipping": q_clips_clipping,
-        "lang_vocab_stats": q_lang_vocab_stats,
         "clips_pitch": q_clips_pitch,
-        "videos_mp4_profile": q_videos_mp4_profile,
-        "lang_zipf": q_lang_zipf,
-        "lang_char_entropy": q_lang_char_entropy,
         "clips_normalize": q_clips_normalize,
         "clips_trim": q_clips_trim,
-        "media_sniff": q_media_sniff,
+        "transcript_cues": q_transcript_cues,
     }
 
 

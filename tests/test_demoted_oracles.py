@@ -24,7 +24,21 @@ SF_DIR = os.environ.get("SF_DIR_SMOKE", "/root/testdata/sf0.001")
 # (orderby_limit, union_by_name, array_funcs, json_funcs,
 # string_funcs, conditional) took their demoted slots and get the
 # same continuous in-suite oracle check here.
+# r5 second rotation: the round-5 flagships (images_profile,
+# semdedup, clips_denoise, media_sniff, lang_vocab_stats, lang_zipf,
+# lang_char_entropy, videos_mp4_profile) moved inside the window;
+# eight more single-operator oracle rows (join_left/semi/anti/theta,
+# regex_filter, distinct_projection, collect_nested,
+# intersect_except) demoted here.
 DEMOTED_ORACLE_QUERIES = [
+    "join_left",
+    "join_semi",
+    "join_anti",
+    "join_theta",
+    "regex_filter",
+    "distinct_projection",
+    "collect_nested",
+    "intersect_except",
     "window_rank",
     "cube_metrics",
     "datetime_funcs",
@@ -46,9 +60,6 @@ DEMOTED_ORACLE_QUERIES = [
     "doc_quality_buckets",
     "doc_dedup_weights",
     "doc_dsir_weights",
-    "lang_vocab_stats",
-    "lang_zipf",
-    "lang_char_entropy",
 ]
 
 
