@@ -2672,6 +2672,33 @@ def q_clips_pipeline_decisions(spark, sf_dir):
     )
 
 
+def q_clips_repair(spark, sf_dir):
+    """Repair stage (plans/repair.py; rows-only: waveform-defect
+    recovery and the same-model re-decide measure are pytest-gated in
+    tests/test_repair.py): flagged-but-repairable clips get the
+    dc/trim/normalize rewrite chain in ONE decode→encode Arrow pass,
+    then re-profile + re-decide against the SAME cohort model
+    snapshot — `now_keep` is the honest repair yield. Reuses the
+    pipeline fixture's decisions/models so the repair set is exactly
+    what the flagship pipeline dropped."""
+    ensure_shipped(spark)
+    from bdqc_spark.plans.repair import repair_and_redecide
+
+    out = _pipeline_out(spark)
+    clips = _clips_df(spark).select(
+        "clip_id", "bytes", "sr_hz", "dur_ms", "codec", "transcript"
+    )
+    decisions = spark.read.parquet(f"{out}/decisions")
+    models = spark.read.parquet(f"{out}/cohort_models")
+    rep = repair_and_redecide(clips, decisions, models)
+    return rep.select(
+        "clip_id",
+        "passes_applied",
+        "now_keep",
+        F.array_join(F.col("rule_hits_after"), ";").alias("rule_hits_after"),
+    )
+
+
 def q_clips_explain(spark, sf_dir):
     """bdqc --explain read-path (SURVEY.md §3.1 entry point 3): for
     every dropped clip, per fired rule, the observed value vs the
@@ -3437,6 +3464,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clips_normalize": q_clips_normalize,
         "clips_trim": q_clips_trim,
         "transcript_cues": q_transcript_cues,
+        "clips_repair": q_clips_repair,
     }
 
 

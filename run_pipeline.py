@@ -58,6 +58,17 @@ def main(argv: list[str] | None = None) -> int:
         "the table",
     )
     ap.add_argument(
+        "--repair-out",
+        default=None,
+        metavar="DIR",
+        help="AFTER the run, apply the repair stage to dropped-but-"
+        "repairable clips (DC removal / VAD silence trim / loudness "
+        "normalization, one rewrite pass), write the rewritten "
+        "payloads to DIR/clips, re-decide them against this run's "
+        "cohort models and write the per-clip report to DIR/report "
+        "(now_keep = the honest repair yield)",
+    )
+    ap.add_argument(
         "--rebucket",
         type=int,
         default=None,
@@ -124,6 +135,40 @@ def main(argv: list[str] | None = None) -> int:
             "expired_snapshots": len(expired),
             "orphans_removed": len(orphans),
         }
+    repair = None
+    if args.repair_out:
+        import os
+
+        from pyspark.sql import functions as F
+
+        from bdqc_spark.plans.repair import redecide_repaired, repair_clips
+
+        clips_df = tbl.read(spark, snapshot_id=args.snapshot).select(
+            "clip_id", "bytes", "sr_hz", "dur_ms", "codec", "transcript"
+        )
+        decisions = spark.read.parquet(os.path.join(result.out_dir, "decisions"))
+        models = spark.read.parquet(os.path.join(result.out_dir, "cohort_models"))
+        repaired = repair_clips(clips_df, decisions)
+        # sink the rewritten payloads once, report off the written data
+        repaired.where(F.col("repair_ok")).write.mode("overwrite").parquet(
+            os.path.join(args.repair_out, "clips")
+        )
+        fixed = spark.read.parquet(os.path.join(args.repair_out, "clips"))
+        rep = redecide_repaired(fixed, models)
+        rep.write.mode("overwrite").parquet(os.path.join(args.repair_out, "report"))
+        agg = (
+            spark.read.parquet(os.path.join(args.repair_out, "report"))
+            .agg(
+                F.count("*").alias("repaired"),
+                F.sum(F.col("now_keep").cast("int")).alias("recovered"),
+            )
+            .collect()[0]
+        )
+        repair = {
+            "out": args.repair_out,
+            "repaired": agg["repaired"],
+            "recovered": int(agg["recovered"] or 0),
+        }
     report_path = None
     if args.html_report:
         from bdqc_spark.plans.report import write_html_report
@@ -143,6 +188,7 @@ def main(argv: list[str] | None = None) -> int:
                 "html_report": report_path,
                 "maintenance": maintenance,
                 "erased": erased,
+                "repair": repair,
                 # None on fresh runs (no previous model snapshot);
                 # else the number of drifted (cohort, attribute) cells
                 "drift_flagged": result.drift_flagged,
