@@ -1491,6 +1491,47 @@ def q_dedup_fingerprint(spark, sf_dir):
 ORACLE_DEDUP_FP = ORACLE_DEDUP_EXACT
 
 
+# ---- bloom-prefiltered incremental dedup -------------------------------------
+_BLOOM_SPLIT_BOUND = format(int(0.8 * 2**32), "08x")
+
+
+def q_dedup_incremental_bloom(spark, sf_dir):
+    """Incremental dedup of a 'new batch' against 'history' via a
+    broadcast Bloom sketch + exact confirm (operators/bloom.py). The
+    batch/history partition is the deterministic md5 hash split
+    (operators/sampling.py, salt 'bloom-v1'); the dedup key is the
+    first 100 chars of the normalized text (lead-content
+    fingerprint). Bloom false positives are removed by the confirm
+    semi join, so the result is EXACTLY the semi join the oracle
+    runs — correctness independent of sketch sizing; the sketch only
+    shrinks what reaches the shuffle."""
+    ensure_shipped(spark)
+    from bdqc_spark.operators.bloom import bloom_semi_join
+    from bdqc_spark.operators.sampling import _hash_hex
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .withColumn("k", F.substring(TX.normalized(F.col("text")), 1, 100))
+        .withColumn(
+            "is_hist",
+            _hash_hex(F.col("doc_id"), "bloom-v1") < F.lit(_BLOOM_SPLIT_BOUND),
+        )
+    )
+    hist = d.filter(F.col("is_hist"))
+    new = d.filter(~F.col("is_hist"))
+    return bloom_semi_join(new, hist, "k").select("doc_id", "lang")
+
+
+ORACLE_DEDUP_BLOOM = f"""
+WITH tagged AS (
+  SELECT doc_id, lang, substr({_NORM_SQL}, 1, 100) AS k,
+    substr(md5(CAST(doc_id AS VARCHAR) || '|bloom-v1'), 1, 8) < '{_BLOOM_SPLIT_BOUND}' AS is_hist
+  FROM documents)
+SELECT t.doc_id, t.lang FROM tagged t
+WHERE NOT t.is_hist AND t.k IN (SELECT k FROM tagged WHERE is_hist)
+"""
+
+
 # ---- n-gram Jaccard near-dup pairs -------------------------------------------
 # Shingle doc-frequency cap: a shingle occurring in more than NGRAM_MAX_DF
 # docs is excluded from the universe (sizes AND intersections) — without
@@ -3400,7 +3441,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality_filter": q_doc_quality_filter,
         "dedup_exact": q_dedup_exact,
         "dedup_fingerprint": q_dedup_fingerprint,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        # r5 third rotation: bloom-prefiltered incremental dedup (the
+        # 100 TB new-batch-vs-history shape) takes the slot of the
+        # test-tier-by-design n-gram Jaccard row (demoted, still green
+        # via tools/check_oracle.py + tests/test_demoted_oracles.py)
+        "dedup_incremental_bloom": q_dedup_incremental_bloom,
         "dedup_clusters": q_dedup_clusters,
         "doc_winnow_fingerprints": q_doc_winnow_fingerprints,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
@@ -3411,6 +3456,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # demoted oracle queries (single-builtin checks, still verified
         # locally by tools/check_oracle.py + tests/test_demoted_oracles.py)
         "qc_documents_keepdrop_approx": q_qc_documents_keepdrop_approx,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "join_left": q_join_left,
         "join_semi": q_join_semi,
         "join_anti": q_join_anti,
@@ -3514,6 +3560,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": ORACLE_DEDUP_EXACT,
         "dedup_fingerprint": ORACLE_DEDUP_FP,
         "dedup_ngram_jaccard": ORACLE_DEDUP_NGRAM,
+        "dedup_incremental_bloom": ORACLE_DEDUP_BLOOM,
         "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
         "doc_winnow_fingerprints": ORACLE_WINNOW,
         "dedup_embedding_cosine": ORACLE_DEDUP_EMB,

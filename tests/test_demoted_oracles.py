@@ -30,7 +30,11 @@ SF_DIR = os.environ.get("SF_DIR_SMOKE", "/root/testdata/sf0.001")
 # eight more single-operator oracle rows (join_left/semi/anti/theta,
 # regex_filter, distinct_projection, collect_nested,
 # intersect_except) demoted here.
+# r5 third rotation: dedup_incremental_bloom (bloom-prefiltered
+# new-batch-vs-history dedup) moved inside the window; the
+# test-tier-by-design dedup_ngram_jaccard row demoted here.
 DEMOTED_ORACLE_QUERIES = [
+    "dedup_ngram_jaccard",
     "join_left",
     "join_semi",
     "join_anti",
