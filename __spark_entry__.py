@@ -1522,6 +1522,33 @@ def q_dedup_incremental_bloom(spark, sf_dir):
     return bloom_semi_join(new, hist, "k").select("doc_id", "lang")
 
 
+def q_dedup_bloom_prefilter(spark, sf_dir):
+    """The bloom prefilter stage alone (rows-only; the exact-confirm
+    composition is the oracle-backed dedup_incremental_bloom): the
+    survivors of the broadcast-sketch membership test — true dups
+    plus the sized-for FP sliver — i.e. exactly the set that reaches
+    the confirm join. FP-rate/no-false-negative properties are
+    pytest-gated in tests/test_bloom.py."""
+    ensure_shipped(spark)
+    from bdqc_spark.operators.bloom import build_bloom, might_contain
+    from bdqc_spark.operators.sampling import _hash_hex
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .withColumn("k", F.substring(TX.normalized(F.col("text")), 1, 100))
+        .withColumn(
+            "is_hist",
+            _hash_hex(F.col("doc_id"), "bloom-v1") < F.lit(_BLOOM_SPLIT_BOUND),
+        )
+    )
+    words = build_bloom(d.filter(F.col("is_hist")), "k")
+    return (
+        d.filter(~F.col("is_hist"))
+        .filter(might_contain(F.col("k"), words))
+        .select("doc_id", "lang")
+    )
+
+
 ORACLE_DEDUP_BLOOM = f"""
 WITH tagged AS (
   SELECT doc_id, lang, substr({_NORM_SQL}, 1, 100) AS k,
@@ -2740,6 +2767,35 @@ def q_clips_repair(spark, sf_dir):
     )
 
 
+def q_clips_from_tar(spark, sf_dir):
+    """WebDataset-style tar shard source (sources/webdataset.py;
+    rows-only: round-trip byte equality, determinism, corruption
+    modes are pytest-gated in tests/test_webdataset.py): export the
+    synthetic clips corpus as hash-sharded tar archives, read them
+    back through the binaryFile → mapInPandas shard parser, and
+    surface the per-sample structure. The shard write is
+    deterministic (key-sorted members, zeroed tar metadata), so the
+    /tmp fixture is reused across runs."""
+    ensure_shipped(spark)
+    from bdqc_spark.sources.webdataset import read_tar_shards, write_tar_shards
+
+    out = "/tmp/_entry_wds_600_42"
+    if len([f for f in os.listdir(out)] if os.path.isdir(out) else []) != 4:
+        from bdqc_spark.synth.clips import generate_clips_df
+
+        write_tar_shards(
+            generate_clips_df(spark, 600, seed=42), out, n_shards=4
+        ).collect()
+    back = read_tar_shards(spark, out)
+    return back.select(
+        "clip_id",
+        "shard",
+        "payload_ext",
+        F.col("transcript").isNotNull().alias("has_transcript"),
+        F.length("bytes").alias("n_payload_bytes"),
+    )
+
+
 def q_clips_explain(spark, sf_dir):
     """bdqc --explain read-path (SURVEY.md §3.1 entry point 3): for
     every dropped clip, per fired rule, the observed value vs the
@@ -3511,6 +3567,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clips_trim": q_clips_trim,
         "transcript_cues": q_transcript_cues,
         "clips_repair": q_clips_repair,
+        "clips_from_tar": q_clips_from_tar,
+        "dedup_bloom_prefilter": q_dedup_bloom_prefilter,
     }
 
 
