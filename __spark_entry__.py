@@ -2844,6 +2844,8 @@ def q_clips_audio_features(spark, sf_dir):
         F.round("spectral_centroid", 2).alias("spectral_centroid"),
         F.round("spectral_rolloff", 2).alias("spectral_rolloff"),
         F.round("spectral_flatness", 6).alias("spectral_flatness"),
+        F.round(F.element_at("mfcc_mean", 1).cast("double"), 4).alias("mfcc_c0"),
+        F.round(F.element_at("mfcc_std", 1).cast("double"), 4).alias("mfcc_c0_std"),
     )
 
 

@@ -26,12 +26,14 @@ import numpy as np
 import pyarrow as pa
 
 N_MELS = 24
+N_MFCC = 13
 WIN_MS = 25.0
 HOP_MS = 10.0
 
 AUDIO_FEATURES_FIELDS = (
     "feat_ok boolean, n_frames int, n_mels int, "
     "mel_mean array<float>, mel_std array<float>, "
+    "mfcc_mean array<float>, mfcc_std array<float>, "
     "spectral_centroid double, spectral_rolloff double, spectral_flatness double"
 )
 
@@ -65,6 +67,19 @@ def _hann(n: int) -> np.ndarray:
     return np.hanning(n).astype(np.float64)
 
 
+@lru_cache(maxsize=8)
+def dct_matrix(n_in: int, n_out: int) -> np.ndarray:
+    """(n_out, n_in) orthonormal DCT-II basis (the MFCC transform —
+    Davis & Mermelstein 1980): D[k,n] = s_k·sqrt(2/N)·cos(π/N·(n+½)·k),
+    s_0 = 1/sqrt(2). Orthonormal so a round trip through the full
+    basis is the identity (pytest-gated)."""
+    n = np.arange(n_in)
+    k = np.arange(n_out)[:, None]
+    d = np.sqrt(2.0 / n_in) * np.cos(np.pi / n_in * (n + 0.5) * k)
+    d[0] /= np.sqrt(2.0)
+    return d
+
+
 def clip_features(pcm: np.ndarray, sr: int, n_mels: int = N_MELS) -> dict | None:
     """One clip's framed log-mel summary; None if too short to frame."""
     win = max(int(round(sr * WIN_MS / 1000.0)), 2)
@@ -92,10 +107,13 @@ def clip_features(pcm: np.ndarray, sr: int, n_mels: int = N_MELS) -> dict | None
     flatness = float(
         (np.exp(np.log(spec + 1e-20).mean(axis=1)) / (spec.mean(axis=1) + 1e-20)).mean()
     )
+    mfcc = logmel @ dct_matrix(n_mels, N_MFCC).T  # (n_frames, n_mfcc)
     return {
         "n_frames": n_frames,
         "mel_mean": logmel.mean(axis=0).astype(np.float32),
         "mel_std": logmel.std(axis=0).astype(np.float32),
+        "mfcc_mean": mfcc.mean(axis=0).astype(np.float32),
+        "mfcc_std": mfcc.std(axis=0).astype(np.float32),
         "spectral_centroid": centroid,
         "spectral_rolloff": rolloff,
         "spectral_flatness": flatness,
@@ -122,6 +140,8 @@ def _features_arrow(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatc
         n_frames = np.zeros(n, np.int32)
         mel_mean: list = [None] * n
         mel_std: list = [None] * n
+        mfcc_mean: list = [None] * n
+        mfcc_std: list = [None] * n
         cent = np.zeros(n, np.float64)
         roll = np.zeros(n, np.float64)
         flat = np.zeros(n, np.float64)
@@ -139,6 +159,8 @@ def _features_arrow(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatc
             n_frames[i] = feats["n_frames"]
             mel_mean[i] = feats["mel_mean"]
             mel_std[i] = feats["mel_std"]
+            mfcc_mean[i] = feats["mfcc_mean"]
+            mfcc_std[i] = feats["mfcc_std"]
             cent[i] = feats["spectral_centroid"]
             roll[i] = feats["spectral_rolloff"]
             flat[i] = feats["spectral_flatness"]
@@ -156,6 +178,8 @@ def _features_arrow(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatc
                 "n_mels": pa.array(np.where(ok, N_MELS, 0).astype(np.int32), pa.int32()),
                 "mel_mean": pa.array(mel_mean, pa.list_(pa.float32())),
                 "mel_std": pa.array(mel_std, pa.list_(pa.float32())),
+                "mfcc_mean": pa.array(mfcc_mean, pa.list_(pa.float32())),
+                "mfcc_std": pa.array(mfcc_std, pa.list_(pa.float32())),
                 "spectral_centroid": pa.array(cent),
                 "spectral_rolloff": pa.array(roll),
                 "spectral_flatness": pa.array(flat),

@@ -111,6 +111,47 @@ def test_audio_features_pure_tone_centroid():
     assert nfeats["spectral_flatness"] > 5 * feats["spectral_flatness"]
 
 
+def test_mfcc_dct_basis_and_semantics():
+    """The MFCC transform: the DCT-II basis is orthonormal (full-basis
+    round trip = identity, matches a naive O(n²) cosine-sum twin), and
+    the coefficients behave like MFCCs — c0 tracks overall log energy,
+    a spectrally flat input puts (almost) everything in c0."""
+    import numpy as np
+
+    from bdqc_spark.functions.audio_features import N_MFCC, clip_features, dct_matrix
+
+    n = 24
+    d_full = dct_matrix(n, n)
+    # orthonormal: D @ D.T == I
+    assert np.allclose(d_full @ d_full.T, np.eye(n), atol=1e-12)
+    # naive twin
+    twin = np.zeros((n, n))
+    for k in range(n):
+        for i in range(n):
+            s = np.sqrt(1.0 / n) if k == 0 else np.sqrt(2.0 / n)
+            twin[k, i] = s * np.cos(np.pi / n * (i + 0.5) * k)
+    assert np.allclose(d_full, twin, atol=1e-12)
+
+    # flat log-mel vector → energy concentrates in c0
+    v = np.full(n, 3.7)
+    c = d_full[:N_MFCC] @ v
+    assert abs(c[0] - 3.7 * np.sqrt(n)) < 1e-9
+    assert np.abs(c[1:]).max() < 1e-9
+
+    # gain invariance: a louder copy of the same broadband signal
+    # (every mel band well above the log floor, so Δlog-mel is the
+    # uniform ln(gain²)) moves ONLY c0 — the DCT of a constant vector
+    # is pure c0. Δc0 = ln(64)·sqrt(n_mels).
+    sr = 16000
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal(sr)
+    fq = clip_features((0.05 * base).astype(np.float32), sr)
+    fl = clip_features((0.40 * base).astype(np.float32), sr)
+    dc0 = fl["mfcc_mean"][0] - fq["mfcc_mean"][0]
+    assert abs(dc0 - np.log(64.0) * np.sqrt(24)) < 1e-2
+    assert np.abs(fl["mfcc_mean"][1:] - fq["mfcc_mean"][1:]).max() < 1e-3
+
+
 def test_audio_features_spark_end_to_end(spark):
     """mapInArrow plumbing: every decodable clip gets a fixed-width
     feature row, bytes never leaves the stage, corrupt rows degrade
@@ -129,6 +170,10 @@ def test_audio_features_spark_end_to_end(spark):
     assert len(ok) > 100  # the corpus is mostly clean
     assert (ok.n_mels == N_MELS).all()
     assert all(len(v) == N_MELS for v in ok.mel_mean)
+    from bdqc_spark.functions.audio_features import N_MFCC
+
+    assert all(len(v) == N_MFCC for v in ok.mfcc_mean)
+    assert all(len(v) == N_MFCC for v in ok.mfcc_std)
     assert (ok.n_frames > 0).all()
     assert ok.spectral_centroid.between(1, 8000).all()
     # corrupt/undecodable clips degrade, not crash
