@@ -761,6 +761,23 @@ class IcebergishTable:
         if sort_within:
             df = df.sortWithinPartitions(self.bucket_key)
         df.write.mode("append").partitionBy(BUCKET_COL).parquet(self.data_dir)
+        return self._commit_bucket_rewrite(
+            snap, victims, before, "rewrite", {"compacted_buckets": victims}
+        )
+
+    def _commit_bucket_rewrite(
+        self,
+        snap: dict,
+        victims: list[int],
+        before: set[str],
+        operation: str,
+        extra_summary: dict,
+    ) -> str:
+        """Shared tail of the bucket-rewrite operations (compact,
+        zorder): attribute the just-written files by before/after
+        directory diff, refuse to commit a lossy rewrite (footer row
+        counts must match), and commit a snapshot whose manifest swaps
+        the victims' file lists."""
         new_by_bucket: dict[str, list[str]] = {}
         for rel in sorted(self._data_listing() - before):
             new_by_bucket.setdefault(rel.split("/", 1)[0].split("=", 1)[1], []).append(rel)
@@ -781,14 +798,14 @@ class IcebergishTable:
             bucket_files[str(k)] = news
         if old_rows != new_rows:  # refuse to commit a lossy rewrite
             raise RuntimeError(
-                f"compaction row mismatch: {old_rows} -> {new_rows}; not committing"
+                f"{operation} row mismatch: {old_rows} -> {new_rows}; not committing"
             )
 
         manifest = {
             "snapshot_id": uuid.uuid4().hex[:16],
             "parent_snapshot_id": snap["snapshot_id"],
             "timestamp_ms": int(time.time() * 1000),
-            "operation": "rewrite",
+            "operation": operation,
             "bucket_key": self.bucket_key,
             "num_buckets": self.num_buckets,
             "schema": snap["schema"],
@@ -796,10 +813,92 @@ class IcebergishTable:
             "file_stats": self._manifest_file_stats(snap, bucket_files),
             "summary": {
                 "total_rows": snap["summary"]["total_rows"],
-                "compacted_buckets": victims,
+                **extra_summary,
             },
         }
         return self._commit_snapshot(manifest)
+
+    def zorder(
+        self,
+        spark: SparkSession,
+        cols: list[str],
+        files_per_bucket: int = 4,
+    ) -> str:
+        """Z-order (Morton-curve) clustering rewrite — the data-layout
+        maintenance that makes the manifest's per-file [min, max]
+        stats (``file_stats``) simultaneously selective on EVERY
+        listed dimension, not just a sort-leading one: after
+        ``zorder(["dur_ms", "sr_hz"])``, ``read(range_filter=...)``
+        skips files for a range predicate on either column.
+
+        Mechanics: each column is rank-scaled to a fixed-point grid
+        (min/max from one tiny agg), the grids' bits are interleaved
+        into one z-value — built declaratively from Catalyst
+        shift/AND/OR terms, no UDF — and every bucket's rows are
+        rewritten as ~``files_per_bucket`` files of contiguous
+        z-ranges (``repartitionByRange`` on (bucket, z) + a
+        within-partition sort; the z column is dropped before the
+        write, so the layout changes and the schema doesn't). Commit
+        semantics are identical to ``compact``: row-preserving by
+        footer assertion, old snapshots keep reading the old layout,
+        crash-safe because the manifest commits last.
+
+        At 10^12 rows this is the difference between "range predicate
+        on a non-partition column reads everything" and "reads the
+        z-neighborhood": O(fraction^(1/d)) of files per d-dim curve
+        locality instead of all of them.
+        """
+        if not cols:
+            raise ValueError("zorder needs at least one column")
+        snap = self.snapshot()
+        if snap is None:
+            raise ValueError(f"no snapshot at {self.root}")
+        victims = sorted(int(k) for k in snap["bucket_files"] if snap["bucket_files"][k])
+        if not victims:
+            return snap["snapshot_id"]
+
+        df = self.read(spark, buckets=victims)
+        for c in cols:
+            if c not in df.columns:
+                raise ValueError(f"zorder column {c!r} not in table schema")
+        bits = min(16, 63 // len(cols))
+        mm = df.agg(
+            *[F.min(c).alias(f"mn_{c}") for c in cols],
+            *[F.max(c).alias(f"mx_{c}") for c in cols],
+        ).first()
+        scaled = []
+        top = (1 << bits) - 1
+        for c in cols:
+            mn, mx = mm[f"mn_{c}"], mm[f"mx_{c}"]
+            if mn is None or mx is None or float(mx) == float(mn):
+                scaled.append(F.lit(0).cast("long"))
+                continue
+            frac = (F.coalesce(F.col(c), F.lit(mn)).cast("double") - F.lit(float(mn))) / F.lit(
+                float(mx) - float(mn)
+            )
+            scaled.append(F.round(frac * top).cast("long"))
+        z = F.lit(0).cast("long")
+        for i in range(bits):
+            for j, s in enumerate(scaled):
+                z = z.bitwiseOR(
+                    F.shiftleft(F.shiftright(s, i).bitwiseAND(F.lit(1)), i * len(scaled) + j)
+                )
+
+        before = self._data_listing()
+        (
+            df.withColumn("_z", z)
+            .repartitionByRange(
+                max(len(victims) * files_per_bucket, 1), F.col(BUCKET_COL), F.col("_z")
+            )
+            .sortWithinPartitions(BUCKET_COL, "_z")
+            .drop("_z")
+            .write.mode("append")
+            .partitionBy(BUCKET_COL)
+            .parquet(self.data_dir)
+        )
+        return self._commit_bucket_rewrite(
+            snap, victims, before, "zorder", {"zorder_by": cols}
+        )
 
     def rebucket(self, spark: SparkSession, new_num_buckets: int) -> str:
         """Partition-spec evolution: rewrite the CURRENT snapshot's
