@@ -136,6 +136,23 @@ def read_tar_shards(
     return files.mapInPandas(_parse, schema)
 
 
+def tar_to_clips(df: DataFrame) -> DataFrame:
+    """Project tar-shard rows onto the engine's clips schema
+    (clip_id, bytes, sr_hz, dur_ms, codec, transcript) — the ingest
+    adapter between shards and the Iceberg-ish table. The payload
+    member's extension is the codec (the member name is authoritative,
+    matching the reference's extension-dispatch A2); sr_hz/dur_ms come
+    from the JSON sidecar. Pure projection — no shuffle, no Python."""
+    return df.select(
+        "clip_id",
+        "bytes",
+        F.get_json_object("meta", "$.sr_hz").cast("int").alias("sr_hz"),
+        F.get_json_object("meta", "$.dur_ms").cast("int").alias("dur_ms"),
+        F.col("payload_ext").alias("codec"),
+        "transcript",
+    )
+
+
 def write_tar_shards(
     df: DataFrame,
     out_dir: str,

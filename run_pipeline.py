@@ -69,6 +69,16 @@ def main(argv: list[str] | None = None) -> int:
         "(now_keep = the honest repair yield)",
     )
     ap.add_argument(
+        "--ingest-tar",
+        default=None,
+        metavar="GLOB",
+        help="BEFORE the run, ingest WebDataset-style tar shards "
+        "(per-sample member groups key.<codec> + key.txt + key.json) "
+        "at GLOB into the input table — creates the table if it "
+        "doesn't exist, appends a snapshot if it does — then run the "
+        "pipeline over the result",
+    )
+    ap.add_argument(
         "--rebucket",
         type=int,
         default=None,
@@ -87,6 +97,18 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = build_session(app_name="bdqc-pipeline", master=args.master)
     tbl = IcebergishTable(args.table)
+    ingested = None
+    if args.ingest_tar:
+        if args.snapshot:
+            print("--ingest-tar cannot be combined with --snapshot", file=sys.stderr)
+            return 2
+        from bdqc_spark.sources.webdataset import read_tar_shards, tar_to_clips
+
+        sid = tbl.append(tar_to_clips(read_tar_shards(spark, args.ingest_tar)))
+        ingested = {
+            "snapshot": sid,
+            "total_rows": tbl.snapshot()["summary"]["total_rows"],
+        }
     if not tbl.exists():
         print(f"no snapshot at {args.table}", file=sys.stderr)
         return 2
@@ -187,6 +209,7 @@ def main(argv: list[str] | None = None) -> int:
                 "master": spark.sparkContext.master,
                 "html_report": report_path,
                 "maintenance": maintenance,
+                "ingested": ingested,
                 "erased": erased,
                 "repair": repair,
                 # None on fresh runs (no previous model snapshot);

@@ -103,6 +103,78 @@ def test_corrupt_shard_fail_and_skip(spark, clips, tmp_path):
     assert kept.select("shard").distinct().count() == 1
 
 
+def test_tar_ingest_equals_direct_table(spark, tmp_path):
+    """Shard packaging is pipeline-invisible: QC decisions from a
+    tar-ingested table match a directly-appended table exactly."""
+    from bdqc_spark.plans.pipeline import run_pipeline
+    from bdqc_spark.sources.iceberg import IcebergishTable
+    from bdqc_spark.sources.webdataset import tar_to_clips
+    from bdqc_spark.synth.clips import generate_clips_df
+
+    cols = ["clip_id", "bytes", "sr_hz", "dur_ms", "codec", "transcript"]
+    clips = generate_clips_df(spark, 200, seed=9)
+    shards = str(tmp_path / "shards")
+    write_tar_shards(clips, shards, n_shards=3).collect()
+
+    t_tar = IcebergishTable(str(tmp_path / "t_tar"), num_buckets=4)
+    t_tar.append(tar_to_clips(read_tar_shards(spark, shards)))
+    t_dir = IcebergishTable(str(tmp_path / "t_dir"), num_buckets=4)
+    t_dir.append(clips.select(*cols))
+
+    def _decisions(tbl, out):
+        run_pipeline(spark, tbl.read(spark), out, all_buckets=tbl.bucket_ids())
+        return {
+            r.clip_id: (r.keep, r.scrubbed_transcript)
+            for r in spark.read.parquet(f"{out}/decisions").collect()
+        }
+
+    da = _decisions(t_tar, str(tmp_path / "out_tar"))
+    db = _decisions(t_dir, str(tmp_path / "out_dir"))
+    assert len(da) == 200
+    assert da == db
+
+
+def test_cli_ingest_tar(spark, tmp_path):
+    """--ingest-tar creates the table from shards, then runs the
+    pipeline over it (the shard-corpus onboarding path)."""
+    import json
+    import subprocess
+    import sys as _sys
+
+    from bdqc_spark.synth.clips import generate_clips_df
+
+    shards = str(tmp_path / "shards")
+    write_tar_shards(generate_clips_df(spark, 60, seed=13), shards, n_shards=2).collect()
+    proc = subprocess.run(
+        [
+            _sys.executable,
+            "run_pipeline.py",
+            "--table",
+            str(tmp_path / "tbl"),
+            "--out",
+            str(tmp_path / "out"),
+            "--ingest-tar",
+            shards,
+            "--master",
+            "local[4]",
+        ],
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    rec = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert rec["ingested"]["total_rows"] == 60
+    assert rec["processed_buckets"]
+    import duckdb
+
+    n = duckdb.connect().execute(
+        f"SELECT count(*) FROM read_parquet('{tmp_path}/out/decisions/*/*.parquet')"
+    ).fetchone()[0]
+    assert n == 60
+
+
 def test_payloads_decode_through_audio_path(spark, shard_dir):
     """The read-back rows feed the existing decode path unchanged."""
     import numpy as np
