@@ -2687,6 +2687,26 @@ def q_clips_clipping(spark, sf_dir):
     )
 
 
+def q_clips_room(spark, sf_dir):
+    """Room/channel artifact signals (functions/room.py; rows-only:
+    the decode has no SQL twin — planted 50/60 Hz hum discrimination
+    and synthetic-RIR RT60 recovery are pytest-gated in
+    tests/test_room.py). One mapInArrow pass over the scan."""
+    from bdqc_spark.functions.room import clip_room
+
+    out = clip_room(_clips_df(spark))
+    return out.select(
+        "clip_id",
+        "codec",
+        "room_ok",
+        F.round(F.col("hum_db_50"), 4).alias("hum_db_50"),
+        F.round(F.col("hum_db_60"), 4).alias("hum_db_60"),
+        F.round(F.col("decay_db_s"), 3).alias("decay_db_s"),
+        F.round(F.col("rt60_est"), 4).alias("rt60_est"),
+        "n_decays",
+    )
+
+
 def q_clips_pitch(spark, sf_dir):
     """Autocorrelation F0/voicing estimation (functions/pitch.py;
     rows-only: an FFT has no SQL twin — known-frequency recovery,
@@ -3571,6 +3591,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clips_repair": q_clips_repair,
         "clips_from_tar": q_clips_from_tar,
         "dedup_bloom_prefilter": q_dedup_bloom_prefilter,
+        "clips_room": q_clips_room,
     }
 
 
