@@ -3257,6 +3257,32 @@ FROM documents
 """
 
 
+def q_doc_mix_sample(spark, sf_dir):
+    """Deterministic dataset mixing (operators/sampling.py::
+    mix_downsample): every language down-sampled to the smallest
+    language's size by an md5-threshold acceptance rate — map-side
+    selection against a broadcast KB census, no rand(), reproducible
+    under reruns/repartitioning. Oracle-exact: both engines compute
+    floor(min·2^32/count) from the same integer census and compare
+    the same 8-hex md5 draw."""
+    ensure_shipped(spark)
+    from bdqc_spark.operators.sampling import mix_downsample
+
+    d = _t(spark, sf_dir, "documents")
+    return mix_downsample(d, "lang", "doc_id").select("doc_id", "lang")
+
+
+ORACLE_MIX_SAMPLE = """
+WITH c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
+m AS (SELECT min(cnt) AS mn FROM c)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN c USING (lang) CROSS JOIN m
+WHERE c.cnt = m.mn
+   OR substr(md5(CAST(d.doc_id AS VARCHAR) || '|mix-v1'), 1, 8)
+      < lpad(lower(to_hex(CAST(floor(m.mn * 4294967296.0 / c.cnt) AS BIGINT))), 8, '0')
+"""
+
+
 def q_doc_stratified_sample(spark, sf_dir):
     """Exactly min(k,|stratum|) docs per language, ranked by
     md5(doc_id) — deterministic stratified sampling; Spark plans the
@@ -3577,6 +3603,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clips_snr": q_clips_snr,
         "doc_train_split": q_doc_train_split,
         "doc_stratified_sample": q_doc_stratified_sample,
+        "doc_mix_sample": q_doc_mix_sample,
         "doc_pack_bins": q_doc_pack_bins,
         "doc_decontaminate": q_doc_decontaminate,
         "doc_top_terms": q_doc_top_terms,
@@ -3651,6 +3678,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_repetition": ORACLE_DOC_REPETITION,
         "doc_train_split": ORACLE_TRAIN_SPLIT,
         "doc_stratified_sample": ORACLE_STRATIFIED,
+        "doc_mix_sample": ORACLE_MIX_SAMPLE,
         "doc_pack_bins": ORACLE_PACK_BINS,
         "doc_decontaminate": ORACLE_DECONTAMINATE,
         "emb_decontaminate": ORACLE_EMB_DECONTAMINATE,

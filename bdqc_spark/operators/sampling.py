@@ -103,6 +103,51 @@ def stratified_topk(
     )
 
 
+def mix_downsample(
+    df: DataFrame, stratum_col: str, key_col: str, salt: str = "mix-v1"
+) -> DataFrame:
+    """Deterministic dataset mixing: down-sample every stratum to the
+    size of the smallest one (a uniform target mix — the degenerate
+    but most common case of the DoReMi/Pile-style mixture recipes)
+    with NO rand(): a row is kept iff its md5 hash draw falls under
+    its stratum's acceptance rate ``min_count / count``.
+
+    Properties a 100 TB mixing job needs: map-side selection (the
+    per-stratum count table is KB-sized and broadcast back), exact
+    reproducibility across reruns/retries/partitionings, and a
+    membership decision that is a pure function of (key, salt, the
+    stratum census) — appending unrelated strata never flips a kept
+    row. The smallest stratum is kept in full (rate 1 short-circuits
+    the hash compare, so the 2^32 threshold never overflows its 8 hex
+    digits).
+
+    Oracle-exact: both engines compute floor(min*2^32/count) from the
+    same integer census and compare the same 8-hex-char md5 draw."""
+    counts = df.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("_cnt"))
+    counts = counts.crossJoin(
+        F.broadcast(counts.agg(F.min("_cnt").alias("_mn")))
+    )
+    thr = F.lpad(
+        F.lower(
+            F.hex(
+                F.floor(F.col("_mn") * F.lit(4294967296.0) / F.col("_cnt")).cast(
+                    "long"
+                )
+            )
+        ),
+        8,
+        "0",
+    )
+    keep = (F.col("_cnt") == F.col("_mn")) | (
+        _hash_hex(F.col(key_col), salt) < thr
+    )
+    return (
+        df.join(F.broadcast(counts), on=stratum_col)
+        .where(keep)
+        .drop("_cnt", "_mn")
+    )
+
+
 def pack_bins(
     df: DataFrame,
     key_col: str,

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from bdqc_spark.operators.sampling import (
     hash_split,
+    mix_downsample,
     pack_bins,
     split_thresholds,
     stratified_topk,
@@ -122,3 +123,30 @@ def test_pack_bins_no_shard(docs):
     n_bins = out.select("bin_id").distinct().count()
     total = out.agg(F.sum("sz")).first()[0]
     assert n_bins >= total // 2048  # at least the lower bound of bins
+
+
+def test_mix_downsample_rebalances_to_smallest_stratum(spark):
+    """Skewed strata (4000/800/200) are brought to ~uniform: each
+    language keeps ≈ min_count docs (hash-threshold binomial
+    tolerance), the smallest stratum is kept IN FULL, and membership
+    is a pure per-row function — stable under repartitioning."""
+    rows = (
+        [(i, "big") for i in range(4000)]
+        + [(10000 + i, "mid") for i in range(800)]
+        + [(20000 + i, "small") for i in range(200)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    kept = mix_downsample(df, "lang", "doc_id")
+    by_lang = {r["lang"]: r["n"] for r in kept.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert by_lang["small"] == 200  # rate 1 short-circuit: kept in full
+    for lang in ("big", "mid"):
+        assert 140 <= by_lang[lang] <= 260, by_lang  # ~Binomial(n, 200/n)
+    # deterministic + partitioning-invariant membership
+    a = sorted(r.doc_id for r in kept.collect())
+    b = sorted(r.doc_id for r in mix_downsample(df.repartition(17), "lang", "doc_id").collect())
+    assert a == b
+    # appending an unrelated stratum must not flip existing decisions
+    # (same census for the old strata: new stratum is larger than min)
+    df2 = df.union(spark.createDataFrame([(30000 + i, "xl") for i in range(5000)], "doc_id long, lang string"))
+    c = sorted(r.doc_id for r in mix_downsample(df2, "lang", "doc_id").where(F.col("lang") != "xl").collect())
+    assert c == a
