@@ -3257,6 +3257,39 @@ FROM documents
 """
 
 
+def q_doc_html_extract(spark, sf_dir):
+    """HTML → text extraction with boilerplate removal
+    (functions/html.py). Each document is wrapped IN-PLAN into a
+    deterministic page template — Catalyst-escaped text inside
+    <main><p>…</p></main>, surrounded by <title>/<nav>/<header>/
+    <footer>/<script> junk — and the extractor must invert the wrap
+    EXACTLY: the oracle is the identity on documents.text, which pins
+    markup stripping, entity decoding, boilerplate-container drops
+    and whitespace fidelity in one equality."""
+    ensure_shipped(spark)
+    from bdqc_spark.functions.html import extract_html_text, html_escape_col
+
+    d = _t(spark, sf_dir, "documents")
+    page = F.concat(
+        F.lit(
+            "<!DOCTYPE html><html><head><title>doc</title>"
+            "<script>var nav_cfg = \"<p>must never leak</p>\";</script>"
+            "<style>p { margin: 0 }</style></head><body>"
+            "<nav><a href=\"/\">Home</a> <a href=\"/a\">About</a> "
+            "<a href=\"/b\">Contact</a></nav><header>Site Banner</header>"
+            "<main><p>"
+        ),
+        html_escape_col(F.col("text")),
+        F.lit("</p></main><footer>&copy; footer boilerplate</footer></body></html>"),
+    )
+    wrapped = d.select("doc_id", page.alias("html"))
+    out = extract_html_text(wrapped, "html")
+    return out.select("doc_id", F.col("extracted_text").alias("text"))
+
+
+ORACLE_HTML_EXTRACT = "SELECT doc_id, text FROM documents"
+
+
 def q_doc_mix_sample(spark, sf_dir):
     """Deterministic dataset mixing (operators/sampling.py::
     mix_downsample): every language down-sampled to the smallest
@@ -3603,6 +3636,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clips_snr": q_clips_snr,
         "doc_train_split": q_doc_train_split,
         "doc_stratified_sample": q_doc_stratified_sample,
+        "doc_html_extract": q_doc_html_extract,
         "doc_mix_sample": q_doc_mix_sample,
         "doc_pack_bins": q_doc_pack_bins,
         "doc_decontaminate": q_doc_decontaminate,
@@ -3679,6 +3713,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_train_split": ORACLE_TRAIN_SPLIT,
         "doc_stratified_sample": ORACLE_STRATIFIED,
         "doc_mix_sample": ORACLE_MIX_SAMPLE,
+        "doc_html_extract": ORACLE_HTML_EXTRACT,
         "doc_pack_bins": ORACLE_PACK_BINS,
         "doc_decontaminate": ORACLE_DECONTAMINATE,
         "emb_decontaminate": ORACLE_EMB_DECONTAMINATE,

@@ -59,6 +59,7 @@ DEMOTED_ORACLE_QUERIES = [
     "doc_train_split",
     "doc_stratified_sample",
     "doc_mix_sample",
+    "doc_html_extract",
     "doc_pack_bins",
     "doc_decontaminate",
     "doc_top_terms",
