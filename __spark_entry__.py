@@ -3129,6 +3129,28 @@ def q_ann_ivf_pq_topk(spark, sf_dir):
     )
 
 
+def q_ann_index_persist(spark, sf_dir):
+    """Persistent IVF-PQ index: build → persist → query (rows-only:
+    stateful build/query over a directory has no SQL twin; recall,
+    partition pruning, frozen-model append, and in-plan parity are
+    pytest-gated in tests/test_ann_index.py). The serving shape:
+    the frozen model is KBs of JSON, the codes table is parquet
+    partitioned BY CELL so probing is directory pruning."""
+    ensure_shipped(spark)
+    import tempfile
+
+    from bdqc_spark.operators.ann_index import build_ann_index, query_ann_index
+
+    e = _t(spark, sf_dir, "embeddings")
+    ix_dir = tempfile.mkdtemp(prefix="bdqc_ann_ix_") + "/ix"
+    build_ann_index(e, "vec_id", "embedding", 64, ix_dir, n_centroids=16)
+    qs = [
+        (str(r[0]), r[1])
+        for r in e.select("vec_id", "embedding").orderBy("vec_id").limit(8).collect()
+    ]
+    return query_ann_index(spark, ix_dir, qs, k=5, n_probe=6)
+
+
 def q_semdedup(spark, sf_dir):
     """SemDeDup semantic dedup (Abbas et al. 2023, arXiv:2303.09540) —
     rows-only: k-means has no SQL twin; semantics are pytest-gated
@@ -3653,6 +3675,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clips_from_tar": q_clips_from_tar,
         "dedup_bloom_prefilter": q_dedup_bloom_prefilter,
         "clips_room": q_clips_room,
+        "ann_index_persist": q_ann_index_persist,
     }
 
 

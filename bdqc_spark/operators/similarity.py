@@ -245,6 +245,77 @@ def ann_lsh_topk(
     )
 
 
+def train_spherical_centroids(
+    sample_normed: np.ndarray, n_centroids: int, seed: int, iters: int = 5
+) -> np.ndarray:
+    """Spherical k-means coarse quantizer over unit-norm vectors
+    (cosine assignment; centroids re-normalized each step). Shared by
+    ivf_topk / ivf_pq_topk / the persistent index builder so a saved
+    index reproduces the in-plan operators exactly."""
+    rng = np.random.default_rng(seed)
+    cents = sample_normed[
+        rng.choice(len(sample_normed), min(n_centroids, len(sample_normed)), replace=False)
+    ].copy()
+    for _ in range(iters):
+        assign = np.argmax(sample_normed @ cents.T, axis=1)
+        for j in range(len(cents)):
+            m = assign == j
+            if m.any():
+                c = sample_normed[m].mean(axis=0)
+                nn = np.linalg.norm(c)
+                if nn > 0:
+                    cents[j] = c / nn
+    return cents
+
+
+def adc_search(
+    indexed: DataFrame,
+    queries: list[tuple],
+    cents: np.ndarray,
+    books: np.ndarray,
+    k: int,
+    n_probe: int,
+) -> DataFrame:
+    """IVF-PQ search over an encoded corpus: ``indexed`` is
+    (c_id, cell, codes); for each (q_id, vector) query, probe the
+    n_probe nearest cells and rank candidates by asymmetric-distance
+    lookup — the per-query LUT rides the plan as an array literal;
+    scoring is pure Catalyst (zero Python). Shared by the in-plan
+    ivf_pq_topk and the persistent-index query path."""
+    cent_t = cents.T.copy()
+    m_subspaces, n_codes_eff, d_sub = books.shape
+    outs = []
+    for q_id, q in queries:
+        q = np.asarray(q, dtype=np.float64)
+        qn = q / max(np.linalg.norm(q), 1e-12)
+        probe = [int(c) for c in np.argsort(-(qn @ cent_t))[:n_probe]]
+        lut = np.empty((m_subspaces, n_codes_eff))
+        for m in range(m_subspaces):
+            qs = qn[m * d_sub : (m + 1) * d_sub]
+            lut[m] = ((books[m] - qs[None, :]) ** 2).sum(axis=1)
+        lut_lit = F.lit([float(v) for v in lut.ravel()])
+        adc = F.aggregate(
+            F.expr("transform(codes, (c, m) -> struct(c AS c, m AS m))"),
+            F.lit(0.0),
+            lambda acc, x: acc
+            + F.element_at(lut_lit, x["m"] * F.lit(n_codes_eff) + x["c"] + F.lit(1)),
+        )
+        outs.append(
+            indexed.where(F.col("cell").isin(probe) & (F.col("c_id") != F.lit(q_id))).select(
+                F.lit(q_id).alias("q_id"), "c_id", F.round(adc, 6).alias("adc_dist")
+            )
+        )
+    allq = outs[0]
+    for o in outs[1:]:
+        allq = allq.unionByName(o)
+    w = Window.partitionBy("q_id").orderBy(F.asc("adc_dist"), F.asc("c_id"))
+    return (
+        allq.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("q_id", "c_id", "adc_dist", "rk")
+    )
+
+
 def train_pq_codebooks(
     sample: np.ndarray,
     m_subspaces: int = 8,
@@ -410,17 +481,7 @@ def ivf_pq_topk(
         raise ValueError(f"ivf_pq_topk: expected {dim}-dim vectors, got {sample.shape}")
     norms = np.linalg.norm(sample, axis=1, keepdims=True)
     nsample = sample / np.maximum(norms, 1e-12)
-    rng = np.random.default_rng(seed)
-    cents = nsample[rng.choice(len(nsample), min(n_centroids, len(nsample)), replace=False)]
-    for _ in range(5):
-        assign = np.argmax(nsample @ cents.T, axis=1)
-        for j in range(len(cents)):
-            m = assign == j
-            if m.any():
-                c = nsample[m].mean(axis=0)
-                nn = np.linalg.norm(c)
-                if nn > 0:
-                    cents[j] = c / nn
+    cents = train_spherical_centroids(nsample, n_centroids, seed)
     cent_t = cents.T.copy()
     books = train_pq_codebooks(nsample, m_subspaces, n_codes, seed=seed)
     n_codes_eff = books.shape[1]
@@ -458,32 +519,4 @@ def ivf_pq_topk(
         (r[0], np.asarray(r[1], dtype=np.float64))
         for r in df.select(id_col, emb_col).orderBy(id_col).limit(n_queries).collect()
     ]
-    outs = []
-    for q_id, q in queries:
-        qn = q / max(np.linalg.norm(q), 1e-12)
-        probe = [int(c) for c in np.argsort(-(qn @ cent_t))[:n_probe]]
-        lut = np.empty((m_subspaces, n_codes_eff))
-        for m in range(m_subspaces):
-            qs = qn[m * d_sub : (m + 1) * d_sub]
-            lut[m] = ((books[m] - qs[None, :]) ** 2).sum(axis=1)
-        lut_lit = F.lit([float(v) for v in lut.ravel()])
-        adc = F.aggregate(
-            F.expr("transform(codes, (c, m) -> struct(c AS c, m AS m))"),
-            F.lit(0.0),
-            lambda acc, x: acc
-            + F.element_at(lut_lit, x["m"] * F.lit(n_codes_eff) + x["c"] + F.lit(1)),
-        )
-        outs.append(
-            indexed.where(F.col("cell").isin(probe) & (F.col("c_id") != F.lit(q_id))).select(
-                F.lit(q_id).alias("q_id"), "c_id", F.round(adc, 6).alias("adc_dist")
-            )
-        )
-    allq = outs[0]
-    for o in outs[1:]:
-        allq = allq.unionByName(o)
-    w = Window.partitionBy("q_id").orderBy(F.asc("adc_dist"), F.asc("c_id"))
-    return (
-        allq.withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") <= k)
-        .select("q_id", "c_id", "adc_dist", "rk")
-    )
+    return adc_search(indexed, queries, cents, books, k, n_probe)
