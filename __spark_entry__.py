@@ -3151,6 +3151,48 @@ def q_ann_index_persist(spark, sf_dir):
     return query_ann_index(spark, ix_dir, qs, k=5, n_probe=6)
 
 
+def q_doc_dup_spans(spark, sf_dir):
+    """Exact-substring duplicate spans (Lee et al. 2022 ExactSubstr,
+    arXiv:2107.06499) re-expressed without the suffix array: a
+    position is duplicated iff its 50-char window occurs ≥2 times
+    corpus-wide; overlapping/contiguous positions merge into maximal
+    spans via the gaps-and-islands window. The scale path shuffles
+    8-byte gram hashes with an exact-gram confirm (no false
+    negatives, collisions confirmed away); the oracle runs the same
+    criterion in pure SQL."""
+    ensure_shipped(spark)
+    from bdqc_spark.operators.substr_dedup import exact_substring_spans
+
+    d = _t(spark, sf_dir, "documents")
+    return exact_substring_spans(d, "doc_id", "text", gram_len=50, min_count=2)
+
+
+ORACLE_DUP_SPANS = """
+WITH g AS (
+  SELECT doc_id, CAST(pos AS INT) AS pos,
+         substr(text, CAST(pos AS INT), 50) AS gram
+  FROM (SELECT doc_id, text,
+               unnest(generate_series(1, length(text) - 49)) AS pos
+        FROM documents WHERE length(text) >= 50) u
+),
+dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+p AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (gram)),
+m AS (SELECT doc_id, pos,
+        CASE WHEN pos > coalesce(max(pos + 49) OVER (
+                 PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+             THEN 1 ELSE 0 END AS brk
+      FROM p),
+i AS (SELECT doc_id, pos,
+        sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      FROM m)
+SELECT doc_id, min(pos) AS span_start, max(pos) + 49 AS span_end,
+       count(*) AS n_grams
+FROM i GROUP BY doc_id, island
+"""
+
+
 def q_semdedup(spark, sf_dir):
     """SemDeDup semantic dedup (Abbas et al. 2023, arXiv:2303.09540) —
     rows-only: k-means has no SQL twin; semantics are pytest-gated
@@ -3676,6 +3718,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_bloom_prefilter": q_dedup_bloom_prefilter,
         "clips_room": q_clips_room,
         "ann_index_persist": q_ann_index_persist,
+        "doc_dup_spans": q_doc_dup_spans,
     }
 
 
@@ -3751,4 +3794,5 @@ def oracle_sql() -> dict[str, str]:
         "lang_vocab_stats": ORACLE_LANG_VOCAB,
         "lang_zipf": ORACLE_LANG_ZIPF,
         "lang_char_entropy": ORACLE_LANG_CHAR_ENTROPY,
+        "doc_dup_spans": ORACLE_DUP_SPANS,
     }

@@ -66,6 +66,7 @@ DEMOTED_ORACLE_QUERIES = [
     "doc_quality_buckets",
     "doc_dedup_weights",
     "doc_dsir_weights",
+    "doc_dup_spans",
 ]
 
 
