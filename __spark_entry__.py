@@ -2495,16 +2495,19 @@ def q_media_sniff(spark, sf_dir):
     """Unified fileType dispatch (functions/containers.py; rows-only:
     Ogg CRC, MP3 frame tables, per-format round-trips are
     pytest-gated in tests/test_containers.py). A mixed bag of all
-    eight supported formats — wav/flac/ogg-opus/mp3/png/jpeg/mp4/y4m
-    — plus corrupt rows is synthesized inside mapInPandas with the
-    engine's own encoders; the sniffed format must equal the
-    constructed kind by magic-number dispatch alone. This is the
-    reference's A2 fileType-dispatch row exercised across the full
-    media family in one pass."""
+    nine supported formats —
+    wav/flac/ogg-opus/mp3/png/jpeg/mp4/y4m/webm — plus corrupt rows
+    is synthesized inside mapInPandas with the engine's own encoders;
+    the sniffed format must equal the constructed kind by
+    magic-number dispatch alone. This is the reference's A2
+    fileType-dispatch row exercised across the full media family in
+    one pass."""
     ensure_shipped(spark)
     from bdqc_spark.functions.containers import profile_media
 
-    kinds = ["wav", "flac", "ogg", "mp3", "png", "jpeg", "mp4", "y4m", "corrupt"]
+    kinds = [
+        "wav", "flac", "ogg", "mp3", "png", "jpeg", "mp4", "y4m", "webm", "corrupt",
+    ]
 
     def gen(batches):
         import numpy as np
@@ -2519,6 +2522,7 @@ def q_media_sniff(spark, sf_dir):
         from bdqc_spark.functions.jpeg import encode_jpeg
         from bdqc_spark.functions.mp4 import build_test_mp4
         from bdqc_spark.functions.multimodal import encode_png, encode_y4m
+        from bdqc_spark.functions.webm import build_test_webm
 
         pcm = (0.3 * np.sin(2 * np.pi * 440 * np.arange(8000) / 16000)).astype(
             np.float32
@@ -2541,6 +2545,9 @@ def q_media_sniff(spark, sf_dir):
                     "jpeg": lambda: encode_jpeg(img, quality=85),
                     "mp4": lambda: build_test_mp4(width=32, height=32),
                     "y4m": lambda: encode_y4m(y4m_frames, fps=30),
+                    "webm": lambda: build_test_webm(
+                        width=64, height=48, channels=1 + i % 2
+                    ),
                     "corrupt": lambda: bytes(
                         rng.integers(1, 255, 48).astype(np.uint8)
                     ),

@@ -370,6 +370,19 @@ def sniff_media(raw: bytes) -> dict:
                    channels=aud.get("channels"), sample_rate=aud.get("sample_rate"),
                    width=vid.get("width"), height=vid.get("height"),
                    duration_ms=p["duration_ms"], detail=f"tracks={p['n_tracks']}")
+    elif raw.startswith(b"\x1aE\xdf\xa3"):
+        from bdqc_spark.functions.webm import parse_webm
+
+        p = parse_webm(raw)
+        vid = next((t for t in p["tracks"] if t.get("type") == 1), {})
+        aud = next((t for t in p["tracks"] if t.get("type") == 2), {})
+        sr = aud.get("sample_rate")
+        out.update(format=p["doc_type"], codec=vid.get("codec") or aud.get("codec"),
+                   channels=aud.get("channels"),
+                   sample_rate=int(round(sr)) if sr else None,
+                   width=vid.get("width"), height=vid.get("height"),
+                   duration_ms=p["duration_ms"],
+                   detail=f"tracks={p['n_tracks']} clusters={p['n_clusters']}")
     elif raw.startswith(b"YUV4MPEG2"):
         from bdqc_spark.functions.multimodal import parse_y4m_header
 

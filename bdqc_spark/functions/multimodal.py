@@ -23,10 +23,11 @@ parser handles C420*/C422/C444/Cmono chroma modes, frame-samples
 every k-th Y (luma) plane without touching the skipped bytes, and
 feeds profile_videos (per-clip luma stats + inter-frame motion).
 Compressed-video SAMPLE decode (H.264/VP9 entropy coding) remains a
-NotImplementedError stub — no ffmpeg in this sandbox; the mp4
-CONTAINER itself is fully parsed by the from-scratch ISO-BMFF box
-parser in functions/mp4.py (profile_mp4: tracks, codec fourccs,
-dimensions, fps, sample rate, durations, truncation checks).
+NotImplementedError stub — no ffmpeg in this sandbox; the mp4 and
+webm CONTAINERS themselves are fully parsed by the from-scratch
+ISO-BMFF box parser (functions/mp4.py) and EBML/Matroska parser
+(functions/webm.py): tracks, codec ids, dimensions, fps, sample
+rate, durations, truncation checks.
 `decode_video_frames` samples the concatenated-RGB8 debug format.
 Swapping in a real sample decoder changes ONE function; every
 Spark-facing schema and UDF signature stays fixed.
@@ -365,7 +366,9 @@ def resize_images(images: DataFrame, height: int, width: int) -> DataFrame:
 
 def decode_video_frames(raw: bytes, every_k: int = 2) -> list[np.ndarray]:
     """Debug 'video' = concatenated RGB8 frames; sample every k-th.
-    Real containers (mp4/webm) are NOT decodable in this sandbox."""
+    Real containers are PROFILED by the from-scratch parsers
+    (functions/mp4.py, functions/webm.py); compressed SAMPLE decode
+    (H.264/VP9 entropy coding) stays out of scope in this sandbox."""
     frames = []
     pos = 0
     idx = 0
