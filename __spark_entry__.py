@@ -3158,6 +3158,56 @@ def q_ann_index_persist(spark, sf_dir):
     return query_ann_index(spark, ix_dir, qs, k=5, n_probe=6)
 
 
+def q_doc_fix_mojibake(spark, sf_dir):
+    """Encoding repair (functions/mojibake.py; rows-only: byte-level
+    re-decoding has no SQL twin; round-trips, clean-text
+    no-touch and truncation safety are pytest-gated in
+    tests/test_mojibake.py). Each doc's text is salted with a
+    non-ASCII prefix and deterministically damaged (UTF-8 bytes
+    mis-decoded as sloppy-cp1252, 1 or 2 layers by doc hash); the
+    repair must restore the original exactly — `repaired_ok` and
+    `layers_detected_ok` make the row self-checking."""
+    ensure_shipped(spark)
+    from bdqc_spark.functions.mojibake import repair_encoding
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+
+    def damage(batches):
+        import hashlib
+
+        import pandas as pd
+
+        from bdqc_spark.functions.mojibake import _BYTE_TO_CHAR
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                orig = "é " + (text or "")
+                layers = 1 + int(hashlib.md5(str(doc_id).encode()).hexdigest(), 16) % 2
+                broken = orig
+                for _ in range(layers):
+                    broken = "".join(_BYTE_TO_CHAR[b] for b in broken.encode("utf-8"))
+                rows.append(
+                    {"doc_id": doc_id, "orig": orig, "text": broken, "layers": layers}
+                )
+            yield pd.DataFrame(rows)
+
+    damaged = d.mapInPandas(
+        damage, "doc_id string, orig string, text string, layers int"
+    )
+    rep = repair_encoding(damaged, "text")
+    return rep.select(
+        "doc_id",
+        "layers",
+        "moji_score",
+        "moji_passes",
+        (F.col("text") == F.col("orig")).alias("repaired_ok"),
+        (F.col("moji_passes") == F.col("layers")).alias("layers_detected_ok"),
+    )
+
+
 def q_doc_dup_spans(spark, sf_dir):
     """Exact-substring duplicate spans (Lee et al. 2022 ExactSubstr,
     arXiv:2107.06499) re-expressed without the suffix array: a
@@ -3726,6 +3776,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clips_room": q_clips_room,
         "ann_index_persist": q_ann_index_persist,
         "doc_dup_spans": q_doc_dup_spans,
+        "doc_fix_mojibake": q_doc_fix_mojibake,
     }
 
 
