@@ -3158,6 +3158,102 @@ def q_ann_index_persist(spark, sf_dir):
     return query_ann_index(spark, ix_dir, qs, k=5, n_probe=6)
 
 
+def q_clips_cue_align(spark, sf_dir):
+    """Cross-modal cue↔speech alignment (functions/cue_align.py;
+    rows-only: offset recovery, sign convention and wrong-transcript
+    rejection are pytest-gated in tests/test_cue_align.py). Clips
+    with timed transcripts are synthesized in four kinds — aligned,
+    +400 ms late cues, silence-only cues (wrong transcript),
+    unparseable — and the emitted verdict columns must partition by
+    construction: aligned rows score high at lag 0, late rows recover
+    offset≈400 with high aligned recall, wrong-transcript rows stay
+    low even after alignment."""
+    ensure_shipped(spark)
+    from bdqc_spark.functions.cue_align import cue_alignment
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        from bdqc_spark.functions.audio import encode
+        from bdqc_spark.functions.subtitles import build_srt, build_vtt
+
+        sr = 16000
+        bursts = [(500, 1500), (2200, 3400)]
+        cues = [
+            {"start_ms": 500, "end_ms": 1500, "text": "first"},
+            {"start_ms": 2200, "end_ms": 3400, "text": "second"},
+        ]
+        kinds = ["aligned", "late", "wrong", "unparseable"]
+        for b in batches:
+            rows = []
+            for i in b["id"]:
+                i = int(i)
+                kind = kinds[i % 4]
+                rng = np.random.default_rng([77, i])
+                pcm = np.zeros(sr * 5, dtype=np.float32)
+                for s, e in bursts:
+                    sl = slice(int(sr * s / 1000), int(sr * e / 1000))
+                    pcm[sl] = (0.3 * rng.standard_normal(sl.stop - sl.start)).astype(
+                        np.float32
+                    )
+                if kind == "aligned":
+                    sub = build_srt(cues)
+                elif kind == "late":
+                    sub = build_vtt(
+                        [
+                            dict(c, start_ms=c["start_ms"] + 400, end_ms=c["end_ms"] + 400)
+                            for c in cues
+                        ]
+                    )
+                elif kind == "wrong":
+                    sub = build_srt(
+                        [{"start_ms": 3600, "end_ms": 4800, "text": "nothing"}]
+                    )
+                else:
+                    sub = "no cues at all"
+                rows.append(
+                    {
+                        "clip_id": f"c-{i:04d}", "kind": kind,
+                        "bytes": encode(pcm, "pcm_s16le", sr),
+                        "codec": "pcm_s16le", "sr_hz": sr, "subtitle": sub,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    clips = spark.range(0, 96).repartition(8).mapInPandas(
+        gen, "clip_id string, kind string, bytes binary, codec string, sr_hz int, subtitle string"
+    )
+    out = cue_alignment(clips)
+    verdict = (
+        F.when(
+            F.col("kind") == "aligned",
+            F.col("align_ok")
+            & (F.col("cue_recall") >= 0.9)
+            & (F.abs(F.col("offset_ms")) <= 40),
+        )
+        .when(
+            F.col("kind") == "late",
+            F.col("align_ok")
+            & (F.abs(F.col("offset_ms") - 400) <= 40)
+            & (F.col("cue_recall_aligned") >= 0.9),
+        )
+        .when(
+            F.col("kind") == "wrong",
+            F.col("align_ok")
+            & (F.col("cue_precision") < 0.3)
+            & (F.col("cue_recall_aligned") < 0.7),
+        )
+        .otherwise(~F.col("align_ok"))
+    )
+    return out.select(
+        "clip_id", "kind", "align_ok", "n_cues",
+        "cue_precision", "cue_recall", "offset_ms",
+        "cue_precision_aligned", "cue_recall_aligned",
+        verdict.alias("as_expected"),
+    )
+
+
 def q_doc_fix_mojibake(spark, sf_dir):
     """Encoding repair (functions/mojibake.py; rows-only: byte-level
     re-decoding has no SQL twin; round-trips, clean-text
@@ -3777,6 +3873,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_index_persist": q_ann_index_persist,
         "doc_dup_spans": q_doc_dup_spans,
         "doc_fix_mojibake": q_doc_fix_mojibake,
+        "clips_cue_align": q_clips_cue_align,
     }
 
 
