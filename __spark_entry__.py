@@ -3158,6 +3158,27 @@ def q_ann_index_persist(spark, sf_dir):
     return query_ann_index(spark, ix_dir, qs, k=5, n_probe=6)
 
 
+def q_emb_pca(spark, sf_dir):
+    """Embedding PCA/whitening (operators/pca.py; rows-only:
+    eigendecomposition has no SQL twin; numpy fit parity,
+    partitioning determinism, whitened unit variance and neighbor
+    preservation are pytest-gated in tests/test_pca.py). Fit is an
+    EXACT full-corpus moment aggregation (KB partials per partition,
+    driver eigh of the d×d covariance); projection is one vectorized
+    matmul per Arrow batch — a pure map pass at any scale."""
+    ensure_shipped(spark)
+    from bdqc_spark.operators.pca import fit_pca, project_pca
+
+    e = _t(spark, sf_dir, "embeddings")
+    model = fit_pca(e, "embedding", dim=64, k=8)
+    out = project_pca(e, "embedding", model, whiten=True)
+    return out.select(
+        "vec_id",
+        F.transform("pca", lambda x: F.round(x, 4)).alias("pca_whitened"),
+        F.lit(round(model["var_explained"], 6)).alias("var_explained"),
+    )
+
+
 def q_clips_cue_align(spark, sf_dir):
     """Cross-modal cue↔speech alignment (functions/cue_align.py;
     rows-only: offset recovery, sign convention and wrong-transcript
@@ -3874,6 +3895,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_dup_spans": q_doc_dup_spans,
         "doc_fix_mojibake": q_doc_fix_mojibake,
         "clips_cue_align": q_clips_cue_align,
+        "emb_pca": q_emb_pca,
     }
 
 
