@@ -3158,6 +3158,34 @@ def q_ann_index_persist(spark, sf_dir):
     return query_ann_index(spark, ix_dir, qs, k=5, n_probe=6)
 
 
+def q_key_skew_profile(spark, sf_dir):
+    """Shuffle-key skew profiler (operators/skew.py) on
+    lineitem.l_partkey: per-key counts, corpus skew ratio
+    (max/mean), top-10 heavy hitters with deterministic tie-break,
+    and the recommended salt factor for operators/joins.salted_join.
+    Heavy-hitter selection is distributed TakeOrdered (plan-asserted
+    in tests/test_skew.py), never a global window."""
+    ensure_shipped(spark)
+    from bdqc_spark.operators.skew import key_skew_profile
+
+    li = _t(spark, sf_dir, "lineitem")
+    return key_skew_profile(li, "l_partkey", top_k=10)
+
+
+ORACLE_KEY_SKEW = """
+WITH c AS (SELECT l_partkey AS key, count(*) AS cnt FROM lineitem GROUP BY 1),
+s AS (SELECT count(*) AS n_keys, sum(cnt) AS total, max(cnt) AS max_cnt FROM c),
+hh AS (SELECT key, cnt FROM c ORDER BY cnt DESC, key ASC LIMIT 10)
+SELECT hh.key, hh.cnt,
+       CAST(row_number() OVER (ORDER BY hh.cnt DESC, hh.key ASC) AS INT) AS rank,
+       round(hh.cnt * 1.0 / s.total, 6) AS share,
+       round(s.max_cnt * s.n_keys * 1.0 / s.total, 6) AS skew_ratio,
+       CAST(least(32, CAST(ceil(s.max_cnt * s.n_keys * 1.0 / s.total) AS BIGINT)) AS INT)
+         AS rec_salt
+FROM hh, s
+"""
+
+
 def q_emb_pca(spark, sf_dir):
     """Embedding PCA/whitening (operators/pca.py; rows-only:
     eigendecomposition has no SQL twin; numpy fit parity,
@@ -3896,6 +3924,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fix_mojibake": q_doc_fix_mojibake,
         "clips_cue_align": q_clips_cue_align,
         "emb_pca": q_emb_pca,
+        "key_skew_profile": q_key_skew_profile,
     }
 
 
@@ -3972,4 +4001,5 @@ def oracle_sql() -> dict[str, str]:
         "lang_zipf": ORACLE_LANG_ZIPF,
         "lang_char_entropy": ORACLE_LANG_CHAR_ENTROPY,
         "doc_dup_spans": ORACLE_DUP_SPANS,
+        "key_skew_profile": ORACLE_KEY_SKEW,
     }

@@ -67,6 +67,7 @@ DEMOTED_ORACLE_QUERIES = [
     "doc_dedup_weights",
     "doc_dsir_weights",
     "doc_dup_spans",
+    "key_skew_profile",
 ]
 
 
