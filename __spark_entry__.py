@@ -3198,11 +3198,15 @@ def q_emb_pca(spark, sf_dir):
     from bdqc_spark.operators.pca import fit_pca, project_pca
 
     e = _t(spark, sf_dir, "embeddings")
-    model = fit_pca(e, "embedding", dim=64, k=8)
+    model = fit_pca(e, "embedding", dim=64, k=4)
     out = project_pca(e, "embedding", model, whiten=True)
+    # scalar columns only: the driver canonicalizer rejects array cells
     return out.select(
         "vec_id",
-        F.transform("pca", lambda x: F.round(x, 4)).alias("pca_whitened"),
+        *[
+            F.round(F.element_at("pca", j + 1), 4).alias(f"pc{j + 1}")
+            for j in range(4)
+        ],
         F.lit(round(model["var_explained"], 6)).alias("var_explained"),
     )
 
