@@ -3158,6 +3158,87 @@ def q_ann_index_persist(spark, sf_dir):
     return query_ann_index(spark, ix_dir, qs, k=5, n_probe=6)
 
 
+def q_asof_join_events(spark, sf_dir):
+    """Point-in-time as-of join (operators/asof.py): each click event
+    matched to the user's latest view event at-or-before it —
+    union-and-window form, ONE shuffle, no theta join, no product
+    (plan-asserted in tests/test_asof.py). Equal-ts ties resolve by
+    greatest event_id, so the result is deterministic and
+    oracle-exact vs DuckDB's LATERAL top-1 form."""
+    ensure_shipped(spark)
+    from bdqc_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    views = ev.where(F.col("event_type") == "view").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    out = asof_join(clicks, views, "ts", by=["user_id"], seq_col="event_id")
+    return out.select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("event_id_r").alias("view_id"),
+        F.round("value_r", 6).alias("view_value"),
+    )
+
+
+ORACLE_ASOF = """
+SELECT c.user_id, c.event_id AS click_id, r.event_id AS view_id,
+       round(r.value, 6) AS view_value
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+LEFT JOIN LATERAL (
+  SELECT v.event_id, v.value FROM events v
+  WHERE v.event_type = 'view' AND v.user_id = c.user_id AND v.ts <= c.ts
+  ORDER BY v.ts DESC, v.event_id DESC LIMIT 1) r ON true
+"""
+
+
+def q_interval_join_events(spark, sf_dir):
+    """Binned interval (range) join (operators/asof.py): overlapping
+    [value, value+8] windows between each user's click and view
+    events — intervals explode to width-4 bins, pairs equi-join on
+    (user, bin), the exact overlap predicate filters, distinct
+    collapses multi-bin hits. Never a CartesianProduct; oracle is the
+    plain theta join."""
+    ensure_shipped(spark)
+    from bdqc_spark.operators.asof import interval_join
+
+    ev = _t(spark, sf_dir, "events")
+
+    def iv(kind):
+        return ev.where(F.col("event_type") == kind).select(
+            "user_id",
+            F.col("event_id").alias("eid"),
+            F.col("value").alias("s"),
+            (F.col("value") + 8.0).alias("e"),
+        )
+
+    out = interval_join(
+        iv("click").withColumnRenamed("eid", "l_id"),
+        iv("view").withColumnRenamed("eid", "r_id"),
+        by=["user_id"], l_id="l_id", r_id="r_id",
+        l_start="s", l_end="e", r_start="s", r_end="e", bin_width=4.0,
+    )
+    return out.select(
+        "user_id", "l_id", "r_id",
+        F.round("overlap_start", 6).alias("overlap_start"),
+        F.round("overlap_end", 6).alias("overlap_end"),
+    )
+
+
+ORACLE_INTERVAL_JOIN = """
+SELECT c.user_id, c.event_id AS l_id, v.event_id AS r_id,
+       round(greatest(c.value, v.value), 6) AS overlap_start,
+       round(least(c.value + 8, v.value + 8), 6) AS overlap_end
+FROM events c JOIN events v
+  ON c.user_id = v.user_id
+ AND c.event_type = 'click' AND v.event_type = 'view'
+ AND c.value <= v.value + 8 AND v.value <= c.value + 8
+"""
+
+
 def q_key_skew_profile(spark, sf_dir):
     """Shuffle-key skew profiler (operators/skew.py) on
     lineitem.l_partkey: per-key counts, corpus skew ratio
@@ -3929,6 +4010,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clips_cue_align": q_clips_cue_align,
         "emb_pca": q_emb_pca,
         "key_skew_profile": q_key_skew_profile,
+        "asof_join_events": q_asof_join_events,
+        "interval_join_events": q_interval_join_events,
     }
 
 
@@ -4006,4 +4089,6 @@ def oracle_sql() -> dict[str, str]:
         "lang_char_entropy": ORACLE_LANG_CHAR_ENTROPY,
         "doc_dup_spans": ORACLE_DUP_SPANS,
         "key_skew_profile": ORACLE_KEY_SKEW,
+        "asof_join_events": ORACLE_ASOF,
+        "interval_join_events": ORACLE_INTERVAL_JOIN,
     }

@@ -68,6 +68,8 @@ DEMOTED_ORACLE_QUERIES = [
     "doc_dsir_weights",
     "doc_dup_spans",
     "key_skew_profile",
+    "asof_join_events",
+    "interval_join_events",
 ]
 
 
