@@ -2691,6 +2691,9 @@ def q_clips_clipping(spark, sf_dir):
         "max_clip_run",
         F.round(F.col("crest_db"), 4).alias("crest_db"),
         F.round(F.col("dc_offset"), 6).alias("dc_offset"),
+        "n_dropouts",
+        F.round(F.col("max_dropout_ms"), 3).alias("max_dropout_ms"),
+        F.round(F.col("dropout_frac"), 6).alias("dropout_frac"),
     )
 
 

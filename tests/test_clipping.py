@@ -129,3 +129,49 @@ def test_spark_numpy_twin_parity(spark):
         assert r["max_clip_run"] == st["max_clip_run"]
         assert r["crest_db"] == pytest.approx(st["crest_db"], abs=1e-9)
         assert r["dc_offset"] == pytest.approx(st["dc_offset"], abs=1e-12)
+
+
+# ------------------------------------------------------------- dropouts
+def test_dropout_detection():
+    from bdqc_spark.functions.clipping import DROPOUT_MIN_MS, dropout_stats
+
+    rng = np.random.default_rng(9)
+    pcm = (0.3 * rng.standard_normal(SR)).astype(np.float32)  # 1 s active
+    # plant two dropouts: 40 ms and 25 ms; and one sub-threshold 5 ms gap
+    for start_ms, len_ms in ((200, 40), (600, 25), (800, 5)):
+        s = int(SR * start_ms / 1000)
+        pcm[s : s + int(SR * len_ms / 1000)] = 0.0
+    st = dropout_stats(pcm, SR)
+    assert st["n_dropouts"] == 2
+    assert st["max_dropout_ms"] == pytest.approx(40.0, abs=1.0)
+    assert st["dropout_frac"] == pytest.approx(0.065, abs=0.005)
+    assert DROPOUT_MIN_MS == 20.0
+
+
+def test_dropout_edges_excluded():
+    from bdqc_spark.functions.clipping import dropout_stats
+
+    rng = np.random.default_rng(10)
+    active = (0.3 * rng.standard_normal(SR // 2)).astype(np.float32)
+    # 300 ms leading + 300 ms trailing silence: NOT dropouts
+    lead = np.zeros(int(SR * 0.3), np.float32)
+    st = dropout_stats(np.concatenate([lead, active, lead]), SR)
+    assert st["n_dropouts"] == 0 and st["dropout_frac"] == 0.0
+    # all-silent clip: zero dropouts (the silent rule owns it)
+    st = dropout_stats(np.zeros(SR, np.float32), SR)
+    assert st == {"n_dropouts": 0, "max_dropout_ms": 0.0, "dropout_frac": 0.0}
+    assert dropout_stats(np.zeros(0, np.float32), SR) is None
+
+
+def test_dropout_spark_parity(spark):
+    from bdqc_spark.functions.clipping import dropout_stats
+
+    rng = np.random.default_rng(11)
+    pcm = (0.3 * rng.standard_normal(SR)).astype(np.float32)
+    pcm[4000 : 4000 + 640] = 0.0  # 40 ms at 16 kHz
+    df = spark.createDataFrame([(0, _encode(pcm), "pcm_s16le", SR)], _SCHEMA)
+    r = clip_clipping(df).collect()[0]
+    st = dropout_stats(_decode(_encode(pcm)), SR)
+    assert r["n_dropouts"] == st["n_dropouts"] == 1
+    assert r["max_dropout_ms"] == pytest.approx(st["max_dropout_ms"], abs=1e-9)
+    assert r["dropout_frac"] == pytest.approx(st["dropout_frac"], abs=1e-12)
