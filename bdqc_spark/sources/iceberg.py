@@ -1062,6 +1062,82 @@ class IcebergishTable:
             sid = snap["parent_snapshot_id"]
         return out
 
+    def snapshot_diff(self, from_snapshot_id: str, to_snapshot_id: str | None = None) -> dict:
+        """Manifest-only diff between two snapshots — the table-ops
+        answer to "what changed between yesterday's run and now"
+        without scanning a byte of data. Row deltas come from the
+        manifests' committed totals (exact even when removed files
+        were later physically erased); per-file row counts for
+        added/removed files come from parquet footers where the files
+        still exist (``None`` otherwise — an orphan-swept file's
+        count is honestly unknown). ``operations`` is the lineage
+        chain new→old (newest first), or None when an intermediate
+        manifest has been expired (same degradation contract as
+        ``read_incremental``)."""
+        new = self._snapshot_if_present(to_snapshot_id or self.current_snapshot_id())
+        old = self._snapshot_if_present(from_snapshot_id)
+        if new is None or old is None:
+            raise ValueError("snapshot_diff: both snapshots must exist")
+
+        def _files(s):
+            return {rel for fs in s["bucket_files"].values() for rel in fs}
+
+        def _rows(rel):
+            import pyarrow.parquet as pq
+
+            try:
+                return pq.ParquetFile(os.path.join(self.data_dir, rel)).metadata.num_rows
+            except FileNotFoundError:
+                return None
+
+        added = sorted(_files(new) - _files(old))
+        removed = sorted(_files(old) - _files(new))
+        per_bucket: dict[str, dict] = {}
+        for rel in added:
+            b = rel.split("/", 1)[0].split("=", 1)[1]
+            per_bucket.setdefault(b, {"files_added": 0, "files_removed": 0})["files_added"] += 1
+        for rel in removed:
+            b = rel.split("/", 1)[0].split("=", 1)[1]
+            per_bucket.setdefault(b, {"files_added": 0, "files_removed": 0})["files_removed"] += 1
+
+        ops = []
+        sid = new["snapshot_id"]
+        while sid is not None and sid != old["snapshot_id"]:
+            snap = self._snapshot_if_present(sid)
+            if snap is None:
+                ops = None  # chain broken by expire_snapshots
+                break
+            ops.append(snap["operation"])
+            sid = snap["parent_snapshot_id"]
+        if ops is not None and sid != old["snapshot_id"]:
+            ops = None  # `old` not an ancestor of `new`
+
+        added_rows = [_rows(r) for r in added]
+        removed_rows = [_rows(r) for r in removed]
+        return {
+            "from_snapshot_id": old["snapshot_id"],
+            "to_snapshot_id": new["snapshot_id"],
+            "row_delta": new["summary"]["total_rows"] - old["summary"]["total_rows"],
+            "files_added": len(added),
+            "files_removed": len(removed),
+            "rows_in_added_files": sum(r for r in added_rows if r is not None),
+            "rows_in_removed_files": (
+                None if any(r is None for r in removed_rows) else sum(removed_rows)
+            ),
+            "per_bucket": dict(sorted(per_bucket.items(), key=lambda kv: int(kv[0]))),
+            "operations": ops,
+            "spec_change": (
+                {"num_buckets": [old["num_buckets"], new["num_buckets"]]}
+                if old.get("num_buckets") != new.get("num_buckets")
+                else None
+            ),
+            "schema_change": (
+                {"from": old["schema"], "to": new["schema"]}
+                if old.get("schema") != new.get("schema")
+                else None
+            ),
+        }
+
     def exists(self) -> bool:
         return self.current_snapshot_id() is not None
 
