@@ -3907,11 +3907,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_salted": q_join_salted,
         "multi_join_q3": q_multi_join_q3,
         "multi_join_q5": q_multi_join_q5,
-        "distinct_counts": q_distinct_counts,
+        # r5 fourth rotation: the final-session oracle-backed operators
+        # (exact-substring spans, as-of + interval joins, skew
+        # profiler) take the slots of four more single-builtin rows
+        # (distinct_counts, topk_per_group, rollup_metrics,
+        # window_lag — demoted, still green via the demoted suite)
+        "doc_dup_spans": q_doc_dup_spans,
         "quantiles_mad": q_quantiles_mad,
-        "topk_per_group": q_topk_per_group,
-        "rollup_metrics": q_rollup_metrics,
-        "window_lag": q_window_lag,
+        "asof_join_events": q_asof_join_events,
+        "interval_join_events": q_interval_join_events,
+        "key_skew_profile": q_key_skew_profile,
         "window_running": q_window_running,
         # r5 rotation (r4 VERDICT ask #2): the round-4 flagship
         # operators take the slots of six redundant single-builtin
@@ -4008,13 +4013,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_bloom_prefilter": q_dedup_bloom_prefilter,
         "clips_room": q_clips_room,
         "ann_index_persist": q_ann_index_persist,
-        "doc_dup_spans": q_doc_dup_spans,
         "doc_fix_mojibake": q_doc_fix_mojibake,
         "clips_cue_align": q_clips_cue_align,
         "emb_pca": q_emb_pca,
-        "key_skew_profile": q_key_skew_profile,
-        "asof_join_events": q_asof_join_events,
-        "interval_join_events": q_interval_join_events,
+        "distinct_counts": q_distinct_counts,
+        "topk_per_group": q_topk_per_group,
+        "rollup_metrics": q_rollup_metrics,
+        "window_lag": q_window_lag,
     }
 
 

@@ -33,6 +33,10 @@ SF_DIR = os.environ.get("SF_DIR_SMOKE", "/root/testdata/sf0.001")
 # r5 third rotation: dedup_incremental_bloom (bloom-prefiltered
 # new-batch-vs-history dedup) moved inside the window; the
 # test-tier-by-design dedup_ngram_jaccard row demoted here.
+# r5 fourth rotation: doc_dup_spans, asof_join_events,
+# interval_join_events, key_skew_profile (final-session oracle-backed
+# operators) moved inside the window; distinct_counts,
+# topk_per_group, rollup_metrics, window_lag demoted here.
 DEMOTED_ORACLE_QUERIES = [
     "dedup_ngram_jaccard",
     "join_left",
@@ -66,10 +70,10 @@ DEMOTED_ORACLE_QUERIES = [
     "doc_quality_buckets",
     "doc_dedup_weights",
     "doc_dsir_weights",
-    "doc_dup_spans",
-    "key_skew_profile",
-    "asof_join_events",
-    "interval_join_events",
+    "distinct_counts",
+    "topk_per_group",
+    "rollup_metrics",
+    "window_lag",
 ]
 
 
