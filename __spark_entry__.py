@@ -3391,6 +3391,65 @@ def q_clips_cue_align(spark, sf_dir):
     )
 
 
+def q_images_exif(spark, sf_dir):
+    """EXIF PII detection + stripping (functions/exif.py; rows-only:
+    TIFF/IFD byte grammar has no SQL twin; round-trip, pixel
+    preservation and malformed-input safety are pytest-gated in
+    tests/test_exif.py). JPEGs are synthesized in three kinds — GPS
+    EXIF, non-GPS EXIF, no EXIF — profiled, scrubbed, re-profiled;
+    `as_expected` asserts the PII flag partitions by construction and
+    that the scrubbed bytes carry no EXIF."""
+    ensure_shipped(spark)
+    from bdqc_spark.functions.exif import profile_exif, scrub_exif
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        from bdqc_spark.functions.exif import build_exif_segment, inject_exif
+        from bdqc_spark.functions.jpeg import encode_jpeg
+
+        kinds = ["gps", "nogps", "plain"]
+        for b in batches:
+            rows = []
+            for i in b["id"]:
+                i = int(i)
+                kind = kinds[i % 3]
+                rng = np.random.default_rng([55, i])
+                img = rng.integers(0, 255, (16, 16, 3)).astype(np.uint8)
+                raw = encode_jpeg(img, quality=85)
+                if kind == "gps":
+                    raw = inject_exif(
+                        raw, build_exif_segment(gps=(40.0 + i * 0.1, -70.0))
+                    )
+                elif kind == "nogps":
+                    raw = inject_exif(raw, build_exif_segment(gps=None))
+                rows.append({"img_id": f"i-{i:04d}", "kind": kind, "bytes": raw})
+            yield pd.DataFrame(rows)
+
+    imgs = spark.range(0, 60).repartition(8).mapInPandas(
+        gen, "img_id string, kind string, bytes binary"
+    )
+    prof = profile_exif(imgs).select("img_id", "exif_present", "has_gps")
+    rescrub = profile_exif(
+        scrub_exif(imgs).select("img_id", "kind", "bytes", "exif_removed")
+    ).select(
+        "img_id", "kind", "exif_removed",
+        F.col("exif_present").alias("exif_after_scrub"),
+    )
+    out = prof.join(rescrub, "img_id")
+    verdict = (
+        F.when(F.col("kind") == "gps", F.col("has_gps") & F.col("exif_removed"))
+        .when(F.col("kind") == "nogps", F.col("exif_present") & ~F.col("has_gps"))
+        .otherwise(~F.col("exif_present") & ~F.col("exif_removed"))
+        & ~F.col("exif_after_scrub")
+    )
+    return out.select(
+        "img_id", "kind", "exif_present", "has_gps", "exif_removed",
+        "exif_after_scrub", verdict.alias("as_expected"),
+    )
+
+
 def q_doc_fix_mojibake(spark, sf_dir):
     """Encoding repair (functions/mojibake.py; rows-only: byte-level
     re-decoding has no SQL twin; round-trips, clean-text
@@ -4020,6 +4079,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_per_group": q_topk_per_group,
         "rollup_metrics": q_rollup_metrics,
         "window_lag": q_window_lag,
+        "images_exif": q_images_exif,
     }
 
 
