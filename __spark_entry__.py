@@ -3391,6 +3391,88 @@ def q_clips_cue_align(spark, sf_dir):
     )
 
 
+def q_clips_meta_scrub(spark, sf_dir):
+    """Audio container metadata PII strip (functions/audio_metadata.py;
+    rows-only: chunk/frame/block byte grammars have no SQL twin;
+    round-trips and bit-identical audio are pytest-gated in
+    tests/test_audio_metadata.py). Clips are synthesized in four
+    kinds — WAV+LIST/INFO, FLAC+VORBIS_COMMENT, MP3+ID3v2+ID3v1,
+    clean WAV — profiled, scrubbed, re-profiled; `as_expected`
+    asserts metadata is flagged where planted and absent after the
+    rewrite."""
+    ensure_shipped(spark)
+    from bdqc_spark.functions.audio_metadata import (
+        profile_audio_metadata,
+        scrub_audio_metadata,
+    )
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        from bdqc_spark.functions.audio import encode
+        from bdqc_spark.functions.audio_metadata import (
+            add_flac_comments,
+            add_wav_info,
+            build_id3v2,
+        )
+        from bdqc_spark.functions.containers import build_test_mp3
+        from bdqc_spark.functions.flac import flac_encode
+
+        sr = 16000
+        t = np.arange(sr // 2) / sr
+        pcm = (0.4 * np.sin(2 * np.pi * 330 * t)).astype(np.float32)
+        kinds = ["wav", "flac", "mp3", "clean"]
+        for b in batches:
+            rows = []
+            for i in b["id"]:
+                i = int(i)
+                kind = kinds[i % 4]
+                tags = {"artist": f"speaker {i}", "comment": "home recording"}
+                if kind == "wav":
+                    raw = add_wav_info(encode(pcm, "wav", sr), tags)
+                elif kind == "flac":
+                    raw = add_flac_comments(
+                        flac_encode(pcm, sr), {"ARTIST": tags["artist"]}
+                    )
+                elif kind == "mp3":
+                    raw = build_id3v2({"TPE1": tags["artist"]}) + build_test_mp3(
+                        n_frames=8, id3_size=0
+                    ) + b"TAG" + b"\x00" * 125
+                else:
+                    raw = encode(pcm, "wav", sr)
+                rows.append({"clip_id": f"m-{i:04d}", "kind": kind, "bytes": raw})
+            yield pd.DataFrame(rows)
+
+    clips = spark.range(0, 64).repartition(8).mapInPandas(
+        gen, "clip_id string, kind string, bytes binary"
+    )
+    prof = profile_audio_metadata(clips).select(
+        "clip_id", "container", "has_metadata", "n_tags", "meta_bytes", "tag_keys"
+    )
+    rescrub = profile_audio_metadata(
+        scrub_audio_metadata(clips).select(
+            "clip_id", "kind", "bytes", "meta_removed_bytes"
+        )
+    ).select(
+        "clip_id", "kind", "meta_removed_bytes",
+        F.col("has_metadata").alias("meta_after_scrub"),
+    )
+    out = prof.join(rescrub, "clip_id")
+    verdict = (
+        F.when(
+            F.col("kind") != "clean",
+            F.col("has_metadata") & (F.col("meta_removed_bytes") > 0),
+        ).otherwise(~F.col("has_metadata") & (F.col("meta_removed_bytes") == 0))
+        & ~F.col("meta_after_scrub")
+    )
+    return out.select(
+        "clip_id", "kind", "container", "has_metadata", "n_tags",
+        "meta_bytes", "tag_keys", "meta_removed_bytes", "meta_after_scrub",
+        verdict.alias("as_expected"),
+    )
+
+
 def q_images_exif(spark, sf_dir):
     """EXIF PII detection + stripping (functions/exif.py; rows-only:
     TIFF/IFD byte grammar has no SQL twin; round-trip, pixel
@@ -4080,6 +4162,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_metrics": q_rollup_metrics,
         "window_lag": q_window_lag,
         "images_exif": q_images_exif,
+        "clips_meta_scrub": q_clips_meta_scrub,
     }
 
 
