@@ -379,3 +379,48 @@ def scrub_audio_metadata(clips: DataFrame) -> DataFrame:
         f"{f.name} {f.dataType.simpleString()}" for f in clips.schema.fields
     )
     return clips.mapInPandas(_scrub_batches, f"{passthrough}, meta_removed_bytes int")
+
+
+# --------------------------------------------------------------------------
+# table-level strip (copy-on-write UPDATE)
+# --------------------------------------------------------------------------
+def strip_table_metadata(spark, table) -> str | None:
+    """Rewrite the clips whose container carries metadata — bytes
+    column replaced with the stripped form via the table's
+    copy-on-write ``update`` (only affected files rewritten, row
+    count asserted, time travel preserved). Container-less codecs
+    (raw pcm/ulaw/alaw payloads) cannot carry tags and are excluded
+    by the pushdown-friendly codec predicate before any Python runs.
+    Returns the update snapshot id, or None when the table is clean."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("boolean")
+    def _has_meta(raw: pd.Series) -> pd.Series:
+        out = []
+        for b in raw:
+            if b is None:
+                out.append(False)
+                continue
+            try:
+                p = parse_audio_metadata(bytes(b))
+                out.append(bool(p["tags"]) or p["meta_bytes"] > 0)
+            except (ValueError, struct.error):
+                out.append(False)
+        return pd.Series(out)
+
+    @pandas_udf("binary")
+    def _strip(raw: pd.Series) -> pd.Series:
+        out = []
+        for b in raw:
+            if b is None:
+                out.append(None)
+                continue
+            try:
+                out.append(strip_audio_metadata(bytes(b))[0])
+            except (ValueError, struct.error, KeyError):
+                out.append(bytes(b))
+        return pd.Series(out)
+
+    predicate = F.col("codec").isin("wav", "flac") & _has_meta(F.col("bytes"))
+    return table.update(spark, predicate, {"bytes": _strip(F.col("bytes"))})

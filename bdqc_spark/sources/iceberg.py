@@ -703,6 +703,133 @@ class IcebergishTable:
             json.dump({"keys": deleted_keys}, f)
         return self._commit_snapshot(manifest)
 
+    def update(
+        self,
+        spark: SparkSession,
+        predicate,
+        assignments: dict,
+        scan_buckets: list[int] | None = None,
+        scan_range: dict | None = None,
+    ) -> str | None:
+        """Row-level UPDATE … SET (copy-on-write, Iceberg's
+        `update-mode=copy-on-write`): rewrite ONLY the data files
+        containing rows matching ``predicate``, applying
+        ``assignments`` ({column: Column expression}) to the matching
+        rows and copying everything else byte-identically; commit an
+        ``update`` snapshot that swaps just the affected files.
+
+        Same discovery/pushdown discipline as ``delete`` (raw
+        predicate in the scan filter so parquet pushdown applies;
+        ``scan_buckets``/``scan_range`` prune the file list via the
+        manifest first). Row COUNT is preserved and asserted — an
+        update that changes cardinality refuses to commit. Time
+        travel to pre-update snapshots sees the old values; like
+        compaction, incremental consumers skip the non-append
+        snapshot (this is layout-preserving maintenance of VALUES,
+        not new data; a CDC-grade changelog would emit update rows —
+        out of scope here, documented).
+
+        Returns the new snapshot id, or None when nothing matched.
+        """
+        snap = self.snapshot()
+        if snap is None:
+            raise ValueError(f"no snapshot at {self.root}")
+        if not assignments:
+            raise ValueError("update: empty assignments")
+        cond = F.expr(predicate) if isinstance(predicate, str) else predicate
+        hit = F.coalesce(cond.cast("boolean"), F.lit(False))
+
+        base = os.path.abspath(self.data_dir)
+        hits = (
+            self.read(spark, buckets=scan_buckets, range_filter=scan_range)
+            .where(cond)
+            .select(F.input_file_name().alias("f"))
+            .distinct()
+            .collect()
+        )
+        affected: set[str] = set()
+        for r in hits:
+            p = r["f"]
+            if p.startswith("file:"):
+                p = p[len("file:") :]
+                while p.startswith("//"):
+                    p = p[1:]
+            affected.add(os.path.relpath(os.path.abspath(p), base))
+        if not affected:
+            return None
+
+        aff_paths = [os.path.join(self.data_dir, rel) for rel in sorted(affected)]
+        reader = spark.read.option("basePath", self.data_dir).schema(self._schema_ddl(snap))
+        aff_df = reader.parquet(*aff_paths)
+        bad = sorted(set(assignments) - set(aff_df.columns))
+        if bad:
+            raise ValueError(f"update: unknown columns {bad}")
+        n_updated = aff_df.where(cond).count()
+        cols = []
+        for c in aff_df.columns:
+            if c in assignments:
+                newv = assignments[c]
+                field = aff_df.schema[c].dataType
+                cols.append(
+                    F.when(hit, F.expr(newv) if isinstance(newv, str) else newv)
+                    .otherwise(F.col(c))
+                    .cast(field)
+                    .alias(c)
+                )
+            else:
+                cols.append(F.col(c))
+
+        before = self._data_listing()
+        (
+            aff_df.select(*cols)
+            .repartition(max(1, len({r.split("/", 1)[0] for r in affected})), BUCKET_COL)
+            .write.mode("append")
+            .partitionBy(BUCKET_COL)
+            .parquet(self.data_dir)
+        )
+        new_by_bucket: dict[str, list[str]] = {}
+        for rel in sorted(self._data_listing() - before):
+            new_by_bucket.setdefault(rel.split("/", 1)[0].split("=", 1)[1], []).append(rel)
+
+        import pyarrow.parquet as pq
+
+        def _rows(rels) -> int:
+            return sum(
+                pq.ParquetFile(os.path.join(self.data_dir, r)).metadata.num_rows
+                for r in rels
+            )
+
+        old_rows = _rows(affected)
+        new_rows = _rows(rel for fs in new_by_bucket.values() for rel in fs)
+        if old_rows != new_rows:
+            raise RuntimeError(
+                f"update: rewrite changed row count {old_rows} → {new_rows}; "
+                "refusing to commit (orphan sweep will collect the new files)"
+            )
+        bucket_files = {k: list(v) for k, v in snap["bucket_files"].items()}
+        for k in list(bucket_files):
+            kept = [r for r in bucket_files[k] if r not in affected]
+            kept.extend(new_by_bucket.get(k, []))
+            bucket_files[k] = kept
+
+        manifest = {
+            "snapshot_id": uuid.uuid4().hex[:16],
+            "parent_snapshot_id": snap["snapshot_id"],
+            "timestamp_ms": int(time.time() * 1000),
+            "operation": "update",
+            "bucket_key": self.bucket_key,
+            "num_buckets": self.num_buckets,
+            "schema": snap["schema"],
+            "bucket_files": bucket_files,
+            "file_stats": self._manifest_file_stats(snap, bucket_files),
+            "summary": {
+                "total_rows": snap["summary"]["total_rows"],
+                "updated_rows": n_updated,
+                "rewritten_files": len(affected),
+            },
+        }
+        return self._commit_snapshot(manifest)
+
     def deleted_keys(self, snapshot_id: str) -> list | None:
         """Tombstoned key values of a ``delete`` snapshot (None when
         no sidecar exists — e.g. it was expired along with the

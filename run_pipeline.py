@@ -49,6 +49,16 @@ def main(argv: list[str] | None = None) -> int:
         "superseded files, which physically erases the bytes",
     )
     ap.add_argument(
+        "--strip-metadata",
+        action="store_true",
+        help="BEFORE the run, rewrite clips whose audio container "
+        "carries embedded metadata (WAV LIST/INFO, FLAC Vorbis "
+        "comments) with the metadata removed — a copy-on-write "
+        "UPDATE touching only the affected files; audio payload "
+        "decodes bit-identically. Combine with --maintain to expire "
+        "the pre-strip snapshots and physically erase the tag bytes",
+    )
+    ap.add_argument(
         "--erase-keys",
         default=None,
         metavar="FILE",
@@ -136,6 +146,19 @@ def main(argv: list[str] | None = None) -> int:
             if del_sid
             else {"snapshot": None, "rows": 0}
         )
+    stripped = None
+    if args.strip_metadata:
+        if args.snapshot:
+            print("--strip-metadata cannot be combined with --snapshot", file=sys.stderr)
+            return 2
+        from bdqc_spark.functions.audio_metadata import strip_table_metadata
+
+        strip_sid = strip_table_metadata(spark, tbl)
+        stripped = (
+            {"snapshot": strip_sid, "rows": tbl.snapshot()["summary"]["updated_rows"]}
+            if strip_sid
+            else {"snapshot": None, "rows": 0}
+        )
     snapshot = args.snapshot or tbl.current_snapshot_id()
     result = run_pipeline(
         spark,
@@ -211,6 +234,7 @@ def main(argv: list[str] | None = None) -> int:
                 "maintenance": maintenance,
                 "ingested": ingested,
                 "erased": erased,
+                "stripped": stripped,
                 "repair": repair,
                 # None on fresh runs (no previous model snapshot);
                 # else the number of drifted (cohort, attribute) cells
