@@ -296,6 +296,9 @@ def parse_audio_metadata(raw: bytes) -> dict:
     if raw[:4] == b"fLaC":
         tags, meta = _parse_flac_meta(raw)
         return {"container": "flac", "tags": tags, "meta_bytes": meta}
+    if raw[:4] == b"OggS":
+        tags, meta = _parse_ogg_meta(raw)
+        return {"container": "ogg", "tags": tags, "meta_bytes": meta}
     if raw.startswith(b"ID3") or (
         len(raw) >= 2 and raw[0] == 0xFF and (raw[1] & 0xE0) == 0xE0
     ):
@@ -309,7 +312,10 @@ def strip_audio_metadata(raw: bytes) -> tuple[bytes, int]:
     p = parse_audio_metadata(raw)
     if p["meta_bytes"] == 0 and not p["tags"]:
         return raw, 0
-    out = {"wav": _strip_wav, "flac": _strip_flac, "mp3": _strip_mp3}[p["container"]](raw)
+    out = {
+        "wav": _strip_wav, "flac": _strip_flac,
+        "mp3": _strip_mp3, "ogg": _strip_ogg,
+    }[p["container"]](raw)
     return out, len(raw) - len(out)
 
 
@@ -424,3 +430,151 @@ def strip_table_metadata(spark, table) -> str | None:
 
     predicate = F.col("codec").isin("wav", "flac") & _has_meta(F.col("bytes"))
     return table.update(spark, predicate, {"bytes": _strip(F.col("bytes"))})
+
+
+# --------------------------------------------------------------------------
+# Ogg (OpusTags / Vorbis comment packet)
+# --------------------------------------------------------------------------
+def _ogg_pages(raw: bytes):
+    """Yield (serial, seq, granule, header_type, seg_tbl, body) per
+    page; ValueError on truncation (CRC is checked by parse_ogg)."""
+    pos, n = 0, len(raw)
+    while pos < n:
+        if n - pos < 27 or raw[pos : pos + 4] != b"OggS":
+            raise ValueError("truncated/corrupt Ogg page header")
+        header_type = raw[pos + 5]
+        granule = struct.unpack_from("<q", raw, pos + 6)[0]
+        serial, seq = struct.unpack_from("<II", raw, pos + 14)
+        n_segs = raw[pos + 26]
+        seg_tbl = raw[pos + 27 : pos + 27 + n_segs]
+        if len(seg_tbl) != n_segs:
+            raise ValueError("truncated Ogg segment table")
+        body_len = sum(seg_tbl)
+        end = pos + 27 + n_segs + body_len
+        if end > n:
+            raise ValueError("truncated Ogg page body")
+        yield serial, seq, granule, header_type, seg_tbl, raw[pos + 27 + n_segs : end]
+        pos = end
+
+
+def _vorbis_comments(b: bytes) -> tuple[str, dict[str, str]]:
+    (vlen,) = struct.unpack_from("<I", b, 0)
+    vendor = b[4 : 4 + vlen].decode("utf-8", errors="replace")
+    p = 4 + vlen
+    (n_c,) = struct.unpack_from("<I", b, p)
+    p += 4
+    tags: dict[str, str] = {}
+    for _ in range(n_c):
+        (clen,) = struct.unpack_from("<I", b, p)
+        item = b[p + 4 : p + 4 + clen].decode("utf-8", errors="replace")
+        p += 4 + clen
+        if "=" in item:
+            k, v = item.split("=", 1)
+            tags[k.upper()] = v
+    return vendor, tags
+
+
+def _ogg_comment_pages(raw: bytes) -> tuple[list[int], bytes]:
+    """Indexes of the pages carrying the comment packet (page seq 1
+    plus continuations) and the reassembled packet bytes."""
+    pages = list(_ogg_pages(raw))
+    if len(pages) < 2:
+        raise ValueError("ogg: no comment page")
+    idxs, packet = [], b""
+    for i, (_, _, _, htype, seg_tbl, body) in enumerate(pages):
+        if i == 0:
+            continue  # BOS / id header page
+        if i > 1 and not (htype & 0x01):
+            break  # continuation flag absent: packet ended
+        idxs.append(i)
+        packet += body
+        if len(seg_tbl) == 0 or seg_tbl[-1] != 255:
+            break  # packet complete on this page
+    return idxs, packet
+
+
+def _parse_ogg_meta(raw: bytes) -> tuple[dict, int]:
+    idxs, packet = _ogg_comment_pages(raw)
+    if packet.startswith(b"OpusTags"):
+        vendor, tags = _vorbis_comments(packet[8:])
+    elif packet.startswith(b"\x03vorbis"):
+        vendor, tags = _vorbis_comments(packet[7:])
+    else:
+        return {}, 0
+    # the minimal legal comment packet (vendor, zero comments) is
+    # structural, not metadata — only user comments count
+    return tags, (len(packet) if tags else 0)
+
+
+def _replace_ogg_comment_packet(raw: bytes, new_packet: bytes, idxs: list[int]) -> bytes:
+    """Page surgery: the comment packet's pages are replaced by ONE
+    page carrying ``new_packet``; trailing pages are renumbered and
+    their CRCs recomputed (bodies untouched)."""
+    from bdqc_spark.functions.containers import _ogg_page, ogg_crc
+
+    out = []
+    new_seq = None
+    offset = 0
+    for i, (serial, seq, granule, htype, seg_tbl, body) in enumerate(_ogg_pages(raw)):
+        span = 27 + len(seg_tbl) + sum(seg_tbl)
+        start, offset = offset, offset + span
+        if i in idxs:
+            if i == idxs[0]:
+                out.append(_ogg_page(serial, seq, granule, [new_packet]))
+                new_seq = seq + 1
+            continue  # continuation pages dropped
+        if new_seq is None:
+            out.append(raw[start : start + span])  # pages before: verbatim
+        else:
+            lacing = bytes(seg_tbl)
+            hdr = (
+                b"OggS" + b"\x00" + bytes([htype])
+                + struct.pack("<q", granule)
+                + struct.pack("<II", serial, new_seq)
+                + b"\x00\x00\x00\x00"
+                + bytes([len(lacing)]) + lacing
+            )
+            page = bytearray(hdr + body)
+            page[22:26] = struct.pack("<I", ogg_crc(bytes(page)))
+            out.append(bytes(page))
+            new_seq += 1
+    return b"".join(out)
+
+
+def _comment_block(vendor: str, tags: dict[str, str]) -> bytes:
+    body = struct.pack("<I", len(vendor.encode())) + vendor.encode()
+    body += struct.pack("<I", len(tags))
+    for k, v in tags.items():
+        item = f"{k}={v}".encode()
+        body += struct.pack("<I", len(item)) + item
+    return body
+
+
+def _strip_ogg(raw: bytes) -> bytes:
+    idxs, packet = _ogg_comment_pages(raw)
+    if packet.startswith(b"OpusTags"):
+        vendor, tags = _vorbis_comments(packet[8:])
+        minimal = b"OpusTags" + _comment_block(vendor, {})
+    elif packet.startswith(b"\x03vorbis"):
+        vendor, tags = _vorbis_comments(packet[7:])
+        minimal = b"\x03vorbis" + _comment_block(vendor, {}) + b"\x01"
+    else:
+        return raw
+    if not tags:
+        return raw
+    return _replace_ogg_comment_packet(raw, minimal, idxs)
+
+
+def add_ogg_comments(raw: bytes, tags: dict[str, str]) -> bytes:
+    """Fixture helper: rewrite the comment packet WITH user comments
+    (vendor preserved); the inverse surgery of _strip_ogg."""
+    idxs, packet = _ogg_comment_pages(raw)
+    if packet.startswith(b"OpusTags"):
+        vendor, _ = _vorbis_comments(packet[8:])
+        new = b"OpusTags" + _comment_block(vendor, tags)
+    elif packet.startswith(b"\x03vorbis"):
+        vendor, _ = _vorbis_comments(packet[7:])
+        new = b"\x03vorbis" + _comment_block(vendor, tags) + b"\x01"
+    else:
+        raise ValueError("ogg: no comment packet to rewrite")
+    return _replace_ogg_comment_packet(raw, new, idxs)

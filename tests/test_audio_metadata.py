@@ -105,3 +105,48 @@ def test_spark_profile_and_scrub(spark, pcm):
         assert parse_audio_metadata(bytes(scr.loc[k, "bytes"]))["tags"] == {}
     assert bytes(scr.loc["clean", "bytes"]) == clean
     assert bytes(scr.loc["junk", "bytes"]) == b"\x01\x02"
+
+
+def test_ogg_opus_comment_round_trip():
+    from bdqc_spark.functions.audio_metadata import add_ogg_comments
+    from bdqc_spark.functions.containers import build_test_ogg_opus, parse_ogg
+
+    plain = build_test_ogg_opus(channels=1, n_audio_pages=3)
+    p0 = parse_audio_metadata(plain)
+    assert p0["container"] == "ogg" and p0["tags"] == {}
+
+    tagged = add_ogg_comments(plain, {"ARTIST": "Jane Doe", "LOCATION": "48.85,2.35"})
+    # every page CRC must still verify after the surgery
+    prof_t = parse_ogg(tagged)
+    p = parse_audio_metadata(tagged)
+    assert p["tags"]["ARTIST"] == "Jane Doe" and p["meta_bytes"] > 0
+
+    stripped, removed = strip_audio_metadata(tagged)
+    assert removed > 0
+    assert parse_audio_metadata(stripped)["tags"] == {}
+    # stream stays fully valid: page CRCs, page count, codec profile
+    prof_s = parse_ogg(stripped)
+    assert prof_s["n_pages"] == prof_t["n_pages"]
+    assert prof_s["codec"] == "opus"
+    assert prof_s["duration_ms"] == prof_t["duration_ms"]
+    # the audio pages' bodies are untouched: strip(tagged) == plain
+    assert stripped == plain
+    # idempotent
+    assert strip_audio_metadata(stripped) == (stripped, 0)
+
+
+def test_ogg_multi_segment_comment_packet():
+    """A comment packet spanning several 255-byte lacing segments
+    (the writer never splits packets across pages; cross-page
+    continuation is handled by the same reassembly loop) strips back
+    to the plain stream."""
+    from bdqc_spark.functions.audio_metadata import add_ogg_comments
+    from bdqc_spark.functions.containers import build_test_ogg_opus, parse_ogg
+
+    plain = build_test_ogg_opus(n_audio_pages=2)
+    big = add_ogg_comments(plain, {"COMMENT": "x" * 700})  # > 2 lacing segments
+    p = parse_audio_metadata(big)
+    assert p["tags"]["COMMENT"] == "x" * 700
+    stripped, removed = strip_audio_metadata(big)
+    assert removed > 0 and stripped == plain
+    assert parse_ogg(stripped)["codec"] == "opus"
