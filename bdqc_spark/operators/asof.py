@@ -87,7 +87,9 @@ def asof_join(
     order = [
         F.col("_ts").asc() if asc else F.col("_ts").desc(),
         F.col("_side").asc(),
-        F.col("_seq").asc_nulls_last() if asc else F.col("_seq").desc_nulls_last(),
+        # within equal (ts, side) the LAST row wins via last(); seq
+        # ascending makes that the GREATEST seq in both directions
+        F.col("_seq").asc_nulls_last(),
     ]
     w = (
         Window.partitionBy(*by)

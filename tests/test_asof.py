@@ -63,7 +63,9 @@ def test_forward_semantics(spark, tables):
     trades, quotes = tables
     out = asof_join(trades, quotes, "ts", by=["sym"], seq_col="qid", direction="forward")
     got = {r.tid: r.qid_r for r in out.collect()}
-    assert got[10] in (2, 3) or got[10] == 2  # ts=4 → next quote at 10
+    # ts=4 → next quote at 10; equal-ts tie → greatest qid, matching
+    # the backward convention
+    assert got[10] == 3
     assert got[12] is None  # nothing after 30 for a
     assert got[13] == 4  # b@4 → quote at 5
     assert got[15] is None
