@@ -3532,6 +3532,75 @@ def q_images_exif(spark, sf_dir):
     )
 
 
+def q_doc_rule_ablation(spark, sf_dir):
+    """Filter-rule ablation accounting (the per-rule removal-rate
+    table Gopher/RefinedWeb-style pipeline papers report): five
+    deterministic quality rules fire per doc; for each rule, how many
+    docs it hits, how many it UNIQUELY drops (no other rule fires —
+    the rule's true marginal contribution), and its share of all
+    flagged docs. One explode + one partial-agg shuffle over
+    (doc, rule) pairs; the flagged-total joins back as a broadcast
+    one-row aggregate. Oracle-exact vs DuckDB (list_filter/unnest
+    twin of the same rules)."""
+    ensure_shipped(spark)
+    d = _t(spark, sf_dir, "documents")
+    text = F.col("text")
+    nondigit = F.length(F.regexp_replace(text, "[0-9]", ""))
+    nonupper = F.length(F.regexp_replace(text, "[A-Z]", ""))
+    rules = [
+        ("r_short", F.length(text) < 120),
+        ("r_nonterminal", ~text.rlike("[.!?\"']\\s*$")),
+        ("r_digit_heavy", (F.length(text) - nondigit) > 0.2 * F.length(text)),
+        ("r_upper_heavy", (F.length(text) - nonupper) > 0.3 * F.length(text)),
+        ("r_no_space", ~text.contains(" ")),
+    ]
+    hits = F.array_compact(
+        F.array(*[F.when(cond, F.lit(name)) for name, cond in rules])
+    )
+    flagged = d.select(F.col("doc_id"), hits.alias("hits")).where(F.size("hits") > 0)
+    total = flagged.agg(F.count("*").alias("n_flagged"))
+    per_rule = (
+        flagged.select(
+            "doc_id", F.size("hits").alias("n_rules"), F.explode("hits").alias("rule")
+        )
+        .groupBy("rule")
+        .agg(
+            F.count("*").alias("n_hit"),
+            F.sum(F.when(F.col("n_rules") == 1, 1).otherwise(0)).alias("n_unique"),
+        )
+    )
+    return per_rule.crossJoin(F.broadcast(total)).select(
+        "rule",
+        "n_hit",
+        "n_unique",
+        F.round(F.col("n_hit") / F.col("n_flagged"), 6).alias("frac_of_flagged"),
+    )
+
+
+ORACLE_RULE_ABLATION = """
+WITH f AS (
+  SELECT doc_id,
+         list_filter([
+           CASE WHEN length(text) < 120 THEN 'r_short' END,
+           CASE WHEN NOT regexp_matches(text, '[.!?"'']\\s*$') THEN 'r_nonterminal' END,
+           CASE WHEN (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
+                     > 0.2 * length(text) THEN 'r_digit_heavy' END,
+           CASE WHEN (length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')))
+                     > 0.3 * length(text) THEN 'r_upper_heavy' END,
+           CASE WHEN text NOT LIKE '% %' THEN 'r_no_space' END
+         ], x -> x IS NOT NULL) AS hits
+  FROM documents
+), flagged AS (
+  SELECT doc_id, hits, len(hits) AS n_rules FROM f WHERE len(hits) > 0
+), t AS (SELECT count(*) AS n_flagged FROM flagged),
+e AS (SELECT doc_id, n_rules, unnest(hits) AS rule FROM flagged)
+SELECT e.rule, count(*) AS n_hit,
+       CAST(sum(CASE WHEN e.n_rules = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+       round(count(*) * 1.0 / t.n_flagged, 6) AS frac_of_flagged
+FROM e, t GROUP BY e.rule, t.n_flagged
+"""
+
+
 def q_doc_fix_mojibake(spark, sf_dir):
     """Encoding repair (functions/mojibake.py; rows-only: byte-level
     re-decoding has no SQL twin; round-trips, clean-text
@@ -4163,6 +4232,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_lag": q_window_lag,
         "images_exif": q_images_exif,
         "clips_meta_scrub": q_clips_meta_scrub,
+        "doc_rule_ablation": q_doc_rule_ablation,
     }
 
 
@@ -4240,6 +4310,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_char_entropy": ORACLE_LANG_CHAR_ENTROPY,
         "doc_dup_spans": ORACLE_DUP_SPANS,
         "key_skew_profile": ORACLE_KEY_SKEW,
+        "doc_rule_ablation": ORACLE_RULE_ABLATION,
         "asof_join_events": ORACLE_ASOF,
         "interval_join_events": ORACLE_INTERVAL_JOIN,
     }

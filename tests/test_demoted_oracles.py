@@ -74,6 +74,7 @@ DEMOTED_ORACLE_QUERIES = [
     "topk_per_group",
     "rollup_metrics",
     "window_lag",
+    "doc_rule_ablation",
 ]
 
 
