@@ -153,7 +153,7 @@ class IcebergishTable:
             "operation": operation,
             "bucket_key": self.bucket_key,
             "num_buckets": self.num_buckets,
-            "schema": [f"{f.name}:{f.dataType.simpleString()}" for f in df.schema.fields],
+            "schema": self._evolved_schema(prev, df),
             "bucket_files": bucket_files,
             "file_stats": self._manifest_file_stats(prev, bucket_files),
             "summary": {"total_rows": total_rows},
@@ -202,6 +202,39 @@ class IcebergishTable:
         return out
 
     # -- read -------------------------------------------------------------
+    def _evolved_schema(self, prev: dict | None, df: DataFrame) -> list[str]:
+        """Iceberg-style schema evolution contract for append: NEW
+        columns are allowed (the manifest schema becomes the union —
+        older files read them as null); DROPPING a known column or
+        CHANGING a column's type is refused, because recording the
+        writer's narrower/retyped schema would silently hide or
+        corrupt data already in the table. (Iceberg allows explicit
+        drops via an ALTER; an append is not that.)"""
+        new = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+        if prev is None:
+            return [f"{f.name}:{f.dataType.simpleString()}" for f in df.schema.fields]
+        out = []
+        for e in prev["schema"]:
+            name, typ = e.split(":", 1)
+            if name == BUCKET_COL and name not in new:
+                out.append(e)
+                continue
+            if name not in new:
+                raise ValueError(
+                    f"append: dataframe drops known column '{name}' — schema "
+                    "evolution allows ADDING columns only"
+                )
+            if new[name] != typ:
+                raise ValueError(
+                    f"append: column '{name}' type change {typ} → {new[name]} refused"
+                )
+            out.append(e)
+        known = {e.split(":", 1)[0] for e in out}
+        for f in df.schema.fields:
+            if f.name not in known:
+                out.append(f"{f.name}:{f.dataType.simpleString()}")
+        return out
+
     def _schema_ddl(self, snap: dict) -> str:
         """Manifest schema as DDL, always including the partition-
         derived bucket column (the manifest records the writer's
