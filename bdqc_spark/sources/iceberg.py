@@ -460,7 +460,11 @@ class IcebergishTable:
     def _append_added_files(self, s: dict) -> list[str]:
         """Data files an APPEND snapshot added vs its parent (empty
         for rewrite/rebucket/delete snapshots — their files carry no
-        new rows)."""
+        new rows). MERGE snapshots contribute their BATCH files only
+        (upsert-changelog semantics: consumers see the new row
+        versions; the survivor rewrites carry no new rows)."""
+        if s["operation"] == "merge":
+            return list(s.get("merge_files", []))
         if s["operation"] != "append":
             return []
         parent = self.snapshot(s["parent_snapshot_id"]) if s["parent_snapshot_id"] else None
@@ -858,6 +862,130 @@ class IcebergishTable:
             "summary": {
                 "total_rows": snap["summary"]["total_rows"],
                 "updated_rows": n_updated,
+                "rewritten_files": len(affected),
+            },
+        }
+        return self._commit_snapshot(manifest)
+
+    def merge(self, spark: SparkSession, df: DataFrame) -> str:
+        """Copy-on-write MERGE (upsert) keyed on the bucket key:
+        batch rows whose key already exists REPLACE the stored rows;
+        the rest INSERT — one ``merge`` snapshot. Discovery prunes to
+        the batch keys' hash buckets via the manifest (delete_keys'
+        fast path) and matches with a semi join, never an IN-list
+        literal; the rewrite touches only files containing matched
+        keys. Schema follows the append evolution contract (new
+        columns allowed, drops/retypes refused). Duplicate keys
+        WITHIN the batch are refused — the result would be undefined
+        (Iceberg MERGE errors the same way).
+
+        Changelog semantics: incremental readers see the batch files
+        (the NEW row versions — standard upsert changelog); the old
+        versions were emitted when their appends happened, so keyed
+        consumers converge on the latest state. Time travel to
+        pre-merge snapshots sees the old rows.
+        """
+        snap = self.snapshot()
+        if snap is None:
+            raise ValueError(f"no snapshot at {self.root}")
+        if snap.get("num_buckets") not in (None, self.num_buckets):
+            self.num_buckets = int(snap["num_buckets"])
+        evolved = self._evolved_schema(snap, df)
+        key = self.bucket_key
+        bucketed = df if BUCKET_COL in df.columns else self.with_bucket(df)
+        n_batch = bucketed.count()
+        batch_keys = bucketed.select(key).distinct()
+        n_keys = batch_keys.count()
+        if n_keys != n_batch:
+            raise ValueError(
+                f"merge: batch has {n_batch - n_keys} duplicate '{key}' values — "
+                "upsert per key is undefined; dedup the batch first"
+            )
+        buckets = sorted(
+            r[BUCKET_COL] for r in bucketed.select(BUCKET_COL).distinct().collect()
+        )
+
+        base = os.path.abspath(self.data_dir)
+        hits = (
+            self.read(spark, buckets=buckets)
+            # bind the file name on the scan side BEFORE the join —
+            # input_file_name() is ambiguous across two sources
+            .select(F.col(key), F.input_file_name().alias("f"))
+            .join(batch_keys, key, "left_semi")
+            .select("f")
+            .distinct()
+            .collect()
+        )
+        affected: set[str] = set()
+        for r in hits:
+            p = r["f"]
+            if p.startswith("file:"):
+                p = p[len("file:") :]
+                while p.startswith("//"):
+                    p = p[1:]
+            affected.add(os.path.relpath(os.path.abspath(p), base))
+
+        import pyarrow.parquet as pq
+
+        def _rows(rels) -> int:
+            return sum(
+                pq.ParquetFile(os.path.join(self.data_dir, r)).metadata.num_rows
+                for r in rels
+            )
+
+        # phase 1: rewrite affected files without the matched keys
+        survivor_files: list[str] = []
+        if affected:
+            before = self._data_listing()
+            aff_paths = [os.path.join(self.data_dir, rel) for rel in sorted(affected)]
+            reader = spark.read.option("basePath", self.data_dir).schema(
+                self._schema_ddl(snap)
+            )
+            (
+                reader.parquet(*aff_paths)
+                .join(batch_keys, key, "left_anti")
+                .repartition(
+                    max(1, len({r.split("/", 1)[0] for r in affected})), BUCKET_COL
+                )
+                .write.mode("append")
+                .partitionBy(BUCKET_COL)
+                .parquet(self.data_dir)
+            )
+            survivor_files = sorted(self._data_listing() - before)
+        # phase 2: append the batch itself (captured separately — these
+        # are the changelog-visible files)
+        before2 = self._data_listing()
+        (
+            bucketed.repartition(self.num_buckets, BUCKET_COL)
+            .write.mode("append")
+            .partitionBy(BUCKET_COL)
+            .parquet(self.data_dir)
+        )
+        merge_files = sorted(self._data_listing() - before2)
+
+        matched = _rows(affected) - _rows(survivor_files)
+        bucket_files = {k: list(v) for k, v in snap["bucket_files"].items()}
+        for k in list(bucket_files):
+            bucket_files[k] = [r for r in bucket_files[k] if r not in affected]
+        for rel in survivor_files + merge_files:
+            bucket_files.setdefault(rel.split("/", 1)[0].split("=", 1)[1], []).append(rel)
+        bucket_files = {k: v for k, v in bucket_files.items() if v}
+
+        manifest = {
+            "snapshot_id": uuid.uuid4().hex[:16],
+            "parent_snapshot_id": snap["snapshot_id"],
+            "timestamp_ms": int(time.time() * 1000),
+            "operation": "merge",
+            "bucket_key": key,
+            "num_buckets": self.num_buckets,
+            "schema": evolved,
+            "bucket_files": bucket_files,
+            "merge_files": merge_files,
+            "file_stats": self._manifest_file_stats(snap, bucket_files),
+            "summary": {
+                "total_rows": snap["summary"]["total_rows"] + n_batch - matched,
+                "updated_rows": matched,
+                "inserted_rows": n_batch - matched,
                 "rewritten_files": len(affected),
             },
         }
