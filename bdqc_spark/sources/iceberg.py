@@ -801,6 +801,10 @@ class IcebergishTable:
         bad = sorted(set(assignments) - set(aff_df.columns))
         if bad:
             raise ValueError(f"update: unknown columns {bad}")
+        upd_keys = [
+            r[0]
+            for r in aff_df.where(cond).select(self.bucket_key).distinct().collect()
+        ]
         n_updated = aff_df.where(cond).count()
         cols = []
         for c in aff_df.columns:
@@ -858,6 +862,9 @@ class IcebergishTable:
             "num_buckets": self.num_buckets,
             "schema": snap["schema"],
             "bucket_files": bucket_files,
+            "update_files": sorted(
+                rel for fs in new_by_bucket.values() for rel in fs
+            ),
             "file_stats": self._manifest_file_stats(snap, bucket_files),
             "summary": {
                 "total_rows": snap["summary"]["total_rows"],
@@ -865,6 +872,7 @@ class IcebergishTable:
                 "rewritten_files": len(affected),
             },
         }
+        self._write_changed_keys(manifest["snapshot_id"], upd_keys)
         return self._commit_snapshot(manifest)
 
     def merge(self, spark: SparkSession, df: DataFrame) -> str:
@@ -963,6 +971,20 @@ class IcebergishTable:
         )
         merge_files = sorted(self._data_listing() - before2)
 
+        matched_keys = (
+            [
+                r[0]
+                for r in spark.read.option("basePath", self.data_dir)
+                .schema(self._schema_ddl(snap))
+                .parquet(*[os.path.join(self.data_dir, rel) for rel in sorted(affected)])
+                .join(batch_keys, key, "left_semi")
+                .select(key)
+                .distinct()
+                .collect()
+            ]
+            if affected
+            else []
+        )
         matched = _rows(affected) - _rows(survivor_files)
         bucket_files = {k: list(v) for k, v in snap["bucket_files"].items()}
         for k in list(bucket_files):
@@ -989,6 +1011,7 @@ class IcebergishTable:
                 "rewritten_files": len(affected),
             },
         }
+        self._write_changed_keys(manifest["snapshot_id"], matched_keys)
         return self._commit_snapshot(manifest)
 
     def deleted_keys(self, snapshot_id: str) -> list | None:
@@ -1000,6 +1023,128 @@ class IcebergishTable:
                 return json.load(f)["keys"]
         except FileNotFoundError:
             return None
+
+    def _changed_keys_path(self, snapshot_id: str) -> str:
+        return os.path.join(self.meta_dir, "changes", f"chg-{snapshot_id}.json")
+
+    def _write_changed_keys(self, snapshot_id: str, keys: list) -> None:
+        os.makedirs(os.path.join(self.meta_dir, "changes"), exist_ok=True)
+        with open(self._changed_keys_path(snapshot_id), "w") as f:
+            json.dump({"keys": sorted(keys)}, f)
+
+    def changed_keys(self, snapshot_id: str) -> list | None:
+        """Keys an ``update``/``merge`` snapshot REPLACED (None when
+        the sidecar is missing — expired)."""
+        try:
+            with open(self._changed_keys_path(snapshot_id)) as f:
+                return json.load(f)["keys"]
+        except FileNotFoundError:
+            return None
+
+    def read_changes(
+        self,
+        spark: SparkSession,
+        from_snapshot_id: str,
+        to_snapshot_id: str | None = None,
+    ) -> DataFrame:
+        """CDC changelog between two snapshots: one row per change,
+        with ``change_op`` ∈ {insert, update, delete} and
+        ``change_seq`` (snapshot index in lineage order — replay in
+        (change_seq) order). INSERT/UPDATE rows carry the full NEW row
+        version; DELETE rows carry only the key. The replay invariant
+        (pytest-held): applying the changes in order onto the FROM
+        snapshot reproduces the TO snapshot exactly.
+
+        Requires intact lineage and sidecars — CDC is exact or it is
+        an error (unlike ``read_incremental``, which degrades to an
+        at-least-once file diff)."""
+        new = self.snapshot(to_snapshot_id)
+        if new is None:
+            raise ValueError(f"no snapshot at {self.root}")
+        chain = self._lineage_chain(new, from_snapshot_id)
+        if chain is None:
+            raise ValueError("read_changes: lineage broken (expired snapshot)")
+        ddl = self._schema_ddl(new)
+        key = self.bucket_key
+        key_type = next(
+            (e.split(":", 1)[1] for e in new["schema"] if e.split(":", 1)[0] == key),
+            "string",
+        )
+        out_ddl = f"change_op string, change_seq int, {ddl}"
+        pieces = []
+        empty = spark.createDataFrame([], out_ddl)
+
+        def _rows_of(rels: list[str]) -> DataFrame | None:
+            paths = [os.path.join(self.data_dir, r) for r in rels]
+            paths = [p for p in paths if os.path.exists(p)]
+            if not paths:
+                return None
+            return spark.read.option("basePath", self.data_dir).schema(ddl).parquet(*paths)
+
+        # chain is oldest-first (= replay order)
+        for seq, s in enumerate(chain):
+            op = s["operation"]
+            if op == "append":
+                df = _rows_of(self._append_added_files(s))
+                if df is not None:
+                    pieces.append(
+                        df.select(
+                            F.lit("insert").alias("change_op"),
+                            F.lit(seq).alias("change_seq"),
+                            "*",
+                        )
+                    )
+            elif op in ("update", "merge"):
+                changed = self.changed_keys(s["snapshot_id"])
+                if changed is None:
+                    raise ValueError(
+                        f"read_changes: changed-keys sidecar missing for {op} "
+                        f"snapshot {s['snapshot_id']}"
+                    )
+                rels = (
+                    s.get("merge_files", [])
+                    if op == "merge"
+                    else s.get("update_files", [])
+                )
+                df = _rows_of(list(rels))
+                if df is not None:
+                    is_upd = F.col(key).isin(changed) if changed else F.lit(False)
+                    want = F.lit(True) if op == "merge" else is_upd
+                    pieces.append(
+                        df.where(want).select(
+                            F.when(is_upd, F.lit("update"))
+                            .otherwise(F.lit("insert"))
+                            .alias("change_op"),
+                            F.lit(seq).alias("change_seq"),
+                            "*",
+                        )
+                    )
+            elif op == "delete":
+                keys = self.deleted_keys(s["snapshot_id"])
+                if keys is None:
+                    raise ValueError(
+                        "read_changes: tombstone sidecar missing for delete "
+                        f"snapshot {s['snapshot_id']}"
+                    )
+                if keys:
+                    kdf = spark.createDataFrame([(k,) for k in keys], f"{key} {key_type}")
+                    pieces.append(
+                        kdf.select(
+                            F.lit("delete").alias("change_op"),
+                            F.lit(seq).alias("change_seq"),
+                            *[
+                                F.col(key) if n == key else F.lit(None).cast(t).alias(n)
+                                for n, t in (e.split(" ", 1) for e in ddl.split(", "))
+                            ],
+                        )
+                    )
+            # rewrite/rebucket/zorder/expire: no row changes
+        if not pieces:
+            return empty
+        out = pieces[0]
+        for p in pieces[1:]:
+            out = out.unionByName(p)
+        return out
 
     # -- maintenance ------------------------------------------------------
     # The three table-maintenance actions every long-lived Iceberg
