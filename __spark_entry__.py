@@ -3601,6 +3601,63 @@ FROM e, t GROUP BY e.rule, t.n_flagged
 """
 
 
+def q_doc_gopher_rules(spark, sf_dir):
+    """The Gopher quality-rule table (Rae et al. 2021 Table A1 — the
+    canonical heuristic pre-training filter alongside C4): word-count
+    bounds, mean-word-length bounds, alpha-word fraction, symbol
+    ratio, stopword coverage. Pure Catalyst (functions/text.py
+    gopher_rules — array folds/filters, zero Python, zero shuffle):
+    at 100 TB the whole rule table evaluates inside the scan stage.
+    On this corpus gr_word_count and gr_stopwords split (~45%/37% at
+    sf0.01); mean-word-len/alpha/symbol pass everywhere (clean synth
+    text — the thresholds are the paper's, not tuned to flatter)."""
+    d = _t(spark, sf_dir, "documents")
+    g = TX.gopher_rules(F.col("text"))
+    return d.select("doc_id", "lang", g.alias("g")).select("doc_id", "lang", "g.*")
+
+
+ORACLE_GOPHER_RULES = """
+WITH w AS (
+  SELECT doc_id, lang, text,
+         regexp_extract_all(text, '[^ \t\n\r]+') AS words
+  FROM documents
+), m AS (
+  SELECT doc_id, lang,
+    len(words) AS n_words,
+    CASE WHEN len(words) > 0
+         THEN list_sum(list_transform(words, x -> length(x))) * 1.0 / len(words)
+         ELSE 0.0 END AS mwl,
+    CASE WHEN len(words) > 0
+         THEN len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]'))) * 1.0 / len(words)
+         ELSE 0.0 END AS alpha_frac,
+    CASE WHEN len(words) > 0
+         THEN len(regexp_extract_all(text, '#|\\.\\.\\.')) * 1.0 / len(words)
+         ELSE 0.0 END AS symbol_ratio,
+    len(list_distinct(list_filter(list_transform(words, x -> lower(x)),
+        x -> list_contains(['the','a','of','to','and','in','be','have','that','with'], x)))) AS stop_types
+  FROM w
+), f AS (
+  SELECT doc_id, lang, n_words, mwl, alpha_frac, symbol_ratio, stop_types,
+    list_filter([
+      CASE WHEN n_words < 50 OR n_words > 100000 THEN 'gr_word_count' END,
+      CASE WHEN mwl < 3.0 OR mwl > 10.0 THEN 'gr_mean_word_len' END,
+      CASE WHEN alpha_frac < 0.8 THEN 'gr_alpha_words' END,
+      CASE WHEN symbol_ratio > 0.1 THEN 'gr_symbol_ratio' END,
+      CASE WHEN stop_types < 2 THEN 'gr_stopwords' END
+    ], x -> x IS NOT NULL) AS fails
+  FROM m
+)
+SELECT doc_id, lang, n_words,
+       round(mwl, 6) AS mean_word_len,
+       round(alpha_frac, 6) AS alpha_word_frac,
+       round(symbol_ratio, 6) AS symbol_word_ratio,
+       stop_types AS n_stop_types,
+       coalesce(array_to_string(fails, ','), '') AS fail_rules,
+       len(fails) = 0 AS keep
+FROM f
+"""
+
+
 def q_doc_fix_mojibake(spark, sf_dir):
     """Encoding repair (functions/mojibake.py; rows-only: byte-level
     re-decoding has no SQL twin; round-trips, clean-text
@@ -4233,6 +4290,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "images_exif": q_images_exif,
         "clips_meta_scrub": q_clips_meta_scrub,
         "doc_rule_ablation": q_doc_rule_ablation,
+        "doc_gopher_rules": q_doc_gopher_rules,
     }
 
 
@@ -4311,6 +4369,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_dup_spans": ORACLE_DUP_SPANS,
         "key_skew_profile": ORACLE_KEY_SKEW,
         "doc_rule_ablation": ORACLE_RULE_ABLATION,
+        "doc_gopher_rules": ORACLE_GOPHER_RULES,
         "asof_join_events": ORACLE_ASOF,
         "interval_join_events": ORACLE_INTERVAL_JOIN,
     }

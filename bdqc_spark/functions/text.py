@@ -207,6 +207,63 @@ def repetition_struct(c: Column) -> Column:
     )
 
 
+# Gopher rule-table stopword list (Rae et al. 2021 Table A1 uses
+# "the, be, to, of, and, that, have, with"; we add "a, in" so the
+# rule is meaningful on short transcripts too). Lowercased exact
+# word match — deterministic and SQL-expressible.
+GOPHER_STOPWORDS = ["the", "a", "of", "to", "and", "in", "be", "have", "that", "with"]
+
+
+def gopher_rules(c: Column) -> Column:
+    """The Gopher heuristic quality-rule table (Rae et al. 2021,
+    'Scaling Language Models', Table A1) as one pure-Catalyst struct —
+    the canonical pre-training quality filter alongside C4. Per doc:
+
+    - word count in [50, 100000]           (gr_word_count)
+    - mean word length in [3, 10]          (gr_mean_word_len)
+    - >= 80% of words contain a letter     (gr_alpha_words)
+    - symbol-to-word ratio (# / ...) <= .1 (gr_symbol_ratio)
+    - >= 2 distinct stopwords present      (gr_stopwords)
+
+    All signals are per-row array folds / filters (JVM higher-order
+    functions, zero Python, zero shuffle): at 100 TB this entire rule
+    table evaluates inside the scan stage. Returns a struct with the
+    raw signals, the failed-rule list (comma-joined — registry rows
+    must stay scalar), and the keep verdict."""
+    words = F.regexp_extract_all(c, F.lit(r"[^ \t\n\r]+"), F.lit(0))
+    nw = F.size(words)
+    total_wlen = F.aggregate(words, F.lit(0), lambda acc, w: acc + F.length(w))
+    mwl = F.when(nw > 0, total_wlen.cast("double") / nw).otherwise(F.lit(0.0))
+    alpha_words = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+    alpha_frac = F.when(nw > 0, alpha_words.cast("double") / nw).otherwise(F.lit(0.0))
+    n_symbols = F.size(F.regexp_extract_all(c, F.lit(r"#|\.\.\."), F.lit(0)))
+    symbol_ratio = F.when(nw > 0, n_symbols.cast("double") / nw).otherwise(F.lit(0.0))
+    stops = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+    stop_types = F.size(
+        F.array_distinct(
+            F.filter(F.transform(words, F.lower), lambda w: F.array_contains(stops, w))
+        )
+    )
+    fails = F.array_compact(
+        F.array(
+            F.when((nw < 50) | (nw > 100000), F.lit("gr_word_count")),
+            F.when((mwl < 3.0) | (mwl > 10.0), F.lit("gr_mean_word_len")),
+            F.when(alpha_frac < 0.8, F.lit("gr_alpha_words")),
+            F.when(symbol_ratio > 0.1, F.lit("gr_symbol_ratio")),
+            F.when(stop_types < 2, F.lit("gr_stopwords")),
+        )
+    )
+    return F.struct(
+        nw.alias("n_words"),
+        F.round(mwl, 6).alias("mean_word_len"),
+        F.round(alpha_frac, 6).alias("alpha_word_frac"),
+        F.round(symbol_ratio, 6).alias("symbol_word_ratio"),
+        stop_types.alias("n_stop_types"),
+        F.array_join(fails, ",").alias("fail_rules"),
+        (F.size(fails) == 0).alias("keep"),
+    )
+
+
 def normalized(c: Column) -> Column:
     """Canonical text form for exact dedup: lowercase, collapse
     whitespace, strip punctuation."""

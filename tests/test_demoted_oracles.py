@@ -75,6 +75,7 @@ DEMOTED_ORACLE_QUERIES = [
     "rollup_metrics",
     "window_lag",
     "doc_rule_ablation",
+    "doc_gopher_rules",
 ]
 
 

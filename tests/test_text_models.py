@@ -221,3 +221,38 @@ def test_dsir_weights_favor_target_like_docs(spark):
     sel = j.where("selected").agg(F.avg(F.col("tgt").cast("double"))).collect()[0][0]
     assert sel > base, (sel, base)
     j.unpersist(); out.unpersist()
+
+
+def test_gopher_rules_planted(spark):
+    """Gopher rule table (Rae et al. 2021 Table A1): each rule fires
+    on a doc planted to violate exactly it, and a clean doc passes
+    all five."""
+    from pyspark.sql import functions as F
+
+    from bdqc_spark.functions import text as TX
+
+    clean = "the cat sat near a mat and then the dog ran out to find " * 5  # 70 words
+    rows = [
+        ("clean", clean),
+        ("short", "that cat sat with that mat"),  # 6 words -> gr_word_count only
+        ("longwords", " ".join(["pneumonoultramicroscopicsilicovolcanoconiosis the"] * 25)),  # mwl>10
+        ("tinywords", " ".join(["a b c d e f g h i j the of"] * 5)),  # mwl<3
+        ("numeric", ("12 34 56 78 90 " * 12) + "the a " + "word " * 44),  # alpha<0.8
+        ("symbols", "the a " + "word ... # " * 30 + "word " * 30),  # symbol ratio > 0.1
+        ("nostop", " ".join(["alpha beta gamma delta"] * 15)),  # no stopwords
+    ]
+    df = spark.createDataFrame(rows, ["k", "text"]).select(
+        "k", TX.gopher_rules(F.col("text")).alias("g")
+    )
+    got = {r["k"]: r["g"].asDict() for r in df.collect()}
+    assert got["clean"]["keep"] and got["clean"]["fail_rules"] == ""
+    assert got["short"]["fail_rules"] == "gr_word_count"
+    assert "gr_mean_word_len" in got["longwords"]["fail_rules"]
+    assert "gr_mean_word_len" in got["tinywords"]["fail_rules"]
+    assert "gr_alpha_words" in got["numeric"]["fail_rules"]
+    assert "gr_symbol_ratio" in got["symbols"]["fail_rules"]
+    assert got["nostop"]["fail_rules"] == "gr_stopwords"
+    # signal sanity on the clean doc
+    g = got["clean"]
+    assert g["n_words"] == 70 and g["n_stop_types"] >= 2
+    assert 3.0 <= g["mean_word_len"] <= 10.0 and g["alpha_word_frac"] == 1.0
