@@ -3601,6 +3601,52 @@ FROM e, t GROUP BY e.rule, t.n_flagged
 """
 
 
+def q_corpus_sketch_stats(spark, sf_dir):
+    """Mergeable sketch state (operators/sketches.py — Spark 4's
+    built-in DataSketches HLL/theta/KLL aggregates): per-language
+    distinct-transcript estimates + length quantiles, the
+    incremental-corpus-stats path that answers "distincts so far /
+    novel today" from KB-sized per-batch states instead of a
+    corpus-wide distinct shuffle. Self-checking rows-only (sketch
+    estimates are engine-specific): exact distincts computed in the
+    same query; `hll_ok`/`theta_ok` gate at 5% relative error
+    (configs bound RSE ≈1.6%/2%). Merge/novelty/round-trip semantics
+    are pytest-gated in tests/test_sketches.py."""
+    from bdqc_spark.operators.sketches import estimate_state, sketch_batch
+
+    d = _t(spark, sf_dir, "documents")
+    est = estimate_state(
+        sketch_batch(d, ["lang"], "text", "n_chars"), quantiles=(0.5,)
+    )
+    exact = d.groupBy("lang").agg(
+        F.countDistinct("text").alias("exact_distinct"),
+        F.expr("percentile(n_chars, 0.5)").alias("exact_med"),
+    )
+    tol = 0.05
+    return (
+        est.join(exact, "lang")
+        .select(
+            "lang",
+            "n_rows",
+            "hll_distinct",
+            "theta_distinct",
+            "exact_distinct",
+            (
+                F.abs(F.col("hll_distinct") - F.col("exact_distinct"))
+                <= tol * F.col("exact_distinct")
+            ).alias("hll_ok"),
+            (
+                F.abs(F.col("theta_distinct") - F.col("exact_distinct"))
+                <= tol * F.col("exact_distinct")
+            ).alias("theta_ok"),
+            (F.abs(F.col("q50") - F.col("exact_med")) <= tol * F.col("exact_med")).alias(
+                "kll_ok"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
 def q_doc_gopher_rules(spark, sf_dir):
     """The Gopher quality-rule table (Rae et al. 2021 Table A1 — the
     canonical heuristic pre-training filter alongside C4): word-count
@@ -4291,6 +4337,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clips_meta_scrub": q_clips_meta_scrub,
         "doc_rule_ablation": q_doc_rule_ablation,
         "doc_gopher_rules": q_doc_gopher_rules,
+        "corpus_sketch_stats": q_corpus_sketch_stats,
     }
 
 

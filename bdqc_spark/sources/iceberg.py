@@ -83,11 +83,20 @@ class IcebergishTable:
         with open(tmp, "w") as f:
             json.dump(manifest, f, indent=1, sort_keys=True)
         os.rename(tmp, path)
+        self._swap_pointer(sid)
+        return sid
+
+    def _swap_pointer(self, sid: str) -> None:
+        """Advance the ref this handle writes to. The base table IS
+        the ``main`` branch (version-hint.txt); a branch view
+        (``branch()``) overrides this to move its refs.json entry
+        instead — which is the single point that makes every mutator
+        (append/delete/update/merge/compact/zorder/rebucket) branch-
+        aware without per-op branch plumbing."""
         hint_tmp = self._hint_path() + ".tmp"
         with open(hint_tmp, "w") as f:
             f.write(sid)
         os.rename(hint_tmp, self._hint_path())  # atomic pointer swap
-        return sid
 
     # -- write ------------------------------------------------------------
     def with_bucket(self, df: DataFrame) -> DataFrame:
@@ -1414,6 +1423,16 @@ class IcebergishTable:
             raise ValueError("keep_last must be >= 1")
         lineage = [h["snapshot_id"] for h in self.history()]
         keep = set(lineage[:keep_last])
+        # Refs are GC roots (Iceberg expire_snapshots honors refs): a
+        # snapshot reachable from any branch or tag head survives
+        # expiry — time travel within a live branch must keep working.
+        # Drop the branch/tag first to reclaim its history.
+        refs = self.refs()
+        for sid in [*refs["branches"].values(), *refs["tags"].values()]:
+            while sid is not None and sid not in keep:
+                keep.add(sid)
+                s = self._snapshot_if_present(sid)
+                sid = s["parent_snapshot_id"] if s else None
         expired = []
         for entry in os.listdir(self.meta_dir):
             if not (entry.startswith("snap-") and entry.endswith(".json")):
@@ -1494,6 +1513,133 @@ class IcebergishTable:
             )
             sid = snap["parent_snapshot_id"]
         return out
+
+    # -- refs: branches and tags (write-audit-publish) ---------------------
+    # Iceberg's named refs. A BRANCH is a movable pointer that the
+    # branch view's mutators advance; a TAG is an immutable pinned
+    # snapshot. Together they give the deployment pattern a QC
+    # pipeline actually ships with: ingest appends to a staging
+    # branch, the audit step runs the QC gates against the branch
+    # head, and only a passing batch is published to main — as a
+    # pure pointer move (fast_forward), never a data copy. Data files
+    # are shared between refs (branching is O(1) metadata).
+
+    def _refs_path(self) -> str:
+        return os.path.join(self.meta_dir, "refs.json")
+
+    def refs(self) -> dict:
+        """{"branches": {name: snapshot_id}, "tags": {...}} — 'main'
+        itself lives in version-hint.txt, not here."""
+        try:
+            with open(self._refs_path()) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return {"branches": {}, "tags": {}}
+
+    def _write_refs(self, refs: dict) -> None:
+        os.makedirs(self.meta_dir, exist_ok=True)
+        tmp = self._refs_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(refs, f, indent=1, sort_keys=True)
+        os.rename(tmp, self._refs_path())  # atomic
+
+    def _resolve_start(self, at_snapshot_id: str | None) -> str:
+        sid = at_snapshot_id or self.current_snapshot_id()
+        if sid is None:
+            raise ValueError("refs need an existing snapshot (empty table)")
+        if self._snapshot_if_present(sid) is None:
+            raise ValueError(f"no such snapshot: {sid}")
+        return sid
+
+    def create_branch(self, name: str, at_snapshot_id: str | None = None) -> str:
+        """Create a movable branch ref at the given (default current)
+        snapshot. Returns the branch head snapshot id."""
+        if name == "main" or not name:
+            raise ValueError(f"invalid branch name: {name!r}")
+        refs = self.refs()
+        if name in refs["branches"] or name in refs["tags"]:
+            raise ValueError(f"ref already exists: {name!r}")
+        sid = self._resolve_start(at_snapshot_id)
+        refs["branches"][name] = sid
+        self._write_refs(refs)
+        return sid
+
+    def create_tag(self, name: str, at_snapshot_id: str | None = None) -> str:
+        """Pin an immutable named snapshot (release/audit marker).
+        Tags cannot be moved — drop and recreate to retarget."""
+        if name == "main" or not name:
+            raise ValueError(f"invalid tag name: {name!r}")
+        refs = self.refs()
+        if name in refs["branches"] or name in refs["tags"]:
+            raise ValueError(f"ref already exists: {name!r}")
+        sid = self._resolve_start(at_snapshot_id)
+        refs["tags"][name] = sid
+        self._write_refs(refs)
+        return sid
+
+    def drop_branch(self, name: str) -> None:
+        refs = self.refs()
+        if name not in refs["branches"]:
+            raise ValueError(f"no such branch: {name!r}")
+        del refs["branches"][name]
+        self._write_refs(refs)
+
+    def drop_tag(self, name: str) -> None:
+        refs = self.refs()
+        if name not in refs["tags"]:
+            raise ValueError(f"no such tag: {name!r}")
+        del refs["tags"][name]
+        self._write_refs(refs)
+
+    def ref_snapshot_id(self, name: str) -> str:
+        """Resolve a ref name ('main', a branch, or a tag) to its
+        snapshot id — pass to read(snapshot_id=...) for ref reads."""
+        if name == "main":
+            sid = self.current_snapshot_id()
+            if sid is None:
+                raise ValueError("main has no snapshot yet")
+            return sid
+        refs = self.refs()
+        if name in refs["branches"]:
+            return refs["branches"][name]
+        if name in refs["tags"]:
+            return refs["tags"][name]
+        raise ValueError(f"no such ref: {name!r}")
+
+    def branch(self, name: str) -> "IcebergishTable":
+        """A table handle scoped to a branch: reads resolve the branch
+        head, and EVERY mutator (append/delete/update/merge/compact/
+        zorder/rebucket) commits by moving the branch ref — main is
+        untouched until fast_forward publishes."""
+        if name not in self.refs()["branches"]:
+            raise ValueError(f"no such branch: {name!r}")
+        return _BranchView(self, name)
+
+    def fast_forward(self, branch_name: str) -> str:
+        """Publish a branch: move main to the branch head, refused
+        unless main's current snapshot is an ancestor of (or equal to)
+        the head — i.e. the branch strictly extends main, so the move
+        is history-preserving and conflict-free (Iceberg's
+        fast_forward). Returns the new main snapshot id."""
+        refs = self.refs()
+        if branch_name not in refs["branches"]:
+            raise ValueError(f"no such branch: {branch_name!r}")
+        head = refs["branches"][branch_name]
+        cur = self.current_snapshot_id()
+        if cur == head:
+            return head
+        sid = head
+        while sid is not None:
+            if sid == cur:
+                self._swap_pointer(head)
+                return head
+            s = self._snapshot_if_present(sid)
+            sid = s["parent_snapshot_id"] if s else None
+        raise ValueError(
+            f"not a fast-forward: main ({cur}) is not an ancestor of "
+            f"branch {branch_name!r} head ({head}) — main advanced since "
+            "the branch was cut; rebase by re-appending the branch batch"
+        )
 
     def snapshot_diff(self, from_snapshot_id: str, to_snapshot_id: str | None = None) -> dict:
         """Manifest-only diff between two snapshots — the table-ops
@@ -1580,3 +1726,29 @@ class IcebergishTable:
         if snap is None:
             return []
         return sorted(int(k) for k in snap["bucket_files"])
+
+
+class _BranchView(IcebergishTable):
+    """A branch-scoped handle: identical storage, but the current
+    pointer resolves through refs.json and commits move the branch
+    ref. Produced by IcebergishTable.branch(); not constructed
+    directly. Everything else — data dir, manifests, sidecars,
+    maintenance — is inherited unchanged, because branches share data
+    files and manifests with main (Iceberg ref semantics)."""
+
+    def __init__(self, base: IcebergishTable, name: str):
+        super().__init__(base.root, base.bucket_key, base.num_buckets)
+        self.branch_name = name
+
+    def current_snapshot_id(self) -> str | None:
+        refs = self.refs()
+        if self.branch_name not in refs["branches"]:
+            raise ValueError(f"branch was dropped: {self.branch_name!r}")
+        return refs["branches"][self.branch_name]
+
+    def _swap_pointer(self, sid: str) -> None:
+        refs = self.refs()
+        if self.branch_name not in refs["branches"]:
+            raise ValueError(f"branch was dropped: {self.branch_name!r}")
+        refs["branches"][self.branch_name] = sid
+        self._write_refs(refs)
