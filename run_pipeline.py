@@ -89,6 +89,26 @@ def main(argv: list[str] | None = None) -> int:
         "pipeline over the result",
     )
     ap.add_argument(
+        "--wap-branch",
+        default=None,
+        metavar="NAME",
+        help="write-audit-publish: stage --ingest-tar's batch on "
+        "branch NAME (created at the current snapshot if absent), run "
+        "the pipeline against the BRANCH head as the audit, and "
+        "publish to main (fast-forward pointer move, no data copy) "
+        "only if the new batch's keep rate clears --wap-keep-"
+        "threshold; a failing batch stays quarantined on the branch "
+        "for inspection and main never sees it",
+    )
+    ap.add_argument(
+        "--wap-keep-threshold",
+        type=float,
+        default=0.8,
+        metavar="FRAC",
+        help="minimum keep rate over the staged batch for --wap-branch "
+        "to publish (default 0.8)",
+    )
+    ap.add_argument(
         "--rebucket",
         type=int,
         default=None,
@@ -107,6 +127,22 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = build_session(app_name="bdqc-pipeline", master=args.master)
     tbl = IcebergishTable(args.table)
+    src_tbl = tbl  # what the pipeline reads; a branch view under WAP
+    wap_pre = None  # branch head before the staged ingest
+    if args.wap_branch:
+        if not args.ingest_tar:
+            print("--wap-branch requires --ingest-tar", file=sys.stderr)
+            return 2
+        if args.rebucket or args.erase_where or args.erase_keys or args.strip_metadata:
+            print(
+                "--wap-branch stages an ingest only; run table mutations "
+                "(--rebucket/--erase-*/--strip-metadata) on main separately",
+                file=sys.stderr,
+            )
+            return 2
+        if not tbl.exists():
+            print("--wap-branch needs an existing table to stage against", file=sys.stderr)
+            return 2
     ingested = None
     if args.ingest_tar:
         if args.snapshot:
@@ -114,10 +150,15 @@ def main(argv: list[str] | None = None) -> int:
             return 2
         from bdqc_spark.sources.webdataset import read_tar_shards, tar_to_clips
 
-        sid = tbl.append(tar_to_clips(read_tar_shards(spark, args.ingest_tar)))
+        if args.wap_branch:
+            if args.wap_branch not in tbl.refs()["branches"]:
+                tbl.create_branch(args.wap_branch)
+            src_tbl = tbl.branch(args.wap_branch)
+            wap_pre = src_tbl.current_snapshot_id()
+        sid = src_tbl.append(tar_to_clips(read_tar_shards(spark, args.ingest_tar)))
         ingested = {
             "snapshot": sid,
-            "total_rows": tbl.snapshot()["summary"]["total_rows"],
+            "total_rows": src_tbl.snapshot()["summary"]["total_rows"],
         }
     if not tbl.exists():
         print(f"no snapshot at {args.table}", file=sys.stderr)
@@ -159,17 +200,48 @@ def main(argv: list[str] | None = None) -> int:
             if strip_sid
             else {"snapshot": None, "rows": 0}
         )
-    snapshot = args.snapshot or tbl.current_snapshot_id()
+    snapshot = args.snapshot or src_tbl.current_snapshot_id()
     result = run_pipeline(
         spark,
         # a pinned --snapshot must pin the DATA read too, not just the
-        # lineage key (time-travel semantics of the manifest reader)
-        tbl.read(spark, snapshot_id=args.snapshot),
+        # lineage key (time-travel semantics of the manifest reader);
+        # under WAP, src_tbl is the branch view and the audit runs
+        # against the staged (branch-head) state
+        src_tbl.read(spark, snapshot_id=args.snapshot),
         args.out,
         input_snapshot=snapshot,
         exact_models=args.exact_models,
-        all_buckets=tbl.bucket_ids(snapshot_id=args.snapshot),
+        all_buckets=src_tbl.bucket_ids(snapshot_id=args.snapshot),
     )
+    wap = None
+    if args.wap_branch:
+        import os
+
+        from pyspark.sql import functions as F
+
+        new_ids = src_tbl.read_incremental(spark, from_snapshot_id=wap_pre).select(
+            "clip_id"
+        )
+        decisions = spark.read.parquet(os.path.join(result.out_dir, "decisions"))
+        agg = (
+            decisions.join(new_ids, "clip_id")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(F.col("keep").cast("int")).alias("kept"),
+            )
+            .collect()[0]
+        )
+        keep_rate = (int(agg["kept"] or 0) / agg["n"]) if agg["n"] else 1.0
+        published = keep_rate >= args.wap_keep_threshold
+        if published:
+            tbl.fast_forward(args.wap_branch)
+        wap = {
+            "branch": args.wap_branch,
+            "staged_snapshot": src_tbl.current_snapshot_id(),
+            "batch_rows": agg["n"],
+            "batch_keep_rate": round(keep_rate, 4),
+            "published": published,
+        }
     maintenance = None
     if args.maintain:
         compacted = tbl.compact(spark)
@@ -233,6 +305,7 @@ def main(argv: list[str] | None = None) -> int:
                 "html_report": report_path,
                 "maintenance": maintenance,
                 "ingested": ingested,
+                "wap": wap,
                 "erased": erased,
                 "stripped": stripped,
                 "repair": repair,

@@ -176,3 +176,64 @@ def test_wap_audit_gate_flow(spark, tmp_path):
     tbl.fast_forward("wap")
     tbl.drop_branch("wap")
     assert len(_ids(tbl.read(spark))) == 70
+
+
+def test_cli_wap_branch_publish_and_refuse(spark, tmp_path):
+    """--wap-branch end-to-end through the real CLI: the staged batch
+    publishes to main when its keep rate clears the gate, and is
+    quarantined on the branch (main pointer unmoved) when it doesn't."""
+    import json
+    import os
+    import subprocess
+    import sys as _sys
+
+    from bdqc_spark.sources.webdataset import write_tar_shards
+    from bdqc_spark.synth.clips import generate_clips_df
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    tbl = IcebergishTable(str(tmp_path / "tbl"), num_buckets=4)
+    tbl.append(
+        generate_clips_df(spark, 80, seed=21).select(
+            "clip_id", "bytes", "sr_hz", "dur_ms", "codec", "transcript"
+        )
+    )
+    shards = str(tmp_path / "shards")
+    write_tar_shards(
+        generate_clips_df(spark, 40, seed=22, start=1000), shards, n_shards=2
+    ).collect()
+
+    def _wap(out, threshold):
+        proc = subprocess.run(
+            [
+                _sys.executable, "run_pipeline.py",
+                "--table", str(tmp_path / "tbl"),
+                "--out", out,
+                "--ingest-tar", shards,
+                "--wap-branch", "staging",
+                "--wap-keep-threshold", str(threshold),
+                "--master", "local[4]",
+            ],
+            cwd=repo, capture_output=True, text=True, timeout=600,
+        )
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        return json.loads(proc.stdout.strip().splitlines()[-1])
+
+    # gate no healthy synth batch can fail -> published, main advanced
+    main_before = tbl.current_snapshot_id()
+    rec = _wap(str(tmp_path / "out1"), 0.5)
+    assert rec["wap"]["published"] is True
+    assert rec["wap"]["batch_rows"] == 40
+    assert rec["wap"]["batch_keep_rate"] >= 0.5
+    assert tbl.current_snapshot_id() == rec["wap"]["staged_snapshot"]
+    assert tbl.current_snapshot_id() != main_before
+    assert tbl.read(spark).count() == 120
+    tbl.drop_branch("staging")
+
+    # gate nothing clears -> refused: main pointer unmoved, batch
+    # quarantined on the branch for inspection
+    main_before = tbl.current_snapshot_id()
+    rec = _wap(str(tmp_path / "out2"), 1.01)
+    assert rec["wap"]["published"] is False
+    assert tbl.current_snapshot_id() == main_before
+    assert tbl.read(spark).count() == 120
+    assert tbl.branch("staging").read(spark).count() == 160
