@@ -2921,6 +2921,43 @@ def q_clips_augment(spark, sf_dir):
     )
 
 
+def q_clips_tempo(spark, sf_dir):
+    """WSOLA tempo perturbation (rows-only: DSP has no SQL twin;
+    duration scaling, pitch PRESERVATION vs speed_perturb's shift,
+    determinism and edge passthrough are pytest-gated in
+    tests/test_augment.py). Self-checking: each stretched clip's
+    sample count must land at ≈ original/1.25 (`dur_ratio_ok`), which
+    the oracle-free row asserts against the decoded profile's own
+    n_samples — corrupt rows honestly report augment_ok=false."""
+    ensure_shipped(spark)
+    from bdqc_spark.functions.augment import augment_tempo
+    from bdqc_spark.plans.profile import profile_clips
+
+    rate = 1.25
+    base = profile_clips(_clips_df(spark)).select(
+        "clip_id", F.col("audio.n_samples").alias("n0"), F.col("audio.pcm_ok").alias("ok0")
+    )
+    stretched = augment_tempo(_clips_df(spark), rate=rate).select(
+        "clip_id", "augment_ok", "n_samples", "dur_ms"
+    )
+    return (
+        stretched.join(base, "clip_id")
+        .select(
+            "clip_id",
+            "augment_ok",
+            "n_samples",
+            "dur_ms",
+            F.when(
+                F.col("augment_ok") & (F.col("n0") > 0),
+                F.abs(F.col("n_samples") - F.col("n0") / rate) <= 0.05 * F.col("n0"),
+            )
+            .otherwise(~F.col("augment_ok") & ~F.col("ok0"))
+            .alias("dur_ratio_ok"),
+        )
+        .orderBy("clip_id")
+    )
+
+
 def q_clips_mv_outliers(spark, sf_dir):
     """Multivariate (Mahalanobis) outlier report (rows-only: the
     chi-square joint-distribution lens has no SQL twin; numpy-fit
@@ -4338,6 +4375,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_rule_ablation": q_doc_rule_ablation,
         "doc_gopher_rules": q_doc_gopher_rules,
         "corpus_sketch_stats": q_corpus_sketch_stats,
+        "clips_tempo": q_clips_tempo,
     }
 
 

@@ -58,6 +58,65 @@ def speed_perturb(pcm: np.ndarray, sr: int, factor: float) -> np.ndarray:
     return resample_linear(pcm, src, sr)
 
 
+def time_stretch(
+    pcm: np.ndarray,
+    sr: int,
+    rate: float,
+    frame_ms: float = 32.0,
+    tol_ms: float = 8.0,
+) -> np.ndarray:
+    """WSOLA tempo change WITHOUT pitch change (Verhelst & Roelands
+    1993, "An overlap-add technique based on waveform similarity") —
+    the augmentation Ko et al. 2015 call "tempo perturbation",
+    complementing speed_perturb (which shifts pitch and tempo
+    together). rate 1.25 = 25% faster, same pitch.
+
+    Mechanics: periodic-Hann frames overlap-added at a fixed
+    synthesis hop N/2 (exact COLA), analysis positions advance at
+    hop·rate, and each frame is chosen within ±tol of its nominal
+    analysis position to maximize cross-correlation with the natural
+    continuation of the previously chosen frame — waveform-similar
+    joins preserve local periodicity, hence pitch. Pure numpy,
+    deterministic. Clips shorter than two frames pass through
+    unchanged (nothing to align)."""
+    if rate <= 0:
+        raise ValueError(f"stretch rate must be positive, got {rate}")
+    x = np.asarray(pcm, dtype=np.float32)
+    n = x.shape[0]
+    N = max(int(sr * frame_ms / 1000.0) & ~1, 4)
+    if rate == 1.0 or n < 2 * N:
+        return x.copy()
+    hop = N // 2
+    tol = max(int(sr * tol_ms / 1000.0), 1)
+    # periodic Hann: exact constant-overlap-add at 50% hop
+    w = (0.5 - 0.5 * np.cos(2.0 * np.pi * np.arange(N) / N)).astype(np.float32)
+
+    n_frames = int((n - N - tol) / (hop * rate)) + 1
+    if n_frames < 2:
+        return x.copy()
+    out_len = (n_frames - 1) * hop + N
+    out = np.zeros(out_len, np.float32)
+    wsum = np.zeros(out_len, np.float32)
+
+    pos = 0
+    out[0:N] += x[0:N] * w
+    wsum[0:N] += w
+    for k in range(1, n_frames):
+        p = int(round(k * hop * rate))
+        nat = x[pos + hop : pos + hop + N]  # natural continuation
+        lo = max(0, p - tol)
+        hi = min(n - N, p + tol)
+        if hi <= lo or nat.shape[0] < N:
+            best = min(max(p, 0), n - N)
+        else:
+            corr = np.correlate(x[lo : hi + N], nat, mode="valid")
+            best = lo + int(np.argmax(corr))
+        out[k * hop : k * hop + N] += x[best : best + N] * w
+        wsum[k * hop : k * hop + N] += w
+        pos = best
+    return out / np.maximum(wsum, 1e-6)
+
+
 def mix_noise(pcm: np.ndarray, snr_db: float, rng: np.random.Generator) -> np.ndarray:
     """Add white noise at `snr_db` relative to the clip's RMS; output
     clipped to [-1, 1]. Silent clips (rms 0) pass through unchanged —
@@ -102,6 +161,8 @@ def _augment_arrow(mode: str, factor: float, snr_db: float, seed: int):
                     )
                     if mode == "speed":
                         out = speed_perturb(pcm, int(sr[i]), factor)
+                    elif mode == "tempo":
+                        out = time_stretch(pcm, int(sr[i]), factor)
                     else:
                         rng = np.random.default_rng([seed, _stable_row_key(cid[i])])
                         out = mix_noise(pcm, snr_db, rng)
@@ -152,6 +213,18 @@ def augment_speed(clips, factor: float = 1.1):
         raise ValueError(f"speed factor must be positive, got {factor}")
     return clips.mapInArrow(
         _augment_arrow("speed", factor, 0.0, 0), f"{_out_schema(clips)}, {AUGMENT_FIELDS}"
+    )
+
+
+def augment_tempo(clips, rate: float = 1.1):
+    """clips → same rows time-stretched by WSOLA: duration scales by
+    ≈1/rate with PITCH PRESERVED (speed_perturb shifts both). Same
+    execution contract: one mapInArrow pass, bytes consumed in-stage,
+    re-encoded pcm_s16le, corrupt rows degrade to augment_ok=false."""
+    if rate <= 0:
+        raise ValueError(f"stretch rate must be positive, got {rate}")
+    return clips.mapInArrow(
+        _augment_arrow("tempo", rate, 0.0, 0), f"{_out_schema(clips)}, {AUGMENT_FIELDS}"
     )
 
 

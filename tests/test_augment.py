@@ -172,3 +172,57 @@ def test_mix_noise_bounded_and_deterministic(snr, seed):
     b = mix_noise(x, snr, np.random.default_rng(seed))
     assert np.array_equal(a, b)  # pure function of (signal, snr, rng state)
     assert np.all(a <= 1.0) and np.all(a >= -1.0)
+
+
+def test_time_stretch_scales_duration_preserves_pitch():
+    from bdqc_spark.functions.augment import time_stretch
+    from bdqc_spark.functions.pitch import pitch_stats
+
+    sr = 16000
+    x = _tone(220.0, sr, sec=3.0)
+    for rate in (0.8, 1.25):
+        y = time_stretch(x, sr, rate)
+        # duration scales by 1/rate (within the framing slack)
+        assert abs(len(y) - len(x) / rate) <= int(sr * 0.05)
+        # pitch does NOT move (ACF lag quantization allows ±4 Hz);
+        # speed_perturb at the same factor shifts it by 220·(rate−1)
+        f0 = pitch_stats(y, sr)["f0_median_hz"]
+        assert abs(f0 - 220.0) < 4.0, (rate, f0)
+        f0_speed = pitch_stats(speed_perturb(x, sr, rate), sr)["f0_median_hz"]
+        assert abs(f0_speed - 220.0 * rate) < 8.0
+        # energy preserved through COLA normalization
+        assert abs(float(np.std(y)) / float(np.std(x)) - 1.0) < 0.05
+
+
+def test_time_stretch_identity_determinism_and_edges():
+    from bdqc_spark.functions.augment import time_stretch
+
+    sr = 16000
+    x = _tone(300.0, sr, sec=1.0)
+    assert np.array_equal(time_stretch(x, sr, 1.0), x)
+    a = time_stretch(x, sr, 1.1)
+    b = time_stretch(x, sr, 1.1)
+    assert np.array_equal(a, b)
+    short = _tone(300.0, sr, sec=0.02)  # < two frames: passthrough
+    assert np.array_equal(time_stretch(short, sr, 1.3), short)
+    with pytest.raises(ValueError):
+        time_stretch(x, sr, 0.0)
+
+
+def test_augment_tempo_spark_end_to_end(spark, clips):
+    from bdqc_spark.functions.augment import augment_tempo
+
+    out = augment_tempo(clips, rate=1.25).cache()
+    try:
+        pdf = out.drop("bytes").toPandas()
+        orig = clips.select("clip_id", "anomaly").toPandas()
+        corrupt = set(orig[orig.anomaly == "A"].clip_id)
+        bad = pdf[pdf.clip_id.isin(corrupt)]
+        assert not bad.augment_ok.any()
+        good = pdf[~pdf.clip_id.isin(corrupt)]
+        assert good.augment_ok.all()
+        assert (good.codec == "pcm_s16le").all()
+        secs = good.n_samples / good.sr_hz
+        assert np.allclose(secs * 1000, good.dur_ms, atol=1.0)
+    finally:
+        out.unpersist()
