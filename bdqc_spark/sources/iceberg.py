@@ -108,8 +108,17 @@ class IcebergishTable:
             BUCKET_COL, F.pmod(F.xxhash64(F.col(self.bucket_key)), F.lit(self.num_buckets)).cast("int")
         )
 
-    def append(self, df: DataFrame, operation: str = "append") -> str:
-        """Write df as a new snapshot (previous files + new files)."""
+    def append(
+        self,
+        df: DataFrame,
+        operation: str = "append",
+        summary_extra: dict | None = None,
+    ) -> str:
+        """Write df as a new snapshot (previous files + new files).
+        ``summary_extra`` merges into the manifest summary ATOMICALLY
+        with the commit — the hook the streaming table sink uses to
+        record its batch-id marker (exactly-once dedup needs the
+        marker and the data in the same atomic unit)."""
         prev = self.snapshot()
         prev_files = dict(prev["bucket_files"]) if prev else {}
 
@@ -165,7 +174,7 @@ class IcebergishTable:
             "schema": self._evolved_schema(prev, df),
             "bucket_files": bucket_files,
             "file_stats": self._manifest_file_stats(prev, bucket_files),
-            "summary": {"total_rows": total_rows},
+            "summary": {"total_rows": total_rows, **(summary_extra or {})},
         }
         return self._commit_snapshot(manifest)
 
