@@ -3638,6 +3638,52 @@ FROM e, t GROUP BY e.rule, t.n_flagged
 """
 
 
+def q_doc_compression(spark, sf_dir):
+    """DEFLATE compression-ratio quality signal (functions/lm.py
+    compression_ratio_batch; rows-only: zlib has no SQL twin —
+    determinism, repetition monotonicity and edge conventions are
+    pytest-gated in tests/test_text_models.py). Self-checking: each
+    doc is paired with a templated twin (its first 40 chars repeated
+    to the same length), which must compress strictly lower —
+    `repeat_lower_ok` proves the signal separates boilerplate from
+    prose on every row. One mapInPandas pass, scalars out."""
+    ensure_shipped(spark)
+    d = (
+        _t(spark, sf_dir, "documents")
+        .where(F.length("text") >= 80)
+        .select(F.col("doc_id").cast("string").alias("doc_id"), "text")
+    )
+
+    def score(batches):
+        import pandas as pd
+
+        from bdqc_spark.functions.lm import compression_ratio_batch
+
+        for pdf in batches:
+            n = pdf["text"].str.len().fillna(0).astype(int)
+            twin = [
+                (t[:40] * (ln // 40 + 1))[:ln] if isinstance(t, str) else t
+                for t, ln in zip(pdf["text"], n)
+            ]
+            r = compression_ratio_batch(pdf["text"])
+            rt = compression_ratio_batch(pd.Series(twin))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_chars": n,
+                    "ratio": r.round(6),
+                    "ratio_templated": rt.round(6),
+                    "repeat_lower_ok": rt < r,
+                }
+            )
+
+    return d.mapInPandas(
+        score,
+        "doc_id string, n_chars int, ratio float, ratio_templated float, "
+        "repeat_lower_ok boolean",
+    )
+
+
 def q_corpus_sketch_stats(spark, sf_dir):
     """Mergeable sketch state (operators/sketches.py — Spark 4's
     built-in DataSketches HLL/theta/KLL aggregates): per-language
@@ -4376,6 +4422,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_gopher_rules": q_doc_gopher_rules,
         "corpus_sketch_stats": q_corpus_sketch_stats,
         "clips_tempo": q_clips_tempo,
+        "doc_compression": q_doc_compression,
     }
 
 

@@ -61,3 +61,22 @@ def perplexity_batch(texts: "pd.Series", table: np.ndarray | None = None) -> np.
     with np.errstate(divide="ignore", invalid="ignore"):
         ppl = np.where(n_tris > 0, np.exp(-seg_lp / np.maximum(n_tris, 1.0)), np.inf)
     return ppl
+
+
+def compression_ratio_batch(texts: "pd.Series", level: int = 6) -> np.ndarray:
+    """DEFLATE compression ratio per text: len(zlib(utf8)) /
+    len(utf8) — the cheap Kolmogorov-complexity proxy corpus
+    pipelines use next to the n-gram repetition rules (boilerplate,
+    templated spam and repeated spans compress far below clean prose;
+    random bytes sit near or above 1.0 with the gzip header
+    overhead). Deterministic (fixed level, no dictionary); empty or
+    null text scores 0.0 — there is nothing to compress."""
+    import zlib
+
+    out = np.zeros(len(texts), dtype=np.float32)
+    for i, t in enumerate(texts):
+        if not isinstance(t, str) or not t:
+            continue
+        raw = t.encode("utf-8")
+        out[i] = len(zlib.compress(raw, level)) / len(raw)
+    return out

@@ -179,12 +179,35 @@ class IcebergishTable:
         return self._commit_snapshot(manifest)
 
     # -- file-level column statistics (Iceberg manifest stats) ------------
+    _STR_BOUND_LEN = 16  # Iceberg's write.metadata.metrics truncate(16)
+
+    @classmethod
+    def _truncated_str_bounds(cls, mn: str, mx: str) -> list:
+        """Iceberg-style truncated string bounds: the lower bound is a
+        plain prefix (still a valid lower bound); the truncated UPPER
+        bound must be bumped above every string sharing the prefix —
+        increment the last code point, carrying left past U+10FFFF.
+        If every position carries out (pathological), the upper bound
+        is None = unbounded (the file can never be skipped from
+        above — conservative, never wrong)."""
+        L = cls._STR_BOUND_LEN
+        lo = mn if len(mn) <= L else mn[:L]
+        if len(mx) <= L:
+            return [lo, mx]
+        hi = list(mx[:L])
+        for i in range(len(hi) - 1, -1, -1):
+            cp = ord(hi[i])
+            if cp < 0x10FFFF:
+                hi[i] = chr(cp + 1)
+                return [lo, "".join(hi[: i + 1])]
+        return [lo, None]
+
     def _numeric_file_stats(self, rel: str) -> dict:
-        """Per-file [min, max] for numeric columns, from the parquet
-        footer (no data scan). Strings/binary are skipped — the
-        numeric metadata columns (dur_ms, sr_hz, ...) are what range
-        predicates prune on; Iceberg truncates strings instead, a
-        refinement this adapter doesn't need."""
+        """Per-file [min, max] for numeric AND string columns, from
+        the parquet footer (no data scan). String bounds are truncated
+        the Iceberg way (prefix lower bound, incremented-prefix upper
+        bound) so the manifest stays KB-sized however long the values
+        get; binary payloads carry no useful bounds and are skipped."""
         import pyarrow.parquet as pq
 
         md = pq.ParquetFile(os.path.join(self.data_dir, rel)).metadata
@@ -197,7 +220,7 @@ class IcebergishTable:
                 if st is None or not st.has_min_max:
                     continue
                 mn, mx = st.min, st.max
-                if not isinstance(mn, (int, float, bool)) or isinstance(mn, bool):
+                if isinstance(mn, bool) or not isinstance(mn, (int, float, str)):
                     continue
                 name = col.path_in_schema
                 cur = stats.get(name)
@@ -206,6 +229,9 @@ class IcebergishTable:
                 else:
                     cur[0] = min(cur[0], mn)
                     cur[1] = max(cur[1], mx)
+        for name, cur in stats.items():
+            if isinstance(cur[0], str):
+                stats[name] = self._truncated_str_bounds(cur[0], cur[1])
         return stats
 
     def _manifest_file_stats(self, prev: dict | None, bucket_files: dict) -> dict:
@@ -291,8 +317,9 @@ class IcebergishTable:
         add-column evolution semantics.
 
         ``range_filter`` is manifest-level FILE skipping on the
-        per-file numeric column stats recorded at write time
-        (Iceberg's min/max manifest stats): ``{"dur_ms": (lo, hi)}``
+        per-file column stats recorded at write time (Iceberg's
+        min/max manifest stats — numeric exact, strings truncated to
+        16-char Iceberg bounds): ``{"dur_ms": (lo, hi)}``
         (either bound None) drops every file whose recorded
         [min, max] cannot intersect — the reader never lists, opens
         or plans those files, a stronger cut than parquet row-group
@@ -319,7 +346,10 @@ class IcebergishTable:
                     cs = st.get(col)
                     if cs is None:
                         continue
-                    if lo is not None and cs[1] < lo:
+                    # cs[1] None = unbounded upper (truncated string
+                    # bound that could not be incremented): only the
+                    # lower bound can skip then
+                    if lo is not None and cs[1] is not None and cs[1] < lo:
                         return False
                     if hi is not None and cs[0] > hi:
                         return False

@@ -35,8 +35,9 @@ def test_manifests_record_numeric_stats(spark, tmp_path):
     for st in stats.values():
         assert "x" in st and "dur_ms" in st
         assert st["x"][0] <= st["x"][1]
-        # string column must NOT be recorded (numeric-only stats)
-        assert "clip_id" not in st
+        # string columns are recorded too (truncated Iceberg-style)
+        assert "clip_id" in st
+        assert st["clip_id"][0].startswith("clip-")
     # global bounds match the data
     assert min(st["x"][0] for st in stats.values()) == 0.0
     assert max(st["x"][1] for st in stats.values()) == 99.0
@@ -123,3 +124,58 @@ def test_delete_with_scan_range_prunes_discovery(spark, tmp_path):
     left = {r.clip_id for r in tbl.read(spark).collect()}
     assert len(left) == 150
     assert not any(f"clip-{i}" in left for i in range(1000, 1050))
+
+
+def _codec_batch(spark, codec, lo, n):
+    return spark.range(lo, lo + n).select(
+        F.concat(F.lit("clip-"), F.col("id")).alias("clip_id"),
+        F.lit(codec).alias("codec"),
+        F.col("id").cast("double").alias("x"),
+    )
+
+
+def test_string_range_filter_skips_files(spark, tmp_path):
+    """A codec-bounded read plans only the files whose recorded
+    string bounds can intersect — dictionary-style pruning with no
+    extra metadata structure."""
+    tbl = IcebergishTable(str(tmp_path / "t"), num_buckets=2)
+    tbl.append(_codec_batch(spark, "flac", 0, 40))
+    tbl.append(_codec_batch(spark, "pcm_s16le", 1000, 40))
+
+    flac = tbl.read(spark, range_filter={"codec": ("flac", "flac")})
+    assert flac.count() == 40
+    assert set(r.codec for r in flac.select("codec").distinct().collect()) == {"flac"}
+    # file-level proof: the pruned plan lists strictly fewer files
+    all_files = len(tbl.read(spark).inputFiles())
+    assert len(flac.inputFiles()) < all_files
+
+
+def test_string_bounds_truncated_and_safe(spark, tmp_path):
+    """Bounds longer than 16 chars truncate: lower = prefix, upper =
+    incremented prefix — values sharing the 16-char prefix must still
+    match (the truncated bound may only widen, never skip wrongly)."""
+    long_id = "prefix-prefix-prefix-zzz"  # 24 chars
+    df = spark.createDataFrame(
+        [(long_id, 1.0), (long_id + "-2", 2.0)], "clip_id string, x double"
+    )
+    tbl = IcebergishTable(str(tmp_path / "t"), num_buckets=1)
+    tbl.append(df)
+    st = next(iter(tbl.snapshot()["file_stats"].values()))
+    lo, hi = st["clip_id"]
+    assert len(lo) <= 16 and (hi is None or len(hi) <= 16)
+    assert lo <= long_id
+    assert hi is None or hi > long_id + "-2"
+    # a range filter ON the full-length value still finds the file
+    got = tbl.read(spark, range_filter={"clip_id": (long_id, long_id)})
+    assert got.count() == 2  # file kept; caller applies the row predicate
+
+
+def test_truncated_upper_bound_increment_carries():
+    """The upper-bound increment carries left past the max code
+    point; an all-U+10FFFF prefix degrades to unbounded (None)."""
+    top = chr(0x10FFFF)
+    lo, hi = IcebergishTable._truncated_str_bounds("a" * 20, "ab" + top * 20)
+    assert lo == "a" * 16
+    assert hi == "ac"  # the top code points carried away entirely
+    lo2, hi2 = IcebergishTable._truncated_str_bounds("a", top * 20)
+    assert hi2 is None

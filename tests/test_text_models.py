@@ -256,3 +256,34 @@ def test_gopher_rules_planted(spark):
     g = got["clean"]
     assert g["n_words"] == 70 and g["n_stop_types"] >= 2
     assert 3.0 <= g["mean_word_len"] <= 10.0 and g["alpha_word_frac"] == 1.0
+
+
+def test_compression_ratio_signal():
+    """DEFLATE ratio: repeated/templated text compresses far below
+    prose; random-ish text sits near 1; deterministic; empty/null 0."""
+    import numpy as np
+
+    from bdqc_spark.functions.lm import compression_ratio_batch
+
+    prose = (
+        "the quick brown fox jumps over a lazy dog while autumn rain "
+        "keeps falling on quiet rooftops and distant hills turn grey "
+    ) * 4
+    spam = "buy now click here " * 40
+    rng = np.random.default_rng(7)
+    noise = "".join(chr(33 + int(c)) for c in rng.integers(0, 90, 600))
+    r = compression_ratio_batch(pd.Series([prose, spam, noise, "", None]))
+    assert r[1] < 0.15 < r[0] < r[2]
+    assert r[2] > 0.8
+    assert r[3] == 0.0 and r[4] == 0.0
+    r2 = compression_ratio_batch(pd.Series([prose, spam, noise, "", None]))
+    assert np.array_equal(r, r2)
+
+
+def test_doc_compression_registry_self_check(spark):
+    import __spark_entry__ as entry
+
+    pdf = entry.queries()["doc_compression"](spark, "/root/testdata/sf0.001").toPandas()
+    assert len(pdf) > 0
+    assert pdf["repeat_lower_ok"].all()
+    assert ((pdf["ratio"] > 0) & (pdf["ratio"] < 1.5)).all()
