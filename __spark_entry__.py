@@ -3638,6 +3638,109 @@ FROM e, t GROUP BY e.rule, t.n_flagged
 """
 
 
+def q_clips_channels(spark, sf_dir):
+    """Channel-balance / phase QC (functions/channels.py; rows-only:
+    per-channel DSP has no SQL twin — classification, downmix-loss
+    theory and degradations are pytest-gated in
+    tests/test_channels.py). Self-checking: every decodable clip
+    spawns a dual-mono and a PHASE-INVERTED stereo twin (the miswire
+    that cancels to silence under the profile path's mono downmix);
+    the operator must classify each kind — `classified_ok` proves it
+    row-by-row. Corrupt clips honestly stay chan_ok=false."""
+    ensure_shipped(spark)
+    from bdqc_spark.functions.channels import clips_channel_stats
+
+    base = _clips_df(spark).select("clip_id", "bytes", "codec")
+
+    def plant(batches):
+        import struct
+
+        import numpy as np
+        import pandas as pd
+
+        from bdqc_spark.functions.audio import CODECS, decode
+
+        def stereo(mono, invert):
+            r = -mono if invert else mono
+            inter = np.empty(mono.size * 2, np.float32)
+            inter[0::2], inter[1::2] = mono, r
+            s16 = (
+                np.clip(np.round(inter * 32767), -32768, 32767)
+                .astype("<i2")
+                .tobytes()
+            )
+            return (
+                b"RIFF" + struct.pack("<I", 36 + len(s16)) + b"WAVEfmt "
+                + struct.pack("<IHHIIHH", 16, 1, 2, 16000, 64000, 4, 16)
+                + b"data" + struct.pack("<I", len(s16)) + s16
+            )
+
+        for pdf in batches:
+            rows = []
+            for cid, raw, codec in zip(pdf["clip_id"], pdf["bytes"], pdf["codec"]):
+                try:
+                    if raw is None or codec not in CODECS:
+                        raise ValueError("undecodable")
+                    mono = decode(bytes(raw), codec)
+                    if mono.shape[0] == 0:
+                        raise ValueError("empty")
+                except (ValueError, TypeError):
+                    rows.append(
+                        {"clip_id": cid, "kind": "corrupt", "bytes": raw, "codec": codec}
+                    )
+                    continue
+                rows.append(
+                    {
+                        "clip_id": f"{cid}/dualmono",
+                        "kind": "dualmono",
+                        "bytes": stereo(mono, False),
+                        "codec": "wav",
+                    }
+                )
+                rows.append(
+                    {
+                        "clip_id": f"{cid}/inverted",
+                        "kind": "inverted",
+                        "bytes": stereo(mono, True),
+                        "codec": "wav",
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["clip_id", "kind", "bytes", "codec"])
+
+    planted = base.mapInPandas(
+        plant, "clip_id string, kind string, bytes binary, codec string"
+    )
+    st = clips_channel_stats(planted)
+    kinds = planted.select("clip_id", "kind")
+    return (
+        st.join(kinds, "clip_id")
+        .select(
+            "clip_id",
+            "kind",
+            "chan_ok",
+            "channels",
+            F.round("lr_corr", 4).alias("lr_corr"),
+            "phase_inverted",
+            F.round("downmix_loss_db", 2).alias("downmix_loss_db"),
+            F.when(F.col("kind") == "corrupt", ~F.col("chan_ok"))
+            .when(
+                F.col("kind") == "dualmono",
+                F.col("chan_ok")
+                & (F.col("lr_corr") > 0.99)
+                & ~F.col("phase_inverted")
+                & (F.abs(F.col("downmix_loss_db")) < 0.2),
+            )
+            .otherwise(
+                F.col("chan_ok")
+                & F.col("phase_inverted")
+                & (F.col("downmix_loss_db") > 20.0)
+            )
+            .alias("classified_ok"),
+        )
+        .orderBy("clip_id")
+    )
+
+
 def q_doc_compression(spark, sf_dir):
     """DEFLATE compression-ratio quality signal (functions/lm.py
     compression_ratio_batch; rows-only: zlib has no SQL twin —
@@ -4423,6 +4526,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_sketch_stats": q_corpus_sketch_stats,
         "clips_tempo": q_clips_tempo,
         "doc_compression": q_doc_compression,
+        "clips_channels": q_clips_channels,
     }
 
 

@@ -372,7 +372,11 @@ def wav_info(raw: bytes) -> dict:
     return _parse_wav(d, 0, len(d))
 
 
-def _decode_wav(data: np.ndarray, start: int, end: int) -> np.ndarray:
+def _decode_wav(data: np.ndarray, start: int, end: int, downmix: bool = True) -> np.ndarray:
+    """WAV payload → float32 PCM. ``downmix=True`` (the profile/QC
+    default) means mono via per-frame channel mean; ``downmix=False``
+    returns the channel-preserving (n_frames, channels) array the
+    channel-balance QC needs (functions/channels.py)."""
     info = _parse_wav(data, start, end)
     tag, ch, bits = info["fmt_tag"], info["channels"], info["bits"]
     body = data[info["data_start"] : info["data_end"]]
@@ -388,7 +392,7 @@ def _decode_wav(data: np.ndarray, start: int, end: int) -> np.ndarray:
             if fact > pcm.shape[0]:
                 raise ValueError("wav fact chunk larger than decoded samples")
             pcm = pcm[:fact]
-        return pcm
+        return pcm if downmix else pcm.reshape(-1, 1)
     bps = bits // 8
     if nb == 0 or nb % (bps * ch) != 0:
         raise ValueError("wav data chunk not a whole number of frames")
@@ -412,9 +416,19 @@ def _decode_wav(data: np.ndarray, start: int, end: int) -> np.ndarray:
         pcm = _ALAW_DEC_F32[body]
     else:  # µ-law
         pcm = _ULAW_DEC_F32[body]
+    if not downmix:
+        return pcm.reshape(-1, ch)
     if ch > 1:
         pcm = pcm.reshape(-1, ch).mean(axis=1, dtype=np.float32)
     return pcm
+
+
+def decode_wav_channels(raw: bytes) -> np.ndarray:
+    """Channel-preserving WAV decode: (n_frames, channels) float32.
+    The per-channel entry point for channel-balance QC; everything
+    else keeps the downmixed mono contract."""
+    d = np.frombuffer(raw, dtype=np.uint8)
+    return _decode_wav(d, 0, len(d), downmix=False)
 
 
 def encode_wav(
