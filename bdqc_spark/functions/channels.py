@@ -114,7 +114,16 @@ def _channels_arrow(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatc
                         x = _decode_wav(
                             data, int(offsets[i]), int(offsets[i + 1]), downmix=False
                         )
-                    else:  # every non-WAV codec in this engine is mono
+                    elif codec[i] == "flac":  # may be stereo too
+                        from bdqc_spark.functions.flac import (
+                            flac_decode_channels_i16,
+                        )
+
+                        xi, _sr = flac_decode_channels_i16(
+                            bytes(data[int(offsets[i]) : int(offsets[i + 1])])
+                        )
+                        x = xi.astype(np.float32) / np.float32(32767.0)
+                    else:  # the remaining codecs are raw mono payloads
                         x = decode_arrow_slice(
                             data, int(offsets[i]), int(offsets[i + 1]), codec[i]
                         ).reshape(-1, 1)

@@ -1,17 +1,20 @@
 """FLAC-subset wire codec — from scratch, numpy + stdlib only.
 
 Implements the public FLAC bitstream format (xiph.org/flac/format)
-for the engine's ingest domain: MONO, 16-bit, fixed-blocksize
-streams. Encoder emits CONSTANT / VERBATIM / FIXED(0-4) subframes
-with 4-bit Rice residual partitions (escape partitions when raw is
-cheaper), plus optional LPC subframes (Levinson-Durbin analysis,
-quantized-coefficient predictor — the coding mode real encoders
-emit by default); decoder handles CONSTANT / VERBATIM / FIXED /
-LPC (any order 1-32), any Rice partition order, 5-bit Rice
-(method 1), wasted bits, and all header blocksize / sample-rate
-code forms. Multi-channel streams are rejected with a clear error
-(subset decoder). Streams round-trip LOSSLESSLY — tests assert
-exact int16 equality, not SNR.
+for the engine's ingest domain: mono and STEREO, 16-bit,
+fixed-blocksize streams. Encoder emits CONSTANT / VERBATIM /
+FIXED(0-4) subframes with 4-bit Rice residual partitions (escape
+partitions when raw is cheaper), plus optional LPC subframes
+(Levinson-Durbin analysis, quantized-coefficient predictor — the
+coding mode real encoders emit by default); decoder handles
+CONSTANT / VERBATIM / FIXED / LPC (any order 1-32), any Rice
+partition order, 5-bit Rice (method 1), wasted bits, all header
+blocksize / sample-rate code forms, and every stereo channel
+assignment (independent L/R plus the left/side, right/side and
+mid/side decorrelated modes, side channel at bps+1 per the format).
+>2 channels are rejected with a clear error (subset decoder).
+Streams round-trip LOSSLESSLY — tests assert exact int16 equality,
+not SNR.
 
 Reference parity (SURVEY.md §2.A A6): bdqc's Binary signature treats
 compressed audio as opaque bytes; here FLAC joins pcm/ulaw/alaw/wav/
@@ -441,6 +444,10 @@ def _subframe_bits(
     return np.concatenate([head, warm] + parts)
 
 
+_STEREO_CODE = {"independent": 0b0001, "left_side": 0b1000,
+                "right_side": 0b1001, "mid_side": 0b1010}
+
+
 def flac_encode(
     pcm: np.ndarray,
     sr: int = 16000,
@@ -448,19 +455,29 @@ def flac_encode(
     force_verbatim: bool = False,
     partition_order: int = 0,
     lpc_order: int = 0,
+    stereo_mode: str = "mid_side",
 ) -> bytes:
-    """float32 [-1,1] PCM → FLAC stream (mono, 16-bit). Same sample
-    quantization as the pcm_s16le codec so encode→decode round-trips
-    bit-exactly through the shared float contract. ``lpc_order`` > 0
-    emits LPC subframes of that order (Levinson-Durbin analysis,
-    12-bit quantized coefficients — the coding mode real encoders
-    default to); 0 keeps the FIXED-only subset."""
+    """float32 [-1,1] PCM → FLAC stream (16-bit). 1-D input encodes
+    mono; (n, 2) input encodes stereo under ``stereo_mode``
+    (independent | left_side | right_side | mid_side — the
+    decorrelated modes carry the L−R side channel at 17 bits, per the
+    format). Same sample quantization as pcm_s16le so encode→decode
+    round-trips bit-exactly. ``lpc_order`` > 0 emits LPC subframes
+    (Levinson-Durbin, 12-bit quantized coefficients); 0 keeps the
+    FIXED-only subset."""
     x = np.clip(np.asarray(pcm, dtype=np.float64), -1.0, 1.0)
+    if x.ndim == 1:
+        x = x[:, None]
+    if x.ndim != 2 or x.shape[1] not in (1, 2):
+        raise ValueError("flac: pcm must be 1-D mono or (n, 2) stereo")
+    n_ch = x.shape[1]
+    if n_ch == 2 and stereo_mode not in _STEREO_CODE:
+        raise ValueError(f"flac: unknown stereo_mode {stereo_mode!r}")
     i16 = np.round(x * 32767.0).astype(np.int16)
-    n = len(i16)
+    n = i16.shape[0]
     if n == 0:
         raise ValueError("flac: empty pcm")
-    md5 = hashlib.md5(i16.astype("<i2").tobytes()).digest()
+    md5 = hashlib.md5(i16.astype("<i2").tobytes()).digest()  # interleaved
     # STREAMINFO (34 bytes): all fields big-endian-bit-packed
     si = 0
     for val, w in (
@@ -469,24 +486,44 @@ def flac_encode(
         (0, 24),
         (0, 24),
         (sr, 20),
-        (0, 3),  # channels-1
+        (n_ch - 1, 3),  # channels-1
         (15, 5),  # bps-1
         (n, 36),
     ):
         si = (si << w) | (val & ((1 << w) - 1))
     si_bytes = si.to_bytes(18, "big") + md5
     out = [b"fLaC", bytes([0x80, 0, 0, 34]), si_bytes]
+    ch_code = 0b0000 if n_ch == 1 else _STEREO_CODE[stereo_mode]
     for fno, start in enumerate(range(0, n, blocksize)):
-        frame = i16[start : start + blocksize]
-        bs = len(frame)
+        frame = i16[start : start + blocksize].astype(np.int64)
+        bs = frame.shape[0]
         hdr = bytearray()
         hdr += bytes([0xFF, 0xF8])  # sync(14) + reserved(0) + fixed-bs(0)
         hdr.append((0b0111 << 4) | 0b0000)  # bs: 16-bit at end; sr: STREAMINFO
-        hdr.append((0b0000 << 4) | (0b100 << 1))  # mono, 16-bit, reserved 0
+        hdr.append((ch_code << 4) | (0b100 << 1))  # channels, 16-bit, reserved 0
         hdr += _utf8_code(fno)
         hdr += (bs - 1).to_bytes(2, "big")
         hdr.append(_crc8(hdr))
-        sub = _subframe_bits(frame, bs, 16, force_verbatim, partition_order, lpc_order)
+
+        def _sub(sig, bps):
+            return _subframe_bits(
+                sig, bs, bps, force_verbatim, partition_order, lpc_order
+            )
+
+        if n_ch == 1:
+            subs = [_sub(frame[:, 0], 16)]
+        elif ch_code == 0b0001:
+            subs = [_sub(frame[:, 0], 16), _sub(frame[:, 1], 16)]
+        else:
+            left, right = frame[:, 0], frame[:, 1]
+            side = left - right
+            if ch_code == 0b1000:
+                subs = [_sub(left, 16), _sub(side, 17)]
+            elif ch_code == 0b1001:
+                subs = [_sub(side, 17), _sub(right, 16)]
+            else:  # mid/side
+                subs = [_sub((left + right) >> 1, 16), _sub(side, 17)]
+        sub = np.concatenate(subs)
         pad = (-len(sub)) % 8
         if pad:
             sub = np.concatenate([sub, np.zeros(pad, np.uint8)])
@@ -575,13 +612,67 @@ def _read_residual(br: _Bits, bs: int, o: int) -> np.ndarray:
     return np.concatenate(res_parts)
 
 
-def flac_decode_i16(raw) -> tuple[np.ndarray, int]:
-    """FLAC stream → (int16 samples, sample rate). Verifies frame
-    CRC-8/CRC-16, sample count, and the STREAMINFO MD5."""
+def _read_subframe(br: _Bits, bs: int, bps: int) -> np.ndarray:
+    """One subframe (CONSTANT/VERBATIM/FIXED/LPC) at effective bit
+    depth ``bps`` → int64 samples. The side channel of a decorrelated
+    stereo frame passes bps+1 (format rule: the L−R difference needs
+    the extra bit)."""
+    if br.read(1):
+        raise ValueError("flac: subframe padding bit set")
+    tcode = br.read(6)
+    wasted = 0
+    if br.read(1):
+        wasted = br.read_unary() + 1
+    ebps = bps - wasted
+    if tcode == 0b000000:
+        x = np.full(bs, br.read_signed(ebps), dtype=np.int64)
+    elif tcode == 0b000001:
+        x = br.read_signed_vec(bs, ebps)
+    elif 0b001000 <= tcode <= 0b001100:
+        o = tcode - 0b001000
+        if o > bs:
+            raise ValueError("flac: predictor order exceeds blocksize")
+        warm = br.read_signed_vec(o, ebps)
+        x = _fixed_restore(warm, _read_residual(br, bs, o), o)
+    elif tcode >= 0b100000:
+        o = (tcode & 0x1F) + 1
+        if o > bs:
+            raise ValueError("flac: predictor order exceeds blocksize")
+        warm = br.read_signed_vec(o, ebps)
+        prec_m1 = br.read(4)
+        if prec_m1 == 0b1111:
+            raise ValueError("flac: invalid qlp coefficient precision")
+        shift = br.read_signed(5)
+        if shift < 0:
+            # the format reserves negative shifts; no real encoder
+            # emits them (libFLAC clamps at 0)
+            raise ValueError("flac: negative qlp shift unsupported")
+        qcoef = br.read_signed_vec(o, prec_m1 + 1)
+        x = _lpc_restore(warm, _read_residual(br, bs, o), qcoef, shift)
+    else:
+        raise ValueError("flac: reserved subframe type")
+    if wasted:
+        x = x << wasted
+    return x
+
+
+# frame-header channel assignment → (n_channels, decorrelation mode)
+_CH_ASSIGN = {0b0000: (1, None), 0b0001: (2, None),
+              0b1000: (2, "left_side"), 0b1001: (2, "right_side"),
+              0b1010: (2, "mid_side")}
+
+
+def flac_decode_channels_i16(raw) -> tuple[np.ndarray, int]:
+    """FLAC stream → ((n_samples, channels) int16, sample rate).
+    Handles mono, independent stereo, and all three decorrelated
+    stereo modes (left/side, right/side, mid/side — the modes real
+    encoders pick per frame). Verifies frame CRC-8/CRC-16, sample
+    count, and the STREAMINFO MD5 (computed over interleaved PCM,
+    per spec)."""
     data = np.asarray(raw if isinstance(raw, np.ndarray) else np.frombuffer(raw, np.uint8))
     si, off = _parse_stream_header(data)
-    if si["channels"] != 1:
-        raise ValueError("flac: subset decoder supports mono only")
+    if si["channels"] > 2:
+        raise ValueError("flac: subset decoder supports mono/stereo only")
     if si["bps"] != 16:
         raise ValueError("flac: subset decoder supports 16-bit only")
     total = si["total_samples"]
@@ -601,8 +692,11 @@ def flac_decode_i16(raw) -> tuple[np.ndarray, int]:
         ch_code = br.read(4)
         ss_code = br.read(3)
         br.read(1)
-        if ch_code != 0:
-            raise ValueError("flac: subset decoder supports mono only")
+        if ch_code not in _CH_ASSIGN:
+            raise ValueError("flac: unsupported channel assignment")
+        n_ch, mode = _CH_ASSIGN[ch_code]
+        if n_ch != si["channels"]:
+            raise ValueError("flac: frame channel count != STREAMINFO")
         bps = si["bps"] if ss_code == 0 else _BPS_CODE.get(ss_code)
         if bps is None:
             raise ValueError("flac: reserved sample-size code")
@@ -634,60 +728,58 @@ def flac_decode_i16(raw) -> tuple[np.ndarray, int]:
         hdr_end = br.pos // 8
         if br.read(8) != _crc8(data[off + fstart : off + hdr_end]):
             raise ValueError("flac: frame header CRC-8 mismatch")
-        # ---- subframe (mono) ----
-        if br.read(1):
-            raise ValueError("flac: subframe padding bit set")
-        tcode = br.read(6)
-        wasted = 0
-        if br.read(1):
-            wasted = br.read_unary() + 1
-        ebps = bps - wasted
-        if tcode == 0b000000:
-            x = np.full(bs, br.read_signed(ebps), dtype=np.int64)
-        elif tcode == 0b000001:
-            x = br.read_signed_vec(bs, ebps)
-        elif 0b001000 <= tcode <= 0b001100:
-            o = tcode - 0b001000
-            if o > bs:
-                raise ValueError("flac: predictor order exceeds blocksize")
-            warm = br.read_signed_vec(o, ebps)
-            x = _fixed_restore(warm, _read_residual(br, bs, o), o)
-        elif tcode >= 0b100000:
-            o = (tcode & 0x1F) + 1
-            if o > bs:
-                raise ValueError("flac: predictor order exceeds blocksize")
-            warm = br.read_signed_vec(o, ebps)
-            prec_m1 = br.read(4)
-            if prec_m1 == 0b1111:
-                raise ValueError("flac: invalid qlp coefficient precision")
-            shift = br.read_signed(5)
-            if shift < 0:
-                # the format reserves negative shifts; no real encoder
-                # emits them (libFLAC clamps at 0)
-                raise ValueError("flac: negative qlp shift unsupported")
-            qcoef = br.read_signed_vec(o, prec_m1 + 1)
-            x = _lpc_restore(warm, _read_residual(br, bs, o), qcoef, shift)
-        else:
-            raise ValueError("flac: reserved subframe type")
-        if wasted:
-            x = x << wasted
+        # ---- subframes + inter-channel reconstruction ----
+        if n_ch == 1:
+            frame = _read_subframe(br, bs, bps)[:, None]
+        elif mode is None:  # independent L/R
+            left = _read_subframe(br, bs, bps)
+            right = _read_subframe(br, bs, bps)
+            frame = np.stack([left, right], axis=1)
+        elif mode == "left_side":
+            left = _read_subframe(br, bs, bps)
+            side = _read_subframe(br, bs, bps + 1)
+            frame = np.stack([left, left - side], axis=1)
+        elif mode == "right_side":
+            side = _read_subframe(br, bs, bps + 1)
+            right = _read_subframe(br, bs, bps)
+            frame = np.stack([right + side, right], axis=1)
+        else:  # mid_side: m = (l+r)>>1, s = l-r
+            mid = _read_subframe(br, bs, bps)
+            side = _read_subframe(br, bs, bps + 1)
+            m2 = (mid << 1) | (side & 1)
+            frame = np.stack([(m2 + side) >> 1, (m2 - side) >> 1], axis=1)
         br.align_byte()
         fend = br.pos // 8
         if br.read(16) != _crc16(data[off + fstart : off + fend]):
             raise ValueError("flac: frame CRC-16 mismatch")
-        if np.any(x > 32767) or np.any(x < -32768):
+        if np.any(frame > 32767) or np.any(frame < -32768):
             raise ValueError("flac: decoded sample out of 16-bit range")
-        chunks.append(x.astype(np.int16))
+        chunks.append(frame.astype(np.int16))
         got += bs
     if got != total:
         raise ValueError("flac: decoded sample count != STREAMINFO total")
-    pcm = np.concatenate(chunks)
+    pcm = np.concatenate(chunks)  # (n, ch); C-order tobytes == interleaved
     if hashlib.md5(pcm.astype("<i2").tobytes()).digest() != si["md5"]:
         raise ValueError("flac: PCM MD5 mismatch")
     return pcm, si["sr"]
 
 
+def flac_decode_i16(raw) -> tuple[np.ndarray, int]:
+    """Mono FLAC stream → (1-D int16 samples, sample rate) — the
+    bit-exact contract the round-trip tests pin. Stereo streams go
+    through flac_decode_channels_i16 (exact) or flac_decode
+    (float downmix)."""
+    pcm, sr = flac_decode_channels_i16(raw)
+    if pcm.shape[1] != 1:
+        raise ValueError("flac: stream is stereo; use flac_decode_channels_i16")
+    return pcm[:, 0], sr
+
+
 def flac_decode(raw) -> np.ndarray:
-    """bytes → float32 PCM in [-1,1] (same scaling as pcm_s16le)."""
-    pcm, _ = flac_decode_i16(raw)
-    return pcm.astype(np.float32) / np.float32(32767.0)
+    """bytes → float32 PCM in [-1,1] (same scaling as pcm_s16le).
+    Multi-channel streams downmix to mono by channel mean — the same
+    convention as the WAV decode path (profile/QC semantics are
+    per-clip; channel-level QC reads channels separately)."""
+    pcm, _ = flac_decode_channels_i16(raw)
+    f = pcm.astype(np.float32) / np.float32(32767.0)
+    return f[:, 0] if f.shape[1] == 1 else f.mean(axis=1, dtype=np.float32)

@@ -273,3 +273,97 @@ def test_lpc_profile_batch_integration(spark):
     assert audio["pcm_ok"]
     assert audio["n_samples"] == 4800
     assert abs(audio["dur_ms_decoded"] - 300) <= 1
+
+
+# ---------------------------------------------------------------------------
+# stereo (r5 fourth session)
+# ---------------------------------------------------------------------------
+def _stereo_sig(n=12000, sr=16000, seed=11):
+    rng = np.random.default_rng(seed)
+    t = np.arange(n) / sr
+    l = 0.4 * np.sin(2 * np.pi * 220 * t) + 0.02 * rng.standard_normal(n)
+    r = 0.4 * np.sin(2 * np.pi * 220 * t + 0.4) + 0.02 * rng.standard_normal(n)
+    st = np.stack([l, r], axis=1).astype(np.float32)
+    want = np.round(np.clip(st.astype(np.float64), -1, 1) * 32767).astype(np.int16)
+    return st, want
+
+
+def test_stereo_all_modes_round_trip_exact():
+    """Every stereo channel assignment (independent, left/side,
+    right/side, mid/side) round-trips bit-exactly under both FIXED
+    and LPC subframes — including the side channel's 17-bit rule."""
+    from bdqc_spark.functions.flac import flac_decode_channels_i16, flac_encode
+
+    st, want = _stereo_sig()
+    for mode in ("independent", "left_side", "right_side", "mid_side"):
+        for lpc in (0, 8):
+            got, sr = flac_decode_channels_i16(
+                flac_encode(st, stereo_mode=mode, lpc_order=lpc, partition_order=2)
+            )
+            assert sr == 16000
+            assert np.array_equal(got, want), (mode, lpc)
+
+
+def test_stereo_decorrelation_compresses_dual_mono():
+    """Mid/side on near-identical channels beats independent coding —
+    the property the decorrelated modes exist for (side ≈ 0)."""
+    from bdqc_spark.functions.flac import flac_encode
+
+    st, _ = _stereo_sig()
+    dual = np.stack([st[:, 0], st[:, 0]], axis=1)  # identical channels
+    ind = len(flac_encode(dual, stereo_mode="independent", lpc_order=8))
+    ms = len(flac_encode(dual, stereo_mode="mid_side", lpc_order=8))
+    assert ms < 0.7 * ind
+
+
+def test_stereo_downmix_and_mono_api_contract():
+    from bdqc_spark.functions.flac import (
+        flac_decode,
+        flac_decode_i16,
+        flac_encode,
+        flac_info,
+    )
+
+    st, want = _stereo_sig(n=5000)
+    raw = flac_encode(st, stereo_mode="mid_side")
+    assert flac_info(raw)["channels"] == 2
+    f = flac_decode(raw)  # float downmix, same convention as WAV
+    manual = (want.astype(np.float32) / 32767.0).mean(axis=1)
+    assert f.shape == (5000,) and np.allclose(f, manual)
+    with pytest.raises(ValueError, match="stereo"):
+        flac_decode_i16(raw)
+    with pytest.raises(ValueError, match="stereo_mode"):
+        flac_encode(st, stereo_mode="surround")
+
+
+def test_stereo_md5_covers_interleaved_pcm():
+    """Corrupting one channel's sample fails the STREAMINFO MD5 (or
+    an earlier CRC) — integrity covers the interleaved stream."""
+    from bdqc_spark.functions.flac import flac_decode_channels_i16, flac_encode
+
+    st, _ = _stereo_sig(n=3000)
+    raw = bytearray(flac_encode(st, stereo_mode="independent", force_verbatim=True))
+    raw[-40] ^= 0x10  # flip a bit inside the last frame's payload
+    with pytest.raises(ValueError):
+        flac_decode_channels_i16(bytes(raw))
+
+
+def test_stereo_through_channel_qc(spark):
+    """A phase-inverted stereo FLAC clip is caught by the channel QC
+    (the downmix-cancellation case, now through the FLAC codec)."""
+    from bdqc_spark.functions.channels import clips_channel_stats
+    from bdqc_spark.functions.flac import flac_encode
+
+    st, _ = _stereo_sig(n=8000)
+    inv = np.stack([st[:, 0], -st[:, 0]], axis=1)
+    rows = [
+        ("stereo", bytearray(flac_encode(st, stereo_mode="mid_side")), "flac"),
+        ("inverted", bytearray(flac_encode(inv, stereo_mode="mid_side")), "flac"),
+        ("mono", bytearray(flac_encode(st[:, 0])), "flac"),
+    ]
+    df = spark.createDataFrame(rows, "clip_id string, bytes binary, codec string")
+    got = {r.clip_id: r.asDict() for r in clips_channel_stats(df).collect()}
+    assert got["stereo"]["chan_ok"] and got["stereo"]["channels"] == 2
+    assert got["inverted"]["phase_inverted"] is True
+    assert got["inverted"]["downmix_loss_db"] > 40.0
+    assert got["mono"]["channels"] == 1
