@@ -1452,16 +1452,26 @@ class IcebergishTable:
         }
         return self._commit_snapshot(manifest)
 
-    def expire_snapshots(self, keep_last: int = 1) -> list[str]:
-        """Retire all but the newest ``keep_last`` snapshots in the
-        current lineage: their manifest files are deleted (time travel
-        to them now fails), making the data files only they referenced
-        eligible for ``remove_orphans``. The current snapshot is
-        always retained. Returns the expired snapshot ids."""
+    def expire_snapshots(
+        self, keep_last: int = 1, older_than_ms: int | None = None
+    ) -> list[str]:
+        """Retire old snapshots: their manifest files are deleted
+        (time travel to them now fails), making the data files only
+        they referenced eligible for ``remove_orphans``. Retention is
+        Iceberg's two-knob rule: the newest ``keep_last`` snapshots of
+        the current lineage ALWAYS survive, and with ``older_than_ms``
+        set, lineage snapshots committed at or after that timestamp
+        survive too (age-based retention — "keep a week of time
+        travel" — layered on the positional floor). The current
+        snapshot is always retained. Returns the expired ids."""
         if keep_last < 1:
             raise ValueError("keep_last must be >= 1")
         lineage = [h["snapshot_id"] for h in self.history()]
         keep = set(lineage[:keep_last])
+        if older_than_ms is not None:
+            for h in self.history():
+                if h["timestamp_ms"] >= older_than_ms:
+                    keep.add(h["snapshot_id"])
         # Refs are GC roots (Iceberg expire_snapshots honors refs): a
         # snapshot reachable from any branch or tag head survives
         # expiry — time travel within a live branch must keep working.
@@ -1486,16 +1496,22 @@ class IcebergishTable:
                 pass
             expired.append(sid)
         if expired:
-            # sever the dangling parent pointer of the oldest retained
-            # manifest so history() stops at the retention boundary
-            oldest = self.snapshot(lineage[keep_last - 1])
-            if oldest and oldest["parent_snapshot_id"] not in (None, *keep):
-                oldest["parent_snapshot_id"] = None
-                path = os.path.join(self.meta_dir, f"snap-{oldest['snapshot_id']}.json")
-                tmp = path + ".tmp"
-                with open(tmp, "w") as f:
-                    json.dump(oldest, f, indent=1, sort_keys=True)
-                os.rename(tmp, path)
+            # Sever the dangling parent pointer of EVERY retained
+            # manifest whose parent expired, so lineage walks
+            # (history(), refs chains) stop at a retention boundary
+            # instead of crashing into a missing file. With refs and
+            # age-based retention there can be several such boundary
+            # manifests, not just the keep_last-th one.
+            expired_set = set(expired)
+            for sid in keep:
+                s = self._snapshot_if_present(sid)
+                if s and s["parent_snapshot_id"] in expired_set:
+                    s["parent_snapshot_id"] = None
+                    path = os.path.join(self.meta_dir, f"snap-{sid}.json")
+                    tmp = path + ".tmp"
+                    with open(tmp, "w") as f:
+                        json.dump(s, f, indent=1, sort_keys=True)
+                    os.rename(tmp, path)
         return sorted(expired)
 
     def remove_orphans(self, older_than_s: float = 3 * 24 * 3600) -> list[str]:

@@ -39,6 +39,16 @@ def main(argv: list[str] | None = None) -> int:
         "skip on tables other jobs read via time travel)",
     )
     ap.add_argument(
+        "--retain-hours",
+        type=float,
+        default=None,
+        metavar="H",
+        help="with --maintain: keep time travel to snapshots committed "
+        "within the last H hours (age-based retention layered on the "
+        "always-kept current snapshot); default expires everything "
+        "but the current snapshot",
+    )
+    ap.add_argument(
         "--erase-where",
         default=None,
         metavar="SQL_PREDICATE",
@@ -244,8 +254,15 @@ def main(argv: list[str] | None = None) -> int:
         }
     maintenance = None
     if args.maintain:
+        import time as _time
+
         compacted = tbl.compact(spark)
-        expired = tbl.expire_snapshots(keep_last=1)
+        cutoff = (
+            int((_time.time() - args.retain_hours * 3600.0) * 1000)
+            if args.retain_hours is not None
+            else None
+        )
+        expired = tbl.expire_snapshots(keep_last=1, older_than_ms=cutoff)
         orphans = tbl.remove_orphans()
         maintenance = {
             "compacted_snapshot": compacted,

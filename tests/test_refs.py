@@ -237,3 +237,83 @@ def test_cli_wap_branch_publish_and_refuse(spark, tmp_path):
     assert tbl.current_snapshot_id() == main_before
     assert tbl.read(spark).count() == 120
     assert tbl.branch("staging").read(spark).count() == 160
+
+
+def test_expire_by_age_and_gap_severing(spark, tmp_path):
+    """Age-based retention keeps lineage newer than the cutoff; a
+    branch forked BELOW the retention boundary keeps its ancestor
+    chain, and every retained manifest whose parent expired gets its
+    pointer severed — history() walks never crash into a gap."""
+    tbl = IcebergishTable(str(tmp_path / "t"), num_buckets=2)
+    tbl.append(_batch(spark, 0, 5))
+    root = tbl.current_snapshot_id()
+    tbl.create_branch("old-fork")  # forks at the root snapshot
+    tbl.append(_batch(spark, 10, 5))
+    middle = tbl.current_snapshot_id()
+    import time as _time
+
+    _time.sleep(0.05)
+    cutoff = int(_time.time() * 1000)
+    tbl.append(_batch(spark, 20, 5))
+    tbl.append(_batch(spark, 30, 5))
+
+    expired = tbl.expire_snapshots(keep_last=1, older_than_ms=cutoff)
+    # the middle snapshot (older than cutoff, not ref-reachable) dies;
+    # the root survives through the branch ref
+    assert middle in expired and root not in expired
+    # both lineage walks still work, stopping at severed boundaries
+    hist = tbl.history()
+    assert len(hist) == 2  # the two post-cutoff snapshots
+    assert hist[-1]["parent_snapshot_id"] is None
+    assert len(tbl.branch("old-fork").history()) == 1
+    assert tbl.read(spark, snapshot_id=root).count() == 5
+
+
+def test_expire_keeps_recent_by_age(spark, tmp_path):
+    tbl = IcebergishTable(str(tmp_path / "t"), num_buckets=2)
+    for i in range(4):
+        tbl.append(_batch(spark, i * 10, 5))
+    # cutoff in the distant past: nothing is old enough to expire
+    assert tbl.expire_snapshots(keep_last=1, older_than_ms=0) == []
+    assert len(tbl.history()) == 4
+    # cutoff now: only keep_last floor survives
+    import time as _time
+
+    expired = tbl.expire_snapshots(
+        keep_last=2, older_than_ms=int(_time.time() * 1000) + 10_000
+    )
+    assert len(expired) == 2 and len(tbl.history()) == 2
+
+
+def test_table_info_cli(spark, tmp_path):
+    """tools/table_info.py describes the table from metadata alone
+    (no Spark): snapshot, lineage, refs, sink watermarks, stats
+    coverage all surface in one JSON document."""
+    import json
+    import os
+    import subprocess
+    import sys as _sys
+
+    from bdqc_spark.streaming.table_sink import make_table_appender
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    tbl = IcebergishTable(str(tmp_path / "t"), num_buckets=4)
+    tbl.append(_batch(spark, 0, 30))
+    tbl.create_tag("v1")
+    tbl.create_branch("staging")
+    make_table_appender(tbl, name="ing")(_batch(spark, 30, 10), 0)
+
+    proc = subprocess.run(
+        [_sys.executable, "tools/table_info.py", "--table", str(tmp_path / "t")],
+        cwd=repo, capture_output=True, text=True, timeout=120,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    info = json.loads(proc.stdout)
+    assert info["summary"]["total_rows"] == 40
+    assert info["n_data_files"] >= 4 and info["missing_data_files"] == 0
+    assert info["data_bytes"] > 0
+    assert info["file_stats_coverage"] == 1.0
+    assert [h["operation"] for h in info["history"]] == ["append", "append"]
+    assert "v1" in info["refs"]["tags"] and "staging" in info["refs"]["branches"]
+    assert info["stream_sinks"]["ing"]["max_batch_id"] == 0
+    assert info["summary"]["stream_sink"]["batch_id"] == 0
