@@ -259,7 +259,37 @@ def _split_entropy(raw: bytes, start: int) -> tuple[list[bytes], int]:
 
 
 def decode_jpeg(raw: bytes) -> np.ndarray:
-    """Baseline JPEG bytes → (h, w, 3) uint8 RGB."""
+    """Baseline JPEG bytes → (h, w, 3) uint8 RGB.
+
+    Raises ValueError on malformed streams and NotImplementedError on
+    unsupported-but-valid features (progressive/arithmetic/12-bit) —
+    the two types the row-degradation contract catches. Corrupted
+    entropy/header state has too many failure surfaces to police
+    individually (fuzzing surfaced IndexError/KeyError/OverflowError/
+    StopIteration/ZeroDivisionError/struct.error escaping), so the
+    decode body is normalized here at the boundary: any accidental
+    exception type becomes ValueError instead of killing a Spark task.
+    """
+    try:
+        return _decode_jpeg_checked(raw)
+    except (ValueError, NotImplementedError):
+        raise
+    except (
+        IndexError,
+        KeyError,
+        OverflowError,
+        StopIteration,
+        ZeroDivisionError,
+        struct.error,
+        MemoryError,
+    ) as e:
+        raise ValueError(f"jpeg: malformed stream ({type(e).__name__})") from e
+
+
+_MAX_PIXELS = 1 << 26  # 64 Mpx: cap corrupt SOF dims before allocation
+
+
+def _decode_jpeg_checked(raw: bytes) -> np.ndarray:
     if len(raw) < 4 or raw[0:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     qtables: dict[int, np.ndarray] = {}  # id → zigzag-order table
@@ -312,10 +342,15 @@ def decode_jpeg(raw: bytes) -> np.ndarray:
             prec, h, w, nc = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
             if prec != 8:
                 raise NotImplementedError("only 8-bit precision")
+            if h == 0 or w == 0 or h * w > _MAX_PIXELS:
+                raise ValueError(f"jpeg: unreasonable dimensions {h}x{w}")
             comps = []
             for c in range(nc):
                 cid, hv, tq = seg[6 + 3 * c], seg[7 + 3 * c], seg[8 + 3 * c]
-                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
+                hs, vs = hv >> 4, hv & 0x0F
+                if not (1 <= hs <= 4 and 1 <= vs <= 4):
+                    raise ValueError("jpeg: invalid sampling factors")
+                comps.append({"id": cid, "h": hs, "v": vs, "tq": tq})
             frame = {"h": h, "w": w, "comps": comps}
         elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError("progressive/arithmetic/lossless JPEG")
