@@ -3638,6 +3638,48 @@ FROM e, t GROUP BY e.rule, t.n_flagged
 """
 
 
+def q_docs_from_jsonl(spark, sf_dir):
+    """JSONL(.gz) document source (sources/jsonl.py; rows-only:
+    corrupt-line degradation, derived-id determinism and shard
+    bijection are pytest-gated in tests/test_jsonl.py): export the
+    documents table as hash-sharded gzip JSONL — the Common Crawl /
+    Dolma distribution shape — read it back through the schema-pinned
+    PERMISSIVE reader, and self-check field equality per row against
+    the original table (`round_trip_ok`)."""
+    from bdqc_spark.sources.jsonl import jsonl_documents, write_jsonl_documents
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        "text",
+        "lang",
+        "source",
+        "n_chars",
+    )
+    out = f"/tmp/_entry_jsonl_{os.path.basename(os.path.normpath(sf_dir))}"
+    if not os.path.isdir(out):
+        write_jsonl_documents(d, out, n_shards=4)
+    back = jsonl_documents(spark, out)
+    orig = d.select(
+        "doc_id",
+        F.col("text").alias("text0"),
+        F.col("lang").alias("lang0"),
+        F.col("n_chars").alias("n_chars0"),
+    )
+    return (
+        back.join(orig, "doc_id", "full")
+        .select(
+            "doc_id",
+            "n_chars",
+            (
+                F.col("text").eqNullSafe(F.col("text0"))
+                & F.col("lang").eqNullSafe(F.col("lang0"))
+                & (F.col("n_chars") == F.col("n_chars0"))
+            ).alias("round_trip_ok"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def q_clips_channels(spark, sf_dir):
     """Channel-balance / phase QC (functions/channels.py; rows-only:
     per-channel DSP has no SQL twin — classification, downmix-loss
@@ -4527,6 +4569,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clips_tempo": q_clips_tempo,
         "doc_compression": q_doc_compression,
         "clips_channels": q_clips_channels,
+        "docs_from_jsonl": q_docs_from_jsonl,
     }
 
 
