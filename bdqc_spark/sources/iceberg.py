@@ -1208,15 +1208,26 @@ class IcebergishTable:
         spark: SparkSession,
         min_files: int = 2,
         sort_within: bool = True,
+        target_file_bytes: int | None = None,
     ) -> str | None:
-        """Rewrite every bucket holding ≥ ``min_files`` data files into
-        one file per bucket and commit a ``rewrite`` snapshot whose
-        manifest swaps the rewritten buckets' file lists. Row-
-        preserving by construction (asserted against parquet footers);
-        readers pinned to older snapshots still see the OLD files —
-        they are not deleted here (that is ``remove_orphans``' job,
-        after ``expire_snapshots`` retires the manifests referencing
-        them).
+        """Rewrite every bucket holding ≥ ``min_files`` data files and
+        commit a ``rewrite`` snapshot whose manifest swaps the
+        rewritten buckets' file lists. Row-preserving by construction
+        (asserted against parquet footers); readers pinned to older
+        snapshots still see the OLD files — they are not deleted here
+        (that is ``remove_orphans``' job, after ``expire_snapshots``
+        retires the manifests referencing them).
+
+        ``target_file_bytes`` is Iceberg's write.target-file-size for
+        the rewrite: each bucket is bin-packed into
+        ≈ceil(bucket_bytes / target) output files instead of exactly
+        one (at 10^12 rows a one-file-per-bucket rewrite produces
+        multi-GB files that serialize every downstream task reading
+        that bucket). Sizing uses the CURRENT files' on-disk bytes as
+        the estimate and ``repartitionByRange`` on (bucket, key) so
+        output files hold contiguous key ranges — which also keeps
+        the per-file manifest stats selective. None keeps the
+        one-file-per-bucket behavior (right at test scale).
 
         Returns the new snapshot id, or None if nothing to compact.
 
@@ -1238,9 +1249,22 @@ class IcebergishTable:
 
         before = self._data_listing()
         df = self.read(spark, buckets=victims)
-        df = df.repartition(len(victims), BUCKET_COL)
-        if sort_within:
-            df = df.sortWithinPartitions(self.bucket_key)
+        if target_file_bytes:
+            n_out = 0
+            for k in victims:
+                bts = sum(
+                    os.path.getsize(os.path.join(self.data_dir, rel))
+                    for rel in snap["bucket_files"][str(k)]
+                    if os.path.exists(os.path.join(self.data_dir, rel))
+                )
+                n_out += max(1, -(-bts // target_file_bytes))
+            df = df.repartitionByRange(
+                int(n_out), F.col(BUCKET_COL), F.col(self.bucket_key)
+            ).sortWithinPartitions(BUCKET_COL, self.bucket_key)
+        else:
+            df = df.repartition(len(victims), BUCKET_COL)
+            if sort_within:
+                df = df.sortWithinPartitions(self.bucket_key)
         df.write.mode("append").partitionBy(BUCKET_COL).parquet(self.data_dir)
         return self._commit_bucket_rewrite(
             snap, victims, before, "rewrite", {"compacted_buckets": victims}

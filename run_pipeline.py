@@ -39,6 +39,16 @@ def main(argv: list[str] | None = None) -> int:
         "skip on tables other jobs read via time travel)",
     )
     ap.add_argument(
+        "--target-file-mb",
+        type=int,
+        default=None,
+        metavar="MB",
+        help="with --maintain: bin-pack compaction rewrites to "
+        "~MB-sized files per bucket (Iceberg write.target-file-size) "
+        "instead of one file per bucket — set this once buckets "
+        "outgrow a single sane file",
+    )
+    ap.add_argument(
         "--retain-hours",
         type=float,
         default=None,
@@ -256,7 +266,12 @@ def main(argv: list[str] | None = None) -> int:
     if args.maintain:
         import time as _time
 
-        compacted = tbl.compact(spark)
+        compacted = tbl.compact(
+            spark,
+            target_file_bytes=(
+                args.target_file_mb * (1 << 20) if args.target_file_mb else None
+            ),
+        )
         cutoff = (
             int((_time.time() - args.retain_hours * 3600.0) * 1000)
             if args.retain_hours is not None

@@ -372,3 +372,44 @@ def test_stream_reader_survives_expired_checkpoint_snapshot(spark, tmp_path):
     for rel in files:
         assert os.path.exists(os.path.join(tbl.data_dir, rel))
     assert len(files) > 0
+
+
+def test_compact_target_file_size_bin_packs(spark, tmp_path):
+    """compact(target_file_bytes=...) splits big buckets into
+    ~target-sized files instead of one monolith: more than one file
+    per rewritten bucket, rows preserved, per-file manifest stats
+    recorded, time travel intact."""
+    from pyspark.sql import functions as F
+
+    tbl = IcebergishTable(str(tmp_path / "t"), num_buckets=2)
+    # two appends -> every bucket is a compaction victim
+    for lo in (0, 20_000):
+        tbl.append(
+            spark.range(lo, lo + 20_000).select(
+                F.concat(F.lit("clip-"), F.col("id")).alias("clip_id"),
+                F.col("id").cast("double").alias("x"),
+                F.repeat(F.lit("p"), 200).alias("payload"),
+            )
+        )
+    pre = tbl.current_snapshot_id()
+    pre_bytes = sum(
+        os.path.getsize(os.path.join(tbl.data_dir, rel))
+        for fs in tbl.snapshot()["bucket_files"].values()
+        for rel in fs
+    )
+    target = max(pre_bytes // 8, 1)  # force ~4 files per bucket
+    sid = tbl.compact(spark, target_file_bytes=int(target))
+    assert sid is not None
+    snap = tbl.snapshot()
+    per_bucket = {k: len(fs) for k, fs in snap["bucket_files"].items()}
+    assert all(n >= 2 for n in per_bucket.values()), per_bucket
+    assert tbl.read(spark).count() == 40_000
+    assert snap["summary"]["total_rows"] == 40_000
+    files = [r for fs in snap["bucket_files"].values() for r in fs]
+    assert set(snap["file_stats"]) == set(files)
+    # range-partitioned rewrite keeps file stats selective: some file
+    # can be skipped for a narrow x range
+    narrow = tbl.read(spark, range_filter={"x": (0.0, 10.0)})
+    assert len(narrow.inputFiles()) < len(files)
+    # time travel to the pre-compaction snapshot still works
+    assert tbl.read(spark, snapshot_id=pre).count() == 40_000
