@@ -3638,6 +3638,126 @@ FROM e, t GROUP BY e.rule, t.n_flagged
 """
 
 
+def q_doc_filter_stack(spark, sf_dir):
+    """The composite text-corpus filter stack — the document mirror
+    of the clips decide stage: Gopher rule table (5 rules) +
+    Gopher repetition thresholds (top-2/3-gram > 0.20/0.18,
+    dup-5-gram > 0.15, dup-lines > 0.30 — Rae et al. 2021 Table A1)
+    + quality-score floor (0.7), evaluated in ONE scan-stage Catalyst
+    projection with an ordered fail-reason list per doc. ORACLE-exact
+    vs DuckDB (composed from the same gopher/repetition/quality SQL
+    twins). On this corpus gr_word_count / gr_stopwords / rep_2gram /
+    rep_3gram exercise; the rest pass clean (canonical thresholds,
+    not tuned to flatter)."""
+    d = _t(spark, sf_dir, "documents")
+    g = TX.gopher_rules(F.col("text"))
+    rep = TX.repetition_struct(F.col("text"))
+    q = TX.quality_score(F.col("text"))
+    base = d.select("doc_id", g.alias("g"), rep.alias("rep"), q.alias("q"))
+    extra = F.array_compact(
+        F.array(
+            F.when(F.col("rep.top_bigram_char_frac") > 0.20, F.lit("rep_2gram")),
+            F.when(F.col("rep.top_trigram_char_frac") > 0.18, F.lit("rep_3gram")),
+            F.when(F.col("rep.dup_5gram_char_frac") > 0.15, F.lit("rep_5gram")),
+            F.when(F.col("rep.dup_line_frac") > 0.30, F.lit("rep_dup_lines")),
+            F.when(F.col("q") < 0.7, F.lit("low_quality")),
+        )
+    )
+    fails = F.concat(
+        F.filter(F.split(F.col("g.fail_rules"), ","), lambda x: x != F.lit("")),
+        extra,
+    )
+    return base.select(
+        "doc_id",
+        F.col("g.n_words").alias("n_words"),
+        F.col("rep.top_bigram_char_frac").alias("top_bigram_char_frac"),
+        F.col("rep.top_trigram_char_frac").alias("top_trigram_char_frac"),
+        F.col("q").alias("quality"),
+        F.array_join(fails, ",").alias("fail_rules"),
+        (F.size(fails) == 0).alias("keep"),
+    )
+
+
+ORACLE_FILTER_STACK = f"""
+WITH w AS (
+  SELECT doc_id, text, regexp_extract_all(text, '[^ \t\n\r]+') AS words
+  FROM documents
+), m AS (
+  SELECT doc_id,
+    len(words) AS n_words,
+    CASE WHEN len(words) > 0
+         THEN list_sum(list_transform(words, x -> length(x))) * 1.0 / len(words)
+         ELSE 0.0 END AS mwl,
+    CASE WHEN len(words) > 0
+         THEN len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]'))) * 1.0 / len(words)
+         ELSE 0.0 END AS alpha_frac,
+    CASE WHEN len(words) > 0
+         THEN len(regexp_extract_all(text, '#|\\.\\.\\.')) * 1.0 / len(words)
+         ELSE 0.0 END AS symbol_ratio,
+    len(list_distinct(list_filter(list_transform(words, x -> lower(x)),
+        x -> list_contains(['the','a','of','to','and','in','be','have','that','with'], x)))) AS stop_types
+  FROM w
+), base AS (
+  SELECT doc_id, length(text) AS nc,
+         regexp_extract_all(lower(text), '[a-z]+') AS lw,
+         list_filter(string_split(text, chr(10)), x -> length(x) > 0) AS lines
+  FROM documents
+), g2 AS (
+  SELECT doc_id, max(cnt * length(gram)) AS cover FROM (
+    SELECT doc_id, gram, count(*) AS cnt FROM (
+      SELECT doc_id, unnest(list_transform(range(1, greatest(len(lw), 1)),
+                                           i -> lw[i] || ' ' || lw[i+1])) AS gram
+      FROM base) GROUP BY doc_id, gram) GROUP BY doc_id
+), g3 AS (
+  SELECT doc_id, max(cnt * length(gram)) AS cover FROM (
+    SELECT doc_id, gram, count(*) AS cnt FROM (
+      SELECT doc_id, unnest(list_transform(range(1, greatest(len(lw) - 1, 1)),
+                                           i -> lw[i] || ' ' || lw[i+1] || ' ' || lw[i+2])) AS gram
+      FROM base) GROUP BY doc_id, gram) GROUP BY doc_id
+), g5 AS (
+  SELECT doc_id, sum(CASE WHEN cnt >= 2 THEN cnt * length(gram) ELSE 0 END) AS cover FROM (
+    SELECT doc_id, gram, count(*) AS cnt FROM (
+      SELECT doc_id, unnest(list_transform(range(1, greatest(len(lw) - 3, 1)),
+          i -> lw[i] || ' ' || lw[i+1] || ' ' || lw[i+2] || ' ' || lw[i+3] || ' ' || lw[i+4])) AS gram
+      FROM base) GROUP BY doc_id, gram) GROUP BY doc_id
+), rep AS (
+  SELECT b.doc_id,
+    round(CASE WHEN b.nc > 0 THEN CAST(coalesce(g2.cover, 0) AS DOUBLE) / b.nc ELSE 0.0 END, 6) AS r2,
+    round(CASE WHEN b.nc > 0 THEN CAST(coalesce(g3.cover, 0) AS DOUBLE) / b.nc ELSE 0.0 END, 6) AS r3,
+    round(CASE WHEN b.nc > 0 THEN CAST(coalesce(g5.cover, 0) AS DOUBLE) / b.nc ELSE 0.0 END, 6) AS r5,
+    round(CASE WHEN len(b.lines) > 0
+          THEN CAST(len(b.lines) - len(list_distinct(b.lines)) AS DOUBLE) / len(b.lines)
+          ELSE 0.0 END, 6) AS rl
+  FROM base b
+  LEFT JOIN g2 USING (doc_id) LEFT JOIN g3 USING (doc_id) LEFT JOIN g5 USING (doc_id)
+), q AS (
+  SELECT doc_id, round({_QUALITY_EXPR_SQL}, 6) AS quality FROM documents
+), f AS (
+  SELECT m.doc_id, m.n_words, rep.r2, rep.r3, q.quality,
+    list_filter([
+      CASE WHEN m.n_words < 50 OR m.n_words > 100000 THEN 'gr_word_count' END,
+      CASE WHEN m.mwl < 3.0 OR m.mwl > 10.0 THEN 'gr_mean_word_len' END,
+      CASE WHEN m.alpha_frac < 0.8 THEN 'gr_alpha_words' END,
+      CASE WHEN m.symbol_ratio > 0.1 THEN 'gr_symbol_ratio' END,
+      CASE WHEN m.stop_types < 2 THEN 'gr_stopwords' END,
+      CASE WHEN rep.r2 > 0.20 THEN 'rep_2gram' END,
+      CASE WHEN rep.r3 > 0.18 THEN 'rep_3gram' END,
+      CASE WHEN rep.r5 > 0.15 THEN 'rep_5gram' END,
+      CASE WHEN rep.rl > 0.30 THEN 'rep_dup_lines' END,
+      CASE WHEN q.quality < 0.7 THEN 'low_quality' END
+    ], x -> x IS NOT NULL) AS fails
+  FROM m JOIN rep USING (doc_id) JOIN q USING (doc_id)
+)
+SELECT doc_id, n_words,
+       r2 AS top_bigram_char_frac,
+       r3 AS top_trigram_char_frac,
+       quality,
+       coalesce(array_to_string(fails, ','), '') AS fail_rules,
+       len(fails) = 0 AS keep
+FROM f
+"""
+
+
 def q_docs_from_jsonl(spark, sf_dir):
     """JSONL(.gz) document source (sources/jsonl.py; rows-only:
     corrupt-line degradation, derived-id determinism and shard
@@ -4570,6 +4690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_compression": q_doc_compression,
         "clips_channels": q_clips_channels,
         "docs_from_jsonl": q_docs_from_jsonl,
+        "doc_filter_stack": q_doc_filter_stack,
     }
 
 
@@ -4649,6 +4770,7 @@ def oracle_sql() -> dict[str, str]:
         "key_skew_profile": ORACLE_KEY_SKEW,
         "doc_rule_ablation": ORACLE_RULE_ABLATION,
         "doc_gopher_rules": ORACLE_GOPHER_RULES,
+        "doc_filter_stack": ORACLE_FILTER_STACK,
         "asof_join_events": ORACLE_ASOF,
         "interval_join_events": ORACLE_INTERVAL_JOIN,
     }

@@ -76,6 +76,7 @@ DEMOTED_ORACLE_QUERIES = [
     "window_lag",
     "doc_rule_ablation",
     "doc_gopher_rules",
+    "doc_filter_stack",
 ]
 
 
