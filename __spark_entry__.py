@@ -4588,8 +4588,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_report": q_corpus_report,
         "doc_bigram_ppl": q_doc_bigram_ppl,
         "doc_quality_clf": q_doc_quality_clf,
-        "tumbling_window": q_tumbling_window,
-        "sliding_window": q_sliding_window,
+        # r5 fifth rotation: the fourth-session flagships
+        # (doc_filter_stack — the composite text filter stack, and
+        # doc_gopher_rules — the canonical rule table it builds on)
+        # take driver rows; tumbling/sliding_window demote (single-op
+        # streaming windows, stream-vs-batch pytest + demoted suite)
+        "doc_filter_stack": q_doc_filter_stack,
+        "doc_gopher_rules": q_doc_gopher_rules,
         "categorical_model": q_categorical_model,
         "sessionize_batch": q_sessionize_batch,
         "ann_ivf_pq_topk": q_ann_ivf_pq_topk,
@@ -4684,13 +4689,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "images_exif": q_images_exif,
         "clips_meta_scrub": q_clips_meta_scrub,
         "doc_rule_ablation": q_doc_rule_ablation,
-        "doc_gopher_rules": q_doc_gopher_rules,
+        "tumbling_window": q_tumbling_window,
+        "sliding_window": q_sliding_window,
         "corpus_sketch_stats": q_corpus_sketch_stats,
         "clips_tempo": q_clips_tempo,
         "doc_compression": q_doc_compression,
         "clips_channels": q_clips_channels,
         "docs_from_jsonl": q_docs_from_jsonl,
-        "doc_filter_stack": q_doc_filter_stack,
     }
 
 

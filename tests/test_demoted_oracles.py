@@ -75,8 +75,8 @@ DEMOTED_ORACLE_QUERIES = [
     "rollup_metrics",
     "window_lag",
     "doc_rule_ablation",
-    "doc_gopher_rules",
-    "doc_filter_stack",
+    "tumbling_window",
+    "sliding_window",
 ]
 
 
