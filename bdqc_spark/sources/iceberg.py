@@ -1720,6 +1720,45 @@ class IcebergishTable:
             "the branch was cut; rebase by re-appending the branch batch"
         )
 
+    def rollback_to(self, snapshot_id: str) -> str:
+        """Roll the table back to an earlier snapshot (Iceberg's
+        ``rollback_to_snapshot``): a PURE POINTER MOVE — no new
+        snapshot, no data rewrite, O(1) metadata. The target must be
+        an ANCESTOR of the current snapshot (jumping across lineages
+        is what branches/tags are for). The abandoned descendants stay
+        on disk for time travel until ``expire_snapshots`` retires
+        them — after the rollback they are unreachable from this ref,
+        so they expire regardless of retention knobs unless a
+        branch/tag pins them (Iceberg's expire semantics); their data
+        files then fall to ``remove_orphans``.
+
+        Incremental consumers positioned PAST the rollback point
+        (their from-snapshot is no longer an ancestor) degrade to the
+        documented file-diff fallback, which emits nothing for a pure
+        rollback — every surviving file was already in their
+        from-manifest — so rolled-back rows are never re-delivered,
+        and a subsequent append delivers exactly its own files.
+
+        On a branch view this moves the BRANCH ref (same
+        ``_swap_pointer`` override as every mutator); main is
+        untouched. Returns ``snapshot_id``."""
+        if self._snapshot_if_present(snapshot_id) is None:
+            raise ValueError(
+                f"rollback_to: no snapshot {snapshot_id!r} at {self.root} "
+                "(expired or never committed)"
+            )
+        sid = self.current_snapshot_id()
+        while sid is not None and sid != snapshot_id:
+            s = self._snapshot_if_present(sid)
+            sid = s["parent_snapshot_id"] if s else None
+        if sid != snapshot_id:
+            raise ValueError(
+                f"rollback_to: {snapshot_id!r} is not an ancestor of the "
+                "current snapshot — use a branch or tag to jump lineages"
+            )
+        self._swap_pointer(snapshot_id)
+        return snapshot_id
+
     def snapshot_diff(self, from_snapshot_id: str, to_snapshot_id: str | None = None) -> dict:
         """Manifest-only diff between two snapshots — the table-ops
         answer to "what changed between yesterday's run and now"
