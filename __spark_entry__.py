@@ -4144,6 +4144,51 @@ FROM i GROUP BY doc_id, island
 """
 
 
+def q_doc_paragraph_dedup(spark, sf_dir):
+    """Paragraph-level corpus dedup (RefinedWeb/MassiveText line
+    dedup, arXiv:2306.01116 §3.2): drop every occurrence of any
+    paragraph appearing ≥2 times corpus-wide, reassemble survivors in
+    order. Scale path counts 8-byte xxhash64 keys and re-shuffles
+    text only for hot hashes (exact confirm — collisions cost work,
+    never correctness). The fixture corpus has no newlines, so this
+    registry row splits on the frequent stopword 'the' to exercise
+    multi-paragraph reassembly and real corpus-wide drops; production
+    calls use the default '\\n{2,}' separator."""
+    ensure_shipped(spark)
+    from bdqc_spark.operators.paragraph_dedup import paragraph_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    return paragraph_dedup(d, "doc_id", "text", sep_pattern=r"\bthe\b", min_count=2)
+
+
+ORACLE_PARAGRAPH_DEDUP = r"""
+WITH s AS (
+  SELECT doc_id, string_split_regex(text, '\bthe\b') AS parts FROM documents
+),
+p0 AS (
+  SELECT doc_id, unnest(parts) AS para,
+         unnest(range(1, len(parts) + 1)) AS pos
+  FROM s
+),
+p AS (
+  SELECT doc_id, pos, trim(para) AS para
+  FROM p0 WHERE trim(para) <> ''
+),
+d AS (SELECT para FROM p GROUP BY para HAVING count(*) >= 2),
+k AS (SELECT p.* FROM p ANTI JOIN d USING (para)),
+agg AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(para, e'\n\n' ORDER BY pos) AS text_deduped
+  FROM k GROUP BY doc_id
+),
+tot AS (SELECT doc_id, count(*) AS n_paragraphs FROM p GROUP BY doc_id)
+SELECT t.doc_id, t.n_paragraphs,
+       t.n_paragraphs - coalesce(a.n_kept, 0) AS n_dropped,
+       coalesce(a.text_deduped, '') AS text_deduped
+FROM tot t LEFT JOIN agg a USING (doc_id)
+"""
+
+
 def q_semdedup(spark, sf_dir):
     """SemDeDup semantic dedup (Abbas et al. 2023, arXiv:2303.09540) —
     rows-only: k-means has no SQL twin; semantics are pytest-gated
@@ -4550,7 +4595,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scan_project_filter": q_scan_project_filter,
         "agg_pricing_summary": q_agg_pricing_summary,
         "join_broadcast": q_join_broadcast,
-        "join_shuffle": q_join_shuffle,
+        # r5 sixth rotation: paragraph-level corpus dedup (the
+        # RefinedWeb/MassiveText boilerplate filter) takes the slot of
+        # join_shuffle (shuffle joins stay evidenced in-window by
+        # multi_join_q3/q5; join_shuffle demoted, still green via the
+        # demoted suite)
+        "doc_paragraph_dedup": q_doc_paragraph_dedup,
         # r5 second rotation: the round-5 flagship operators take the
         # slots of eight more redundant single-operator rows
         # (join_left/semi/anti/theta, regex_filter,
@@ -4619,6 +4669,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # locally by tools/check_oracle.py + tests/test_demoted_oracles.py)
         "qc_documents_keepdrop_approx": q_qc_documents_keepdrop_approx,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "join_shuffle": q_join_shuffle,
         "join_left": q_join_left,
         "join_semi": q_join_semi,
         "join_anti": q_join_anti,
@@ -4772,6 +4823,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_zipf": ORACLE_LANG_ZIPF,
         "lang_char_entropy": ORACLE_LANG_CHAR_ENTROPY,
         "doc_dup_spans": ORACLE_DUP_SPANS,
+        "doc_paragraph_dedup": ORACLE_PARAGRAPH_DEDUP,
         "key_skew_profile": ORACLE_KEY_SKEW,
         "doc_rule_ablation": ORACLE_RULE_ABLATION,
         "doc_gopher_rules": ORACLE_GOPHER_RULES,

@@ -37,7 +37,12 @@ SF_DIR = os.environ.get("SF_DIR_SMOKE", "/root/testdata/sf0.001")
 # interval_join_events, key_skew_profile (final-session oracle-backed
 # operators) moved inside the window; distinct_counts,
 # topk_per_group, rollup_metrics, window_lag demoted here.
+# r5 sixth rotation: doc_paragraph_dedup (RefinedWeb/MassiveText
+# paragraph-level corpus dedup) moved inside the window; join_shuffle
+# demoted here (shuffle joins stay evidenced in-window via
+# multi_join_q3/q5).
 DEMOTED_ORACLE_QUERIES = [
+    "join_shuffle",
     "dedup_ngram_jaccard",
     "join_left",
     "join_semi",
