@@ -41,7 +41,12 @@ SF_DIR = os.environ.get("SF_DIR_SMOKE", "/root/testdata/sf0.001")
 # paragraph-level corpus dedup) moved inside the window; join_shuffle
 # demoted here (shuffle joins stay evidenced in-window via
 # multi_join_q3/q5).
+# r5 seventh rotation: doc_setsim_pairs (exact prefix-filtered
+# AllPairs/PPJoin set-similarity join) moved inside the window;
+# join_broadcast demoted here (broadcast stays evidenced in-window
+# via multi_join_q3/q5 and the emb_decontaminate plan assert).
 DEMOTED_ORACLE_QUERIES = [
+    "join_broadcast",
     "join_shuffle",
     "dedup_ngram_jaccard",
     "join_left",
