@@ -336,6 +336,47 @@ GROUP BY p_brand
 """
 
 
+# ---- bucketed co-located join (shuffle-free fact-to-fact) --------------------
+# sources/bucketed.py: both sides persisted bucketBy(8, custkey), so
+# the SortMergeJoin reads bucket-aligned files with NO Exchange
+# (plan-asserted in tests/test_bucketed.py; this row proves values).
+def q_bucketed_join(spark, sf_dir):
+    import shutil
+
+    from bdqc_spark.sources.bucketed import colocated_join, write_bucketed
+
+    # the in-memory catalog does not survive sessions but the table
+    # directories do — wipe both so the row is idempotent across runs
+    spark.sql("DROP DATABASE IF EXISTS bkt_demo CASCADE")
+    shutil.rmtree("/tmp/bdqc_bucketed_demo", ignore_errors=True)
+    spark.sql("CREATE DATABASE bkt_demo LOCATION '/tmp/bdqc_bucketed_demo'")
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_name", "c_mktsegment"
+    )
+    ostats = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("total_spent"),
+        )
+    )
+    write_bucketed(cust, "bkt_demo.cust", "custkey", 8)
+    write_bucketed(ostats, "bkt_demo.ostats", "custkey", 8)
+    return colocated_join(spark, "bkt_demo.cust", "bkt_demo.ostats", "custkey").select(
+        "custkey", "c_name", "c_mktsegment", "n_orders", "total_spent"
+    )
+
+
+ORACLE_BUCKETED_JOIN = """
+SELECT c_custkey AS custkey, c_name, c_mktsegment,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spent
+FROM customer JOIN orders ON o_custkey = c_custkey
+GROUP BY 1, 2, 3
+"""
+
+
 # ---- J2: shuffle join (large-large) -----------------------------------------
 def q_join_shuffle(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
@@ -4714,6 +4755,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qc_documents_keepdrop_approx": q_qc_documents_keepdrop_approx,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "join_broadcast": q_join_broadcast,
+        "bucketed_join": q_bucketed_join,
         "join_shuffle": q_join_shuffle,
         "join_left": q_join_left,
         "join_semi": q_join_semi,
@@ -4870,6 +4912,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_dup_spans": ORACLE_DUP_SPANS,
         "doc_paragraph_dedup": ORACLE_PARAGRAPH_DEDUP,
         "doc_setsim_pairs": ORACLE_SETSIM_PAIRS,
+        "bucketed_join": ORACLE_BUCKETED_JOIN,
         "key_skew_profile": ORACLE_KEY_SKEW,
         "doc_rule_ablation": ORACLE_RULE_ABLATION,
         "doc_gopher_rules": ORACLE_GOPHER_RULES,

@@ -47,6 +47,7 @@ SF_DIR = os.environ.get("SF_DIR_SMOKE", "/root/testdata/sf0.001")
 # via multi_join_q3/q5 and the emb_decontaminate plan assert).
 DEMOTED_ORACLE_QUERIES = [
     "join_broadcast",
+    "bucketed_join",
     "join_shuffle",
     "dedup_ngram_jaccard",
     "join_left",
