@@ -172,3 +172,49 @@ def dedup_within_watermark(
         df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
         return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
     return df.dropDuplicates(keys)
+
+
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    tolerance_sec: int,
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """T5: stream-stream inner join within an event-time interval —
+    the canonical two-feed correlation (here: a clip-arrival feed
+    joined to its transcript-arrival feed; classically clicks to
+    impressions). Matches rows sharing ``key`` whose timestamps are
+    within ``tolerance_sec`` of each other.
+
+    Streaming: BOTH sides carry a watermark and the join condition
+    bounds right's event time relative to left's, so Spark can expire
+    buffered state — without the time bound a stream-stream join
+    would buffer both streams forever (state grows with the corpus;
+    at 10^12 rows that is the job's death). With the bound, state per
+    side is O(rows inside watermark + tolerance) regardless of total
+    stream length.
+
+    Static: the identical join condition degenerates to a plain
+    interval equi-join — same code path, which is how the
+    batch-equivalence test verifies semantics.
+
+    → columns: key, ``{ts_col}_l``, ``{ts_col}_r`` plus each side's
+    payload columns (callers project/rename payloads to avoid
+    collisions before calling).
+    """
+    l = left.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    r = right.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    if l.isStreaming:
+        l = l.withWatermark(ts_col, watermark)
+    if r.isStreaming:
+        r = r.withWatermark(ts_col, watermark)
+    l = l.withColumnRenamed(ts_col, f"{ts_col}_l")
+    r = r.withColumnRenamed(ts_col, f"{ts_col}_r").withColumnRenamed(key, f"_{key}_r")
+    cond = (
+        (l[key] == r[f"_{key}_r"])
+        & (r[f"{ts_col}_r"] >= l[f"{ts_col}_l"] - F.expr(f"INTERVAL {tolerance_sec} SECONDS"))
+        & (r[f"{ts_col}_r"] <= l[f"{ts_col}_l"] + F.expr(f"INTERVAL {tolerance_sec} SECONDS"))
+    )
+    return l.join(r, cond, "inner").drop(f"_{key}_r")

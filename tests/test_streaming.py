@@ -374,3 +374,43 @@ def test_incremental_stream_skips_deleted_rows(spark, tmp_path):
     q = clips_incremental_stream(spark, table.root, models, out, ckpt)
     q.awaitTermination(180)
     assert spark.read.parquet(f"{out}/decisions").count() == 190
+
+
+def test_stream_stream_interval_join_equals_batch(spark, events, tmp_path):
+    from bdqc_spark.streaming.windows import stream_interval_join
+
+    ev = events.limit(600)
+    left = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("value").alias("click_value")
+    )
+    right = ev.where(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("event_id").alias("view_id")
+    )
+    sl = _stream_from(spark, left, str(tmp_path / "l"))
+    sr = _stream_from(spark, right, str(tmp_path / "r"))
+    joined = stream_interval_join(sl, sr, "user_id", tolerance_sec=3600)
+    got = _run_to_memory(spark, joined, "ssij").collect()
+
+    want = stream_interval_join(left, right, "user_id", tolerance_sec=3600).collect()
+    assert len(want) > 0, "fixture must produce at least one in-window pair"
+    key = lambda r: (r["user_id"], r["ts_l"], r["ts_r"], r["click_value"], r["view_id"])  # noqa: E731
+    assert sorted(map(key, got)) == sorted(map(key, want))
+
+
+def test_stream_stream_join_tolerance_bounds_pairs(spark, events, tmp_path):
+    from bdqc_spark.streaming.windows import stream_interval_join
+
+    ev = events.limit(600)
+    left = ev.where(F.col("event_type") == "click").select("user_id", "ts")
+    right = ev.where(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("event_id").alias("view_id")
+    )
+    wide = stream_interval_join(left, right, "user_id", tolerance_sec=7200).count()
+    narrow = stream_interval_join(left, right, "user_id", tolerance_sec=60).count()
+    assert narrow <= wide
+    # every narrow pair honors the bound
+    chk = stream_interval_join(left, right, "user_id", tolerance_sec=60)
+    bad = chk.where(
+        F.abs(F.col("ts_r").cast("long") - F.col("ts_l").cast("long")) > 60
+    ).count()
+    assert bad == 0
