@@ -2733,6 +2733,27 @@ def q_clips_snr(spark, sf_dir):
     )
 
 
+def q_clips_music(spark, sf_dir):
+    """Speech/music discrimination signals (functions/music.py,
+    Scheirer & Slaney 1997 envelope features; rows-only: modulation
+    spectra have no SQL twin — fixture separation, edge conventions
+    and the corpus read are pytest-gated in tests/test_music.py).
+    One mapInArrow pass over the scan; bytes consumed map-side, only
+    scalars shuffle."""
+    from bdqc_spark.functions.music import clip_music
+
+    out = clip_music(_clips_df(spark))
+    return out.select(
+        "clip_id",
+        "codec",
+        "music_ok",
+        F.round(F.col("mod_ratio_2_8hz"), 4).alias("mod_ratio_2_8hz"),
+        F.round(F.col("low_energy_frac"), 4).alias("low_energy_frac"),
+        F.round(F.col("spectral_flux"), 4).alias("spectral_flux"),
+        "music_like",
+    )
+
+
 def q_clips_denoise(spark, sf_dir):
     """Spectral-gating noise suppression (functions/denoise.py;
     rows-only: an STFT has no SQL twin — SNR improvement, clean-clip
@@ -4797,6 +4818,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clips_flac_profile": q_clips_flac_profile,
         "clips_loudness": q_clips_loudness,
         "clips_snr": q_clips_snr,
+        "clips_music": q_clips_music,
         "doc_train_split": q_doc_train_split,
         "doc_stratified_sample": q_doc_stratified_sample,
         "doc_html_extract": q_doc_html_extract,
