@@ -4152,6 +4152,43 @@ FROM f
 """
 
 
+def q_doc_c4_rules(spark, sf_dir):
+    """The C4 cleaning rules (Raffel et al. 2020 §2.2 — the other
+    canonical pre-training filter next to Gopher, and a REWRITE:
+    line-level sentence filtering plus page-level gates). Pure
+    Catalyst (functions/text.py c4_rules — regex extraction + array
+    filters, zero Python, zero shuffle): at 100 TB the page rewrite
+    happens inside the scan stage."""
+    d = _t(spark, sf_dir, "documents")
+    g = TX.c4_rules(F.col("text"))
+    return d.select("doc_id", "lang", g.alias("g")).select("doc_id", "lang", "g.*")
+
+
+ORACLE_C4_RULES = r"""
+WITH s AS (
+  SELECT doc_id, lang,
+         list_transform(regexp_extract_all(text, '[^.!?]+[.!?]'),
+                        x -> trim(x)) AS sents,
+         contains(text, '{') AS has_brace,
+         contains(lower(text), 'lorem ipsum') AS has_lorem
+  FROM documents
+), k AS (
+  SELECT doc_id, lang, sents, has_brace, has_lorem,
+         list_filter(sents,
+                     x -> len(string_split_regex(x, '\s+')) >= 5
+                          AND NOT contains(lower(x), 'javascript')) AS kept
+  FROM s
+)
+SELECT doc_id, lang,
+       len(sents) AS n_sentences,
+       len(kept) AS n_kept_sentences,
+       (len(kept) >= 3 AND NOT has_brace AND NOT has_lorem) AS c4_keep,
+       CASE WHEN len(kept) >= 3 AND NOT has_brace AND NOT has_lorem
+            THEN array_to_string(kept, ' ') ELSE '' END AS text_c4
+FROM k
+"""
+
+
 def q_doc_fix_mojibake(spark, sf_dir):
     """Encoding repair (functions/mojibake.py; rows-only: byte-level
     re-decoding has no SQL twin; round-trips, clean-text
@@ -4719,7 +4756,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_sniff": q_media_sniff,
         "lang_vocab_stats": q_lang_vocab_stats,
         "lang_zipf": q_lang_zipf,
-        "lang_char_entropy": q_lang_char_entropy,
+        # r5 eighth rotation: the C4 cleaning rules (the second
+        # canonical named pre-training filter, a line-level REWRITE)
+        # take the slot of lang_char_entropy (the lang_* family keeps
+        # two in-window rows; char-entropy demoted, still green via
+        # the demoted suite)
+        "doc_c4_rules": q_doc_c4_rules,
         "videos_mp4_profile": q_videos_mp4_profile,
         "join_salted": q_join_salted,
         "multi_join_q3": q_multi_join_q3,
@@ -4775,6 +4817,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # locally by tools/check_oracle.py + tests/test_demoted_oracles.py)
         "qc_documents_keepdrop_approx": q_qc_documents_keepdrop_approx,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "lang_char_entropy": q_lang_char_entropy,
         "join_broadcast": q_join_broadcast,
         "bucketed_join": q_bucketed_join,
         "join_shuffle": q_join_shuffle,
@@ -4938,6 +4981,7 @@ def oracle_sql() -> dict[str, str]:
         "key_skew_profile": ORACLE_KEY_SKEW,
         "doc_rule_ablation": ORACLE_RULE_ABLATION,
         "doc_gopher_rules": ORACLE_GOPHER_RULES,
+        "doc_c4_rules": ORACLE_C4_RULES,
         "doc_filter_stack": ORACLE_FILTER_STACK,
         "asof_join_events": ORACLE_ASOF,
         "interval_join_events": ORACLE_INTERVAL_JOIN,

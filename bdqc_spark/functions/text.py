@@ -264,6 +264,53 @@ def gopher_rules(c: Column) -> Column:
     )
 
 
+C4_MIN_SENT_WORDS = 5
+C4_MIN_SENTENCES = 3
+
+
+def c4_rules(c: Column) -> Column:
+    """The C4 cleaning rules (Raffel et al. 2020 "Exploring the Limits
+    of Transfer Learning", §2.2) as one pure-Catalyst struct — the
+    other canonical pre-training filter next to ``gopher_rules``, and
+    unlike Gopher it REWRITES the page (line-level filtering) rather
+    than just gating it. Sentence = maximal segment ending in terminal
+    punctuation (``[.!?]``); a trailing un-terminated fragment simply
+    never matches, which IS the paper's "retain only lines ending in
+    terminal punctuation" rule. Then:
+
+    - keep sentences with >= 5 words and no "javascript"  (line level)
+    - page keeps iff >= 3 surviving sentences, no "{" and
+      no "lorem ipsum" anywhere                           (page level)
+
+    → struct(n_sentences, n_kept_sentences, c4_keep, text_c4) where
+    ``text_c4`` is the surviving sentences re-joined (empty when the
+    page is dropped). All signals are per-row regex extractions and
+    array filters — zero Python, zero shuffle; at 100 TB the rewrite
+    happens inside the scan stage."""
+    sents = F.transform(
+        F.regexp_extract_all(c, F.lit(r"[^.!?]+[.!?]"), F.lit(0)),
+        # NB: not bare F.trim — transform feeds (element, index) to a
+        # two-arg callable and trim's optional second arg is trimStr
+        lambda s: F.trim(s),
+    )
+    kept = F.filter(
+        sents,
+        lambda s: (F.size(F.split(s, r"\s+")) >= C4_MIN_SENT_WORDS)
+        & ~F.contains(F.lower(s), F.lit("javascript")),
+    )
+    page_ok = (
+        (F.size(kept) >= C4_MIN_SENTENCES)
+        & ~F.contains(c, F.lit("{"))
+        & ~F.contains(F.lower(c), F.lit("lorem ipsum"))
+    )
+    return F.struct(
+        F.size(sents).alias("n_sentences"),
+        F.size(kept).alias("n_kept_sentences"),
+        page_ok.alias("c4_keep"),
+        F.when(page_ok, F.array_join(kept, " ")).otherwise(F.lit("")).alias("text_c4"),
+    )
+
+
 def normalized(c: Column) -> Column:
     """Canonical text form for exact dedup: lowercase, collapse
     whitespace, strip punctuation."""

@@ -45,9 +45,12 @@ SF_DIR = os.environ.get("SF_DIR_SMOKE", "/root/testdata/sf0.001")
 # AllPairs/PPJoin set-similarity join) moved inside the window;
 # join_broadcast demoted here (broadcast stays evidenced in-window
 # via multi_join_q3/q5 and the emb_decontaminate plan assert).
+# r5 eighth rotation: doc_c4_rules (C4 line-level cleaning) moved
+# inside the window; lang_char_entropy demoted here.
 DEMOTED_ORACLE_QUERIES = [
     "join_broadcast",
     "bucketed_join",
+    "lang_char_entropy",
     "join_shuffle",
     "dedup_ngram_jaccard",
     "join_left",

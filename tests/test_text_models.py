@@ -287,3 +287,46 @@ def test_doc_compression_registry_self_check(spark):
     assert len(pdf) > 0
     assert pdf["repeat_lower_ok"].all()
     assert ((pdf["ratio"] > 0) & (pdf["ratio"] < 1.5)).all()
+
+
+def test_c4_rules_planted(spark):
+    """C4 cleaning (Raffel et al. 2020 §2.2): line-level sentence
+    filtering + page-level gates, each exercised by a planted doc."""
+    from pyspark.sql import functions as F
+
+    from bdqc_spark.functions.text import c4_rules
+
+    good = (
+        "This is a perfectly normal first sentence here. "
+        "Here is another sentence with enough words too! "
+        "And a third full sentence closes the page out."
+    )
+    docs = [
+        ("clean", good + " trailing fragment without terminal punct"),
+        ("short_lines", "Too short. Tiny one. No. " + good),
+        ("js", "Please enable javascript to view this page now. " + good),
+        ("brace", good + " if (x) { return; }"),
+        ("lorem", good + " Lorem Ipsum dolor sit amet."),
+        ("two_sents", "Only one good sentence lives right here. Second one is also fine here."),
+    ]
+    df = spark.createDataFrame(docs, "doc_id string, text string")
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in df.select("doc_id", c4_rules(F.col("text")).alias("g"))
+        .select("doc_id", "g.*")
+        .collect()
+    }
+    c = out["clean"]
+    assert c["c4_keep"] and c["n_sentences"] == 3 and c["n_kept_sentences"] == 3
+    assert c["text_c4"] == good  # fragment dropped, sentences joined
+
+    s = out["short_lines"]  # 3 short sentences dropped at line level
+    assert s["c4_keep"] and s["n_sentences"] == 6 and s["n_kept_sentences"] == 3
+
+    j = out["js"]  # the javascript line is dropped, page survives
+    assert j["c4_keep"] and j["n_kept_sentences"] == 3
+    assert "javascript" not in j["text_c4"]
+
+    assert not out["brace"]["c4_keep"] and out["brace"]["text_c4"] == ""
+    assert not out["lorem"]["c4_keep"]
+    assert not out["two_sents"]["c4_keep"]  # < 3 surviving sentences
