@@ -4513,6 +4513,30 @@ WHERE c.cnt = m.mn
 """
 
 
+def q_doc_weighted_sample(spark, sf_dir):
+    """Deterministic weighted sampling without replacement (A-ES,
+    Efraimidis & Spirakis 2006): top-50 docs by ln(md5-uniform)/weight
+    with weight = n_chars — the budgeted proportional-sampling
+    primitive that consumes DSIR/dedup/quality weights. Distributed
+    TakeOrdered: k rows per map task shuffle, never the corpus."""
+    from bdqc_spark.operators.sampling import weighted_sample
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return weighted_sample(d, "doc_id", "n_chars", 50)
+
+
+ORACLE_WEIGHTED_SAMPLE = """
+WITH s AS (
+  SELECT doc_id, n_chars,
+         ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|wsample-v1'), 1, 8)) AS BIGINT) + 0.5)
+            / 4294967296.0) / CAST(n_chars AS DOUBLE) AS score
+  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
+)
+SELECT doc_id, n_chars, round(score, 6) AS es_score
+FROM s ORDER BY score DESC, doc_id LIMIT 50
+"""
+
+
 def q_doc_stratified_sample(spark, sf_dir):
     """Exactly min(k,|stratum|) docs per language, ranked by
     md5(doc_id) — deterministic stratified sampling; Spark plans the
@@ -4864,6 +4888,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clips_music": q_clips_music,
         "doc_train_split": q_doc_train_split,
         "doc_stratified_sample": q_doc_stratified_sample,
+        "doc_weighted_sample": q_doc_weighted_sample,
         "doc_html_extract": q_doc_html_extract,
         "doc_mix_sample": q_doc_mix_sample,
         "doc_pack_bins": q_doc_pack_bins,
@@ -4958,6 +4983,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_repetition": ORACLE_DOC_REPETITION,
         "doc_train_split": ORACLE_TRAIN_SPLIT,
         "doc_stratified_sample": ORACLE_STRATIFIED,
+        "doc_weighted_sample": ORACLE_WEIGHTED_SAMPLE,
         "doc_mix_sample": ORACLE_MIX_SAMPLE,
         "doc_html_extract": ORACLE_HTML_EXTRACT,
         "doc_pack_bins": ORACLE_PACK_BINS,

@@ -177,3 +177,43 @@ def pack_bins(
     )
     cum_before = F.coalesce(F.sum(F.col(size_col)).over(w), F.lit(0))
     return df.withColumn("bin_id", F.floor(cum_before / F.lit(budget)).cast("int"))
+
+
+def weighted_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    salt: str = "wsample-v1",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (the A-ES
+    scheme, Efraimidis & Spirakis 2006 "Weighted random sampling with
+    a reservoir"): each row draws u = md5-uniform in (0,1) and scores
+    ln(u)/w; the k LARGEST scores are the sample, which provably
+    selects each item with probability proportional to its weight
+    among the survivors at every step. The training-data use: sample
+    a token-budgeted subset proportional to DSIR / dedup / quality
+    weights, reproducibly.
+
+    Determinism contract matches the module's other samplers: the
+    draw is a pure function of (key, salt) — stable across reruns,
+    partitioning and appends, salt-versioned re-deals.
+
+    Scale shape: one map-side projection computes scores, the top-k
+    is a distributed TakeOrdered (per-partition partial top-k, k rows
+    per map task shuffle — never the corpus). Rows with weight <= 0
+    or null are excluded (zero-weight items are unsampleable by
+    definition; the caller sees them dropped, not erroring).
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    h = _hash_hex(F.col(key_col), salt)
+    u = (F.conv(h, 16, 10).cast("double") + F.lit(0.5)) / F.lit(float(2**32))
+    score = F.log(u) / F.col(weight_col).cast("double")
+    return (
+        df.where(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .withColumn("es_score", score)
+        .orderBy(F.col("es_score").desc(), F.col(key_col))
+        .limit(k)
+        .withColumn("es_score", F.round("es_score", 6))
+    )

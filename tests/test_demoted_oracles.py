@@ -76,6 +76,7 @@ DEMOTED_ORACLE_QUERIES = [
     "doc_repetition",
     "doc_train_split",
     "doc_stratified_sample",
+    "doc_weighted_sample",
     "doc_mix_sample",
     "doc_html_extract",
     "doc_pack_bins",

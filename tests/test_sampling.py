@@ -150,3 +150,67 @@ def test_mix_downsample_rebalances_to_smallest_stratum(spark):
     df2 = df.union(spark.createDataFrame([(30000 + i, "xl") for i in range(5000)], "doc_id long, lang string"))
     c = sorted(r.doc_id for r in mix_downsample(df2, "lang", "doc_id").where(F.col("lang") != "xl").collect())
     assert c == a
+
+
+# ---- weighted sampling without replacement (A-ES) -------------------------
+def _ws_twin(rows, k, salt="wsample-v1"):
+    """Single-node A-ES reference with the same md5 draw."""
+    import math
+
+    scored = []
+    for key, w in rows:
+        if w is None or w <= 0:
+            continue
+        h = hashlib.md5(f"{key}|{salt}".encode()).hexdigest()[:8]
+        u = (int(h, 16) + 0.5) / 2**32
+        scored.append((math.log(u) / w, key))
+    scored.sort(key=lambda t: (-t[0], t[1]))
+    return [key for _, key in scored[:k]]
+
+
+def test_weighted_sample_matches_single_node_twin(spark):
+    from bdqc_spark.operators.sampling import weighted_sample
+
+    rows = [(f"d{i:03d}", float(1 + (i * 7) % 13)) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id string, w double")
+    got = [r["doc_id"] for r in weighted_sample(df, "doc_id", "w", 25).collect()]
+    assert got == _ws_twin(rows, 25)
+
+
+def test_weighted_sample_deterministic_and_salt_redeals(spark):
+    from bdqc_spark.operators.sampling import weighted_sample
+
+    rows = [(f"d{i}", 1.0 + i % 5) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id string, w double")
+    a = [r["doc_id"] for r in weighted_sample(df, "doc_id", "w", 10).collect()]
+    b = [r["doc_id"] for r in weighted_sample(df.repartition(7), "doc_id", "w", 10).collect()]
+    assert a == b  # partitioning-invariant
+    c = [r["doc_id"] for r in weighted_sample(df, "doc_id", "w", 10, salt="v2").collect()]
+    assert a != c  # salt re-deals
+
+
+def test_weighted_sample_bias_toward_heavy_items(spark):
+    """Across many salts, an item with 10x weight must be sampled
+    far more often than a 1x item (probability-proportional check)."""
+    from bdqc_spark.operators.sampling import weighted_sample
+
+    rows = [("heavy", 10.0)] + [(f"light{i}", 1.0) for i in range(19)]
+    df = spark.createDataFrame(rows, "doc_id string, w double")
+    hits = 0
+    for s in range(30):
+        got = {r["doc_id"] for r in weighted_sample(df, "doc_id", "w", 3, salt=f"s{s}").collect()}
+        hits += "heavy" in got
+    # heavy holds ~10/29 of total weight; P(in top-3) ~ 0.75+. Light
+    # items would hit ~3/20 of draws. 30 trials: expect >= 15.
+    assert hits >= 15
+
+
+def test_weighted_sample_edge_cases(spark):
+    from bdqc_spark.operators.sampling import weighted_sample
+
+    rows = [("a", 1.0), ("b", 0.0), ("c", -2.0), ("d", None), ("e", 3.0)]
+    df = spark.createDataFrame(rows, "doc_id string, w double")
+    got = {r["doc_id"] for r in weighted_sample(df, "doc_id", "w", 10).collect()}
+    assert got == {"a", "e"}  # nonpositive/null weights excluded; k > n returns all
+    with pytest.raises(ValueError):
+        weighted_sample(df, "doc_id", "w", 0)
