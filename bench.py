@@ -208,8 +208,31 @@ def _compact_headline(result: dict) -> dict:
         "clips_per_sec_4n8",
         "scaling_efficiency",
         "scaling_efficiency_median",
+        "scale_pairs_disqualified",
     )
     return {k: result[k] for k in keep if k in result}
+
+
+def summarize_pairs(pairs: list[dict]) -> tuple[float, float, int]:
+    """(best, median, n_disqualified) over the scale pairs — the r5
+    fifth-session protocol fix: a pair ratio above 1.0 is physically
+    impossible for identical work at 4x the cores (the 8-core side
+    has MORE aggregate cache, never less), so such a pair is a
+    measurement failure by construction — observed when a co-tenant
+    burst hits the t2 draw while the median-of-overlapping-t8s
+    discards the burst-hit t8 draw (BENCH.md §4f: a 381s t2 over
+    overlaps [53.6, 263.2, 54.8] read 1.738). Such pairs are
+    disqualified from BOTH estimators, visibly: they stay in
+    scale_pairs with disqualified=true and the headline carries the
+    count. If EVERY pair is >1 the run is unusable; the raw numbers
+    are reported unfiltered (honest failure, not silent repair)."""
+    for p in pairs:
+        p["disqualified"] = p["efficiency"] > 1.0
+    valid = [p for p in pairs if not p["disqualified"]] or pairs
+    effs = sorted(p["efficiency"] for p in valid)
+    mid = len(effs) // 2
+    med = effs[mid] if len(effs) % 2 else (effs[mid - 1] + effs[mid]) / 2.0
+    return max(effs), med, sum(1 for p in pairs if p["disqualified"])
 
 
 def _prime_page_cache(root: str) -> None:
@@ -359,8 +382,7 @@ def main() -> None:
         pairs = [
             {"t2_wall": b2, "t8_walls": [b8], "efficiency": round(b2 / (4.0 * b8), 3)}
         ]
-    efficiency = max(p["efficiency"] for p in pairs)
-    eff_median = _median([p["efficiency"] for p in pairs])
+    efficiency, eff_median, n_disq = summarize_pairs(pairs)
     t_4n = min(d["wall_sec"] for d in draws_8)
     t_n = min(d["wall_sec"] for d in draws_2)
     cps_n, cps_4n = SCALE_CLIPS / t_n, SCALE_CLIPS / t_4n
@@ -381,6 +403,7 @@ def main() -> None:
         # the best-paired criterion number, plus every raw draw and
         # the pairing itself
         "scaling_efficiency_median": round(eff_median, 3),
+        "scale_pairs_disqualified": n_disq,
         "scale_pairs": pairs,
         "scale_draws_sec": {"cpus2": draws_2, "cpus8": draws_8},
     }

@@ -132,3 +132,35 @@ class TestPinSets:
         set8, set2 = bench._pin_sets()
         assert set8 == list(range(4, 12))
         assert set2 == [2, 3]
+
+
+def test_summarize_pairs_disqualifies_superlinear():
+    """eff > 1.0 is impossible for identical work at 4x cores; such
+    pairs must drop from BOTH estimators but stay visible."""
+    pairs = [
+        {"t2_wall": 191.7, "t8_walls": [53.5], "efficiency": 0.872},
+        {"t2_wall": 381.3, "t8_walls": [54.8], "efficiency": 1.738},
+        {"t2_wall": 194.9, "t8_walls": [55.2], "efficiency": 0.879},
+        {"t2_wall": 178.9, "t8_walls": [52.2], "efficiency": 0.849},
+    ]
+    best, med, n_disq = bench.summarize_pairs(pairs)
+    assert n_disq == 1
+    assert best == 0.879
+    assert med == 0.872
+    assert pairs[1]["disqualified"] and not pairs[0]["disqualified"]
+
+
+def test_summarize_pairs_all_disqualified_reports_raw():
+    pairs = [
+        {"t2_wall": 1.0, "t8_walls": [0.1], "efficiency": 1.4},
+        {"t2_wall": 1.0, "t8_walls": [0.1], "efficiency": 1.2},
+    ]
+    best, med, n_disq = bench.summarize_pairs(pairs)
+    assert n_disq == 2
+    assert best == 1.4 and abs(med - 1.3) < 1e-9  # honest failure, not silent repair
+
+
+def test_summarize_pairs_clean_run_untouched():
+    pairs = [{"t2_wall": 200.0, "t8_walls": [55.0], "efficiency": e} for e in (0.81, 0.9, 0.95)]
+    best, med, n_disq = bench.summarize_pairs(pairs)
+    assert (best, med, n_disq) == (0.95, 0.9, 0)
