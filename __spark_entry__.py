@@ -1835,6 +1835,62 @@ SELECT id AS doc_id, MIN(r) AS canonical_id FROM reach GROUP BY id
 )
 
 
+def q_dedup_representatives(spark, sf_dir):
+    """Quality-aware survivor selection: production dedup keeps the
+    BEST document of each duplicate cluster (highest quality score,
+    doc_id tie-break), not an arbitrary canonical member — dropping
+    the well-formatted original in favor of a mangled mirror copy is
+    a real corpus regression mode. Un-clustered docs represent
+    themselves. Composes the cluster resolver (KB-sized cluster
+    table) with one window pass keyed on canonical_id; only
+    (doc_id, canonical_id, quality) scalars shuffle — the flag is
+    emitted for EVERY row (keep + drop lists in one output), so this
+    is a full window, not a top-1 prune."""
+    clusters = q_dedup_clusters(spark, sf_dir)
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.round(TX.quality_score(F.col("text")), 6).alias("quality")
+    )
+    full = (
+        d.join(clusters, "doc_id", "left")
+        .withColumn("canonical_id", F.coalesce("canonical_id", F.col("doc_id")))
+    )
+    w = Window.partitionBy("canonical_id").orderBy(
+        F.col("quality").desc(), F.col("doc_id").asc()
+    )
+    return full.withColumn(
+        "keep_as_representative", F.row_number().over(w) == 1
+    ).select("doc_id", "canonical_id", "quality", "keep_as_representative")
+
+
+ORACLE_DEDUP_REPRESENTATIVES = (
+    "WITH RECURSIVE "
+    + _NGRAM_PAIRS_CTE.format(norm_sql=_NORM_SQL)
+    + f""",
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS id FROM edges),
+reach(id, r) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r
+),
+cl AS (SELECT id AS doc_id, MIN(r) AS canonical_id FROM reach GROUP BY id),
+q AS (SELECT doc_id, round({{_Q}}, 6) AS quality FROM documents),
+fl AS (
+  SELECT q.doc_id, coalesce(cl.canonical_id, q.doc_id) AS canonical_id, q.quality
+  FROM q LEFT JOIN cl USING (doc_id)
+)
+SELECT doc_id, canonical_id, quality,
+       row_number() OVER (PARTITION BY canonical_id
+                          ORDER BY quality DESC, doc_id ASC) = 1
+         AS keep_as_representative
+FROM fl
+""".replace("{_Q}", _QUALITY_EXPR_SQL)
+)
+
+
 def q_doc_dedup_weights(spark, sf_dir):
     """Soft-dedup training weights: every document gets weight
     1/|its duplicate cluster| (cluster singletons and un-clustered
@@ -4841,6 +4897,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # locally by tools/check_oracle.py + tests/test_demoted_oracles.py)
         "qc_documents_keepdrop_approx": q_qc_documents_keepdrop_approx,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_representatives": q_dedup_representatives,
         "lang_char_entropy": q_lang_char_entropy,
         "join_broadcast": q_join_broadcast,
         "bucketed_join": q_bucketed_join,
@@ -4975,6 +5032,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": ORACLE_DEDUP_NGRAM,
         "dedup_incremental_bloom": ORACLE_DEDUP_BLOOM,
         "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
+        "dedup_representatives": ORACLE_DEDUP_REPRESENTATIVES,
         "doc_winnow_fingerprints": ORACLE_WINNOW,
         "dedup_embedding_cosine": ORACLE_DEDUP_EMB,
         "similarity_topk": ORACLE_SIMILARITY,

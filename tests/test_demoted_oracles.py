@@ -53,6 +53,7 @@ DEMOTED_ORACLE_QUERIES = [
     "lang_char_entropy",
     "join_shuffle",
     "dedup_ngram_jaccard",
+    "dedup_representatives",
     "join_left",
     "join_semi",
     "join_anti",
