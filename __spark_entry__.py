@@ -2789,6 +2789,20 @@ def q_clips_snr(spark, sf_dir):
     )
 
 
+def q_clips_bitdepth(spark, sf_dir):
+    """Effective bit-depth / requantization detection
+    (functions/bitdepth.py; rows-only: GCD folds have no SQL twin —
+    grid recovery, replicate-conversion detection and honest-scope
+    conventions are pytest-gated in tests/test_bitdepth.py). One
+    mapInArrow pass over the int16 wire domain."""
+    from bdqc_spark.functions.bitdepth import clip_bitdepth
+
+    out = clip_bitdepth(_clips_df(spark))
+    return out.select(
+        "clip_id", "codec", "bd_ok", "value_gcd", "effective_bits", "requantized"
+    )
+
+
 def q_clips_music(spark, sf_dir):
     """Speech/music discrimination signals (functions/music.py,
     Scheirer & Slaney 1997 envelope features; rows-only: modulation
@@ -4943,6 +4957,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clips_loudness": q_clips_loudness,
         "clips_snr": q_clips_snr,
         "clips_music": q_clips_music,
+        "clips_bitdepth": q_clips_bitdepth,
         "doc_train_split": q_doc_train_split,
         "doc_stratified_sample": q_doc_stratified_sample,
         "doc_weighted_sample": q_doc_weighted_sample,
