@@ -3186,6 +3186,20 @@ def q_doc_langid(spark, sf_dir):
     )
 
 
+def q_doc_lang_mixture(spark, sf_dir):
+    """Per-document language-mixture profile (operators/langmix.py;
+    rows-only: the trigram-NB segment classifier has no SQL twin —
+    pure/mixed separation, thresholds and evidence floors are
+    pytest-gated in tests/test_langmix.py). Segment langid via the
+    same Arrow-batched scorer as doc_langid; two scalar aggregations
+    keyed on doc_id."""
+    ensure_shipped(spark)
+    from bdqc_spark.operators.langmix import lang_mixture
+
+    d = _t(spark, sf_dir, "documents")
+    return lang_mixture(d, "doc_id", "text")
+
+
 def q_minhash_lsh_pairs(spark, sf_dir):
     ensure_shipped(spark)
     from bdqc_spark.operators.dedup import minhash_lsh_pairs
@@ -4958,6 +4972,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clips_snr": q_clips_snr,
         "clips_music": q_clips_music,
         "clips_bitdepth": q_clips_bitdepth,
+        "doc_lang_mixture": q_doc_lang_mixture,
         "doc_train_split": q_doc_train_split,
         "doc_stratified_sample": q_doc_stratified_sample,
         "doc_weighted_sample": q_doc_weighted_sample,
