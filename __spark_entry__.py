@@ -3186,6 +3186,27 @@ def q_doc_langid(spark, sf_dir):
     )
 
 
+def q_clips_loops(spark, sf_dir):
+    """Within-clip loop detection (functions/loops.py; rows-only:
+    envelope autocorrelation has no SQL twin — tiled-clip recovery,
+    natural-speech rejection and the flat-envelope/CV evidence floor
+    are pytest-gated in tests/test_loops.py). One mapInArrow pass;
+    NOTE: the sine-built synth corpus has near-flat envelopes, so
+    most rows honestly report loop_ok=false (no evidence) — the
+    fixtures in the test exercise the real signal."""
+    from bdqc_spark.functions.loops import clip_loops
+
+    out = clip_loops(_clips_df(spark))
+    return out.select(
+        "clip_id",
+        "codec",
+        "loop_ok",
+        F.round(F.col("loop_score"), 4).alias("loop_score"),
+        "loop_lag_ms",
+        "looped",
+    )
+
+
 def q_doc_lang_mixture(spark, sf_dir):
     """Per-document language-mixture profile (operators/langmix.py;
     rows-only: the trigram-NB segment classifier has no SQL twin —
@@ -4973,6 +4994,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clips_music": q_clips_music,
         "clips_bitdepth": q_clips_bitdepth,
         "doc_lang_mixture": q_doc_lang_mixture,
+        "clips_loops": q_clips_loops,
         "doc_train_split": q_doc_train_split,
         "doc_stratified_sample": q_doc_stratified_sample,
         "doc_weighted_sample": q_doc_weighted_sample,
