@@ -3229,6 +3229,36 @@ def q_minhash_lsh_pairs(spark, sf_dir):
     return minhash_lsh_pairs(d, "doc_id", "text", num_hashes=64, bands=16, jaccard_threshold=0.5)
 
 
+def q_split_leakage_audit(spark, sf_dir):
+    """Split-leakage audit: near-dup pairs whose members landed in
+    DIFFERENT train/val/test splits — the classic dedup-after-split
+    failure (a test doc's near-copy in train inflates eval; Lee et
+    al. 2022 §6.2 measure exactly this on C4). Composes the MinHash
+    pair emitter with hash_split and reports, per split-pair, how
+    many near-dup edges cross the boundary (rows-only: MinHash has
+    no SQL twin). At scale the pair table is the dedup stage's
+    existing output — the audit is two broadcast-joinable lookups
+    plus one KB-sized aggregation, effectively free."""
+    from bdqc_spark.operators.sampling import hash_split
+
+    pairs = q_minhash_lsh_pairs(spark, sf_dir)
+    splits = hash_split(
+        _t(spark, sf_dir, "documents").select("doc_id"), "doc_id"
+    ).select("doc_id", "split")
+    sa = splits.select(F.col("doc_id").alias("id_a"), F.col("split").alias("split_a"))
+    sb = splits.select(F.col("doc_id").alias("id_b"), F.col("split").alias("split_b"))
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .groupBy("split_a", "split_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum((F.col("split_a") != F.col("split_b")).cast("long")).alias("n_leaks"),
+        )
+        .orderBy("split_a", "split_b")
+    )
+
+
 def q_simhash_buckets(spark, sf_dir):
     ensure_shipped(spark)
     from bdqc_spark.operators.dedup import simhash_fingerprints
@@ -4995,6 +5025,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clips_bitdepth": q_clips_bitdepth,
         "doc_lang_mixture": q_doc_lang_mixture,
         "clips_loops": q_clips_loops,
+        "split_leakage_audit": q_split_leakage_audit,
         "doc_train_split": q_doc_train_split,
         "doc_stratified_sample": q_doc_stratified_sample,
         "doc_weighted_sample": q_doc_weighted_sample,

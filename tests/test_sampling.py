@@ -214,3 +214,29 @@ def test_weighted_sample_edge_cases(spark):
     assert got == {"a", "e"}  # nonpositive/null weights excluded; k > n returns all
     with pytest.raises(ValueError):
         weighted_sample(df, "doc_id", "w", 0)
+
+
+def test_split_leakage_audit_counts_cross_split_pairs(spark):
+    """The audit's (split_a, split_b) totals must reconcile exactly
+    with the raw pair table joined to the split assignment."""
+    import __spark_entry__ as entry
+
+    sf = "/root/testdata/sf0.001"
+    audit = {
+        (r["split_a"], r["split_b"]): (r["n_pairs"], r["n_leaks"])
+        for r in entry.q_split_leakage_audit(spark, sf).collect()
+    }
+    pairs = entry.q_minhash_lsh_pairs(spark, sf).toPandas()
+    splits = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(
+            entry._t(spark, sf, "documents").select("doc_id"), "doc_id"
+        ).collect()
+    }
+    from collections import Counter
+
+    want = Counter((splits[a], splits[b]) for a, b in zip(pairs.id_a, pairs.id_b))
+    assert sum(n for n, _ in audit.values()) == len(pairs)
+    for key, n in want.items():
+        assert audit[key][0] == n
+        assert audit[key][1] == (n if key[0] != key[1] else 0)
