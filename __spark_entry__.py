@@ -3186,6 +3186,52 @@ def q_doc_langid(spark, sf_dir):
     )
 
 
+def q_clips_incremental_stats(spark, sf_dir):
+    """Incremental materialized stats (plans/incremental_stats.py;
+    rows-only: the snapshot-changelog state machine has no SQL twin —
+    delta/fallback modes and exactness vs full recompute are
+    pytest-gated in tests/test_incremental_stats.py). Self-checking
+    row: builds a fresh two-append table, refreshes twice, and emits
+    per-codec stats with `mode` (must be 'incremental' on the second
+    refresh) and `matches_full` (delta-maintained == recomputed)."""
+    import shutil
+
+    ensure_shipped(spark)
+    from bdqc_spark.plans.incremental_stats import refresh_stats
+    from bdqc_spark.sources.iceberg import IcebergishTable
+    from bdqc_spark.synth.clips import generate_clips_df
+
+    root = "/tmp/_entry_incstats"
+    shutil.rmtree(root, ignore_errors=True)
+    tbl = IcebergishTable(root, num_buckets=4)
+    tbl.append(generate_clips_df(spark, 400, seed=61))
+    state_path = f"{root}/stats.json"
+    refresh_stats(spark, tbl, state_path)
+    tbl.append(generate_clips_df(spark, 200, seed=62, start=400))
+    st = refresh_stats(spark, tbl, state_path)
+
+    truth = (
+        tbl.read(spark)
+        .groupBy("codec")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("dur_ms").alias("s"))
+        .collect()
+    )
+    truth = {r["codec"]: (r["n"], int(r["s"])) for r in truth}
+    rows = [
+        (
+            codec,
+            v["n_clips"],
+            v["dur_ms_sum"],
+            st["mode"],
+            truth.get(codec) == (v["n_clips"], v["dur_ms_sum"]),
+        )
+        for codec, v in sorted(st["stats"].items())
+    ]
+    return spark.createDataFrame(
+        rows, "codec string, n_clips long, dur_ms_sum long, mode string, matches_full boolean"
+    )
+
+
 def q_clips_loops(spark, sf_dir):
     """Within-clip loop detection (functions/loops.py; rows-only:
     envelope autocorrelation has no SQL twin — tiled-clip recovery,
@@ -5026,6 +5072,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_lang_mixture": q_doc_lang_mixture,
         "clips_loops": q_clips_loops,
         "split_leakage_audit": q_split_leakage_audit,
+        "clips_incremental_stats": q_clips_incremental_stats,
         "doc_train_split": q_doc_train_split,
         "doc_stratified_sample": q_doc_stratified_sample,
         "doc_weighted_sample": q_doc_weighted_sample,

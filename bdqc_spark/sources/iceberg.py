@@ -505,6 +505,24 @@ class IcebergishTable:
         plan.sort()
         return plan
 
+    def operations_between(
+        self, from_snapshot_id: str | None, to_snapshot_id: str | None = None
+    ) -> list[str] | None:
+        """Snapshot operations in (from, to], oldest first — or None
+        when the lineage is broken (expired manifest / not an
+        ancestor). Lets incremental consumers decide whether a pure
+        delta suffices (appends/rewrites only) or a fallback full
+        pass is needed (deletes/updates in range — the changelog
+        carries keys, not pre-images, so decrements are impossible
+        from it; see plans/incremental_stats.py)."""
+        new = self.snapshot(to_snapshot_id)
+        if new is None:
+            raise ValueError(f"no snapshot at {self.root}")
+        if from_snapshot_id is None:
+            return None
+        chain = self._lineage_chain(new, from_snapshot_id)
+        return None if chain is None else [s["operation"] for s in chain]
+
     def _append_added_files(self, s: dict) -> list[str]:
         """Data files an APPEND snapshot added vs its parent (empty
         for rewrite/rebucket/delete snapshots — their files carry no
