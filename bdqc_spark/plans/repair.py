@@ -7,13 +7,15 @@ drop reasons are mechanical defects with known rewrites —
 
     audio.low_speech   → VAD silence trim   (padding, not absence)
     audio.dc_offset    → DC removal         (subtract the mean)
+    audio.clipping     → declip             (cubic reconstruction of
+                                             railed runs, functions/declip.py)
     robust_z.rms       → loudness normalize (gain to target LUFS)
 
 A clip is repair-ELIGIBLE when it was dropped, at least one of its
 rule hits is repairable, and none of its hits is audio-fatal
 (audio.decode_failed / audio.silent / meta.sr_invalid — nothing to
 rewrite, or the metadata itself lies). Passes apply in the fixed
-order dc → trim → normalize (each corrects what the next one
+order dc → declip → trim → normalize (each corrects what the next one
 measures: DC skews both the VAD energies and the loudness gate), in
 ONE decode→rewrite→encode Arrow pass per clip — not a chain of the
 three standalone passes, which would decode three times.
@@ -42,11 +44,15 @@ from pyspark.sql import functions as F
 REPAIRABLE = {
     "audio.low_speech": "trim",
     "audio.dc_offset": "dc",
+    "audio.clipping": "declip",
     "robust_z.rms": "normalize",
 }
 # hits that make a clip unrepairable regardless of other hits
 FATAL = ("audio.decode_failed", "audio.silent", "meta.sr_invalid")
-PASS_ORDER = ("dc", "trim", "normalize")
+# declip runs after dc (DC shifts what counts as a rail hit is not an
+# issue — rails are absolute — but reconstruction anchors should be
+# DC-corrected) and before trim/normalize (which re-measure energy)
+PASS_ORDER = ("dc", "declip", "trim", "normalize")
 
 REPAIR_FIELDS = (
     "bytes binary, sr_hz int, dur_ms int, codec string, "
@@ -111,6 +117,14 @@ def _repair_arrow(target_lufs: float, pad_ms: int):
                     if "dc" in want:
                         pcm = (pcm - np.float32(pcm.mean())) if pcm.size else pcm
                         done.append("dc")
+                    if "declip" in want:
+                        from bdqc_spark.functions.declip import declip as _declip
+
+                        pcm, dst = _declip(pcm)
+                        # fail-open: a fully-railed clip has no anchor
+                        # samples — leave it for the drop path
+                        if dst["ok"] and dst["n_fixed"] > 0:
+                            done.append("declip")
                     if "trim" in want:
                         trimmed, _, _ = trim_silence(pcm, int(sr[i]), pad_ms)
                         # fail-open: an all-silent clip has nothing to
