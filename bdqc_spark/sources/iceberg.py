@@ -36,6 +36,24 @@ from pyspark.sql import functions as F
 
 BUCKET_COL = "bucket"
 
+# optimistic-concurrency commit knobs (Iceberg's commit.retry family)
+COMMIT_LOCK_TIMEOUT_S = 30.0  # give up acquiring the commit lock
+COMMIT_LOCK_STALE_S = 60.0  # break a lock older than this (dead writer)
+APPEND_COMMIT_RETRIES = 5  # append auto-rebase attempts on conflict
+
+
+class CommitConflictError(RuntimeError):
+    """The table's current snapshot moved between when this writer
+    read it and when it tried to commit (another writer won the
+    race). The losing writer's manifest and data files are already on
+    disk but UNREFERENCED — they are exactly Iceberg's failed-commit
+    orphans, swept by ``remove_orphans`` after its safety window.
+    Appends auto-rebase and retry internally (commutative); other
+    operations surface this error so the caller re-runs against the
+    new table state (their read-modify-write is NOT commutative —
+    e.g. a delete predicate must be re-evaluated over rows a
+    concurrent append just added)."""
+
 
 class IcebergishTable:
     def __init__(self, root: str, bucket_key: str = "clip_id", num_buckets: int = 16):
@@ -75,15 +93,53 @@ class IcebergishTable:
             return None
 
     def _commit_snapshot(self, manifest: dict) -> str:
-        """Write immutable manifest then atomically swap the pointer."""
+        """Write the immutable manifest, then swap the pointer under
+        an optimistic-concurrency check (Iceberg's commit protocol):
+        the swap happens ONLY if the ref still points at the
+        manifest's parent — otherwise another writer committed in
+        between and a blind swap would silently orphan their
+        snapshot (last-wins data loss). The check-then-swap runs
+        under an exclusive lock file so the window is closed; a lock
+        older than COMMIT_LOCK_STALE_S is broken (dead writer)."""
         os.makedirs(self.meta_dir, exist_ok=True)
         sid = manifest["snapshot_id"]
         path = os.path.join(self.meta_dir, f"snap-{sid}.json")
         tmp = path + ".tmp"
         with open(tmp, "w") as f:
             json.dump(manifest, f, indent=1, sort_keys=True)
-        os.rename(tmp, path)
-        self._swap_pointer(sid)
+        os.rename(tmp, path)  # immutable once visible; safe pre-lock
+
+        lock = os.path.join(self.meta_dir, "commit.lock")
+        deadline = time.time() + COMMIT_LOCK_TIMEOUT_S
+        while True:
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.close(fd)
+                break
+            except FileExistsError:
+                try:
+                    if time.time() - os.path.getmtime(lock) > COMMIT_LOCK_STALE_S:
+                        os.unlink(lock)  # break a dead writer's lock
+                        continue
+                except FileNotFoundError:
+                    continue  # holder just released; retry immediately
+                if time.time() > deadline:
+                    raise TimeoutError(f"commit lock busy: {lock}")
+                time.sleep(0.02)
+        try:
+            cur = self.current_snapshot_id()
+            if cur != manifest["parent_snapshot_id"]:
+                raise CommitConflictError(
+                    f"concurrent commit: ref moved from "
+                    f"{manifest['parent_snapshot_id']} to {cur} while this "
+                    f"writer prepared snapshot {sid}"
+                )
+            self._swap_pointer(sid)
+        finally:
+            try:
+                os.unlink(lock)
+            except FileNotFoundError:
+                pass
         return sid
 
     def _swap_pointer(self, sid: str) -> None:
@@ -120,7 +176,6 @@ class IcebergishTable:
         record its batch-id marker (exactly-once dedup needs the
         marker and the data in the same atomic unit)."""
         prev = self.snapshot()
-        prev_files = dict(prev["bucket_files"]) if prev else {}
 
         # Partition-spec discipline: once the table exists, the
         # MANIFEST's bucket count is authoritative — a constructor
@@ -131,52 +186,88 @@ class IcebergishTable:
             self.num_buckets = int(prev["num_buckets"])
 
         bucketed = df if BUCKET_COL in df.columns else self.with_bucket(df)
-        # New files are attributed by a BEFORE/AFTER directory diff —
-        # the same discipline as compact(). The old "any file not in
-        # the previous manifest" rule silently re-absorbed files that
-        # exist on disk but were deliberately dropped from the current
-        # manifest: appending after a compaction re-added the
-        # compacted-away originals and DOUBLE-COUNTED their rows
-        # (caught by test_incremental_skips_compaction_rewrite).
-        before = self._data_listing()
+        # The write lands in a per-append STAGING directory and its
+        # files are renamed into the bucket dirs afterwards — the
+        # writer attributes exactly ITS OWN files, so concurrent
+        # appends cannot cross-claim each other's in-flight parquet
+        # (the previous before/after directory diff could), and a
+        # file deliberately dropped from the manifest (compaction)
+        # can never be silently re-absorbed. Stage dirs don't match
+        # the `bucket=` prefix, so _data_listing / readers / orphan
+        # sweep never see them.
         # One directory per bucket → scans with a bucket predicate
         # read only that directory (partition pruning). Cluster the
         # write by bucket first (Iceberg write.distribution-mode=hash):
         # without it every writer task emits a file into every bucket
         # dir — T×B small files whose per-path planning cost lands on
         # the serial path of every subsequent read.
+        import shutil
+
+        stage = os.path.join(self.data_dir, f"_stage-{uuid.uuid4().hex[:12]}")
         (
             bucketed.repartition(self.num_buckets, BUCKET_COL)
-            .write.mode("append")
+            .write.mode("overwrite")
             .partitionBy(BUCKET_COL)
-            .parquet(self.data_dir)
+            .parquet(stage)
         )
+        added: list[str] = []
+        for entry in sorted(os.listdir(stage)):
+            if not entry.startswith(f"{BUCKET_COL}="):
+                continue
+            os.makedirs(os.path.join(self.data_dir, entry), exist_ok=True)
+            for fn in sorted(os.listdir(os.path.join(stage, entry))):
+                if fn.endswith(".parquet"):  # Spark part names are unique
+                    os.rename(
+                        os.path.join(stage, entry, fn),
+                        os.path.join(self.data_dir, entry, fn),
+                    )
+                    added.append(f"{entry}/{fn}")
+        shutil.rmtree(stage, ignore_errors=True)
 
-        bucket_files: dict[str, list[str]] = {k: list(v) for k, v in prev_files.items()}
-        for rel in sorted(self._data_listing() - before):
-            bucket_files.setdefault(rel.split("/", 1)[0].split("=", 1)[1], []).append(rel)
-        # Row count from parquet footers (driver-side metadata read —
+        # Row counts from parquet footers (driver-side metadata read —
         # no data scan, the Iceberg way).
         import pyarrow.parquet as pq
 
-        total_rows = 0
-        for files in bucket_files.values():
-            for rel in files:
-                total_rows += pq.ParquetFile(os.path.join(self.data_dir, rel)).metadata.num_rows
+        added_rows = sum(
+            pq.ParquetFile(os.path.join(self.data_dir, rel)).metadata.num_rows
+            for rel in added
+        )
 
-        manifest = {
-            "snapshot_id": uuid.uuid4().hex[:16],
-            "parent_snapshot_id": prev["snapshot_id"] if prev else None,
-            "timestamp_ms": int(time.time() * 1000),
-            "operation": operation,
-            "bucket_key": self.bucket_key,
-            "num_buckets": self.num_buckets,
-            "schema": self._evolved_schema(prev, df),
-            "bucket_files": bucket_files,
-            "file_stats": self._manifest_file_stats(prev, bucket_files),
-            "summary": {"total_rows": total_rows, **(summary_extra or {})},
-        }
-        return self._commit_snapshot(manifest)
+        # Optimistic commit with auto-rebase: appends are commutative,
+        # so on a CommitConflictError the manifest is simply rebuilt
+        # against the NEW current snapshot (same added files) and the
+        # commit retried — Iceberg's fast-append retry. A concurrent
+        # SPEC change (rebucket) is not rebase-able and re-raises.
+        for _ in range(APPEND_COMMIT_RETRIES):
+            bucket_files: dict[str, list[str]] = (
+                {k: list(v) for k, v in prev["bucket_files"].items()} if prev else {}
+            )
+            for rel in added:
+                bucket_files.setdefault(
+                    rel.split("/", 1)[0].split("=", 1)[1], []
+                ).append(rel)
+            prev_rows = int(prev["summary"].get("total_rows", 0)) if prev else 0
+            manifest = {
+                "snapshot_id": uuid.uuid4().hex[:16],
+                "parent_snapshot_id": prev["snapshot_id"] if prev else None,
+                "timestamp_ms": int(time.time() * 1000),
+                "operation": operation,
+                "bucket_key": self.bucket_key,
+                "num_buckets": self.num_buckets,
+                "schema": self._evolved_schema(prev, df),
+                "bucket_files": bucket_files,
+                "file_stats": self._manifest_file_stats(prev, bucket_files),
+                "summary": {"total_rows": prev_rows + added_rows, **(summary_extra or {})},
+            }
+            try:
+                return self._commit_snapshot(manifest)
+            except CommitConflictError:
+                prev = self.snapshot()
+                if prev is not None and prev.get("num_buckets") != self.num_buckets:
+                    raise  # concurrent rebucket: caller must rewrite
+        raise CommitConflictError(
+            f"append gave up after {APPEND_COMMIT_RETRIES} rebase attempts"
+        )
 
     # -- file-level column statistics (Iceberg manifest stats) ------------
     _STR_BOUND_LEN = 16  # Iceberg's write.metadata.metrics truncate(16)
