@@ -41,6 +41,28 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def _par(df: DataFrame, *key: str) -> DataFrame:
+    """Spread an unsplittable scan across cores before compute-heavy
+    work (optimization guide §2.5 'input skew': one file with one row
+    group = one scan task, so every downstream projection/partial
+    aggregation runs single-threaded no matter how many cores exist —
+    exactly the sf* test tables' layout). Hash-repartition on a
+    stable high-cardinality key, never round-robin: a keyless
+    repartition(n) pays a local sort of its input and keys derived
+    from rand() break under task retries (SPARK-38388, guide §2.5).
+
+    Gated: a no-op when the scan already has at least as many input
+    files as cores — a production table has thousands of splits, so
+    at scale this never fires and no extra Exchange exists. The
+    repartition shuffles only the pruned columns (Catalyst pushes
+    projections and deterministic filters below the exchange)."""
+    spark = df.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    if len(df.inputFiles()) >= par:
+        return df
+    return df.repartition(par, *[F.col(k) for k in key])
+
+
 def _dec(c, scale=2):
     return F.col(c).cast(f"decimal(18,{scale})")
 
@@ -121,7 +143,7 @@ def q_qc_documents_keepdrop_approx(spark, sf_dir):
     recomputed — tokenizing regex included — three times. Same shape
     at 100 TB: profile once, reuse for every model pass (the clips
     pipeline checkpoints profiles to parquet for this reason)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _par(_t(spark, sf_dir, "documents"), "doc_id")
     prof = docs.select(
         "doc_id",
         "lang",
@@ -284,7 +306,7 @@ ORACLE_DISTINCT = "SELECT DISTINCT o_custkey, o_orderstatus FROM orders"
 
 # ---- G1: hash aggregate (TPC-H Q1 pricing summary) -------------------------
 def q_agg_pricing_summary(spark, sf_dir):
-    li = _t(spark, sf_dir, "lineitem")
+    li = _par(_t(spark, sf_dir, "lineitem"), "l_orderkey")
     return (
         li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
         .groupBy("l_returnflag", "l_linestatus")
@@ -316,7 +338,7 @@ GROUP BY l_returnflag, l_linestatus
 
 # ---- J1: broadcast hash join ------------------------------------------------
 def q_join_broadcast(spark, sf_dir):
-    li = _t(spark, sf_dir, "lineitem")
+    li = _par(_t(spark, sf_dir, "lineitem"), "l_orderkey")
     part = _t(spark, sf_dir, "part")
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
@@ -379,7 +401,8 @@ GROUP BY 1, 2, 3
 
 # ---- J2: shuffle join (large-large) -----------------------------------------
 def q_join_shuffle(spark, sf_dir):
-    o = _t(spark, sf_dir, "orders")
+    # repartition key == join key so the join-side exchange reuses it
+    o = _par(_t(spark, sf_dir, "orders"), "o_custkey")
     c = _t(spark, sf_dir, "customer")
     return (
         o.join(c, o.o_custkey == c.c_custkey)
@@ -571,7 +594,10 @@ FROM orders GROUP BY o_orderstatus
 
 # ---- G3/G4: quantiles + MAD (robust stats, the bdqc model fit) ---------------
 def q_quantiles_mad(spark, sf_dir):
-    li = _t(spark, sf_dir, "lineitem")
+    # _par: the partial percentile maps build per-task; single-task
+    # scan would build ONE 600k-entry map single-threaded (both passes
+    # share the exchange via ReusedExchange)
+    li = _par(_t(spark, sf_dir, "lineitem"), "l_orderkey")
     # one array-percentile agg: separate percentile() calls each
     # buffer their OWN copy of the group's values (3× memory + sort);
     # the array form buffers once — same exact interpolated values
@@ -620,7 +646,7 @@ FROM med JOIN mad USING (l_returnflag)
 
 # ---- G5 + W1/W4: histogram top-k per group ------------------------------------
 def q_topk_per_group(spark, sf_dir):
-    p = _t(spark, sf_dir, "part")
+    p = _par(_t(spark, sf_dir, "part"), "p_partkey")
     counts = p.groupBy("p_brand", "p_type").agg(F.count(F.lit(1)).alias("n"))
     top = top_k_per_group(counts, ["p_brand"], [F.desc("n"), F.asc("p_type")], k=2)
     return top.select("p_brand", "p_type", "n", "rn")
@@ -1043,7 +1069,7 @@ FROM o JOIN nw ON o.lang = nw.lang
 
 
 def q_doc_text_stats(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
+    d = _par(_t(spark, sf_dir, "documents"), "doc_id")
     t = F.col("text")
     return d.select(
         "doc_id",
@@ -1495,7 +1521,7 @@ LEFT JOIN g2 USING (doc_id) LEFT JOIN g3 USING (doc_id) LEFT JOIN g5 USING (doc_
 
 # ---- exact dedup on normalized text -----------------------------------------
 def q_dedup_exact(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
+    d = _par(_t(spark, sf_dir, "documents"), "doc_id")
     norm = TX.normalized(F.col("text"))
     return (
         d.withColumn("norm", norm)
@@ -2113,13 +2139,25 @@ def q_similarity_topk(spark, sf_dir):
     norm = lambda col: F.sqrt(  # noqa: E731
         F.aggregate(col, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
     )
+    # Norms are per-VECTOR quantities: compute them on each side BEFORE
+    # the |Q|x|C| join instead of per pair — O((Q+C)·d) instead of
+    # O(Q·C·d) aggregate work, identical doubles (same fold, same
+    # operand order in the final qn*cn product). The broadcast side is
+    # the 10 queries; the candidate side is _par-spread so the pair
+    # scoring runs on every core instead of inside the single scan task.
     q = e.where(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        norm(F.col("embedding")).alias("q_norm"),
     )
-    c = e.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb"))
+    c = _par(e, "vec_id").select(
+        F.col("vec_id").alias("c_id"),
+        F.col("embedding").alias("c_emb"),
+        norm(F.col("embedding")).alias("c_norm"),
+    )
     scored = (
-        q.join(c, F.col("q_id") != F.col("c_id"))
-        .withColumn("cosine", F.round(dot / (norm(F.col("q_emb")) * norm(F.col("c_emb"))), 6))
+        c.join(F.broadcast(q), F.col("q_id") != F.col("c_id"))
+        .withColumn("cosine", F.round(dot / (F.col("q_norm") * F.col("c_norm")), 6))
         .select("q_id", "c_id", "cosine")
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))
@@ -2150,7 +2188,7 @@ SELECT q_id, c_id, cosine, rk FROM ranked WHERE rk <= 3
 def q_scrub_documents(spark, sf_dir):
     from bdqc_spark.functions.scrub import n_edits_column, scrub_column
 
-    d = _t(spark, sf_dir, "documents")
+    d = _par(_t(spark, sf_dir, "documents"), "doc_id")
     return d.select(
         "doc_id",
         scrub_column(F.col("text")).alias("scrubbed"),
@@ -3271,7 +3309,7 @@ def q_minhash_lsh_pairs(spark, sf_dir):
     ensure_shipped(spark)
     from bdqc_spark.operators.dedup import minhash_lsh_pairs
 
-    d = _t(spark, sf_dir, "documents")
+    d = _par(_t(spark, sf_dir, "documents"), "doc_id")
     return minhash_lsh_pairs(d, "doc_id", "text", num_hashes=64, bands=16, jaccard_threshold=0.5)
 
 
