@@ -352,7 +352,17 @@ def run_pipeline(
     fresh_run = not os.path.isdir(profiles_dir) and list(pending) == list(all_buckets)
     prof_cached = None
     if pending:
+        from bdqc_spark.plans.profile import direct_scan_files, profile_clips_direct
+
         to_profile = clips.where(F.col("bucket").isin(pending))
+        # Direct-read fast path (fresh runs over a plain manifest
+        # scan): each task reads its own data file with pyarrow, so
+        # the `bytes` column never crosses the JVM scan or the
+        # JVM→Python Arrow socket (~90% of the old stage-A cost,
+        # measured — see profile_clips_direct). Resume/incremental
+        # runs need the clip-level anti-join and keep the DataFrame
+        # path; non-scan inputs (e.g. with_bucket) fall back too.
+        direct_files = direct_scan_files(clips, pending) if not os.path.isdir(profiles_dir) else None
         if os.path.isdir(profiles_dir):
             existing = spark.read.parquet(profiles_dir).select("clip_id")
             to_profile = to_profile.join(existing, on="clip_id", how="left_anti")
@@ -364,11 +374,21 @@ def run_pipeline(
         # small on disk that a size-based scan of an uncontrolled
         # layout coalesces to 1-3 tasks (measured: A/B probe of a
         # map-only write cost +10s on stages B+C at 8 cores).
-        prof = (
-            profile_clips(to_profile)
-            .repartition(len(all_buckets), "bucket")
-            .sortWithinPartitions("clip_id")
-        )
+        if direct_files:
+            # one task == one data file == one bucket: the stage-A
+            # output is ALREADY bucket-aligned, so the repartition
+            # shuffle of the whole profile table (scalars +
+            # transcripts) is redundant — guide §2.4, remove shuffles
+            # outright where the data is already partitioned as needed
+            prof = profile_clips_direct(spark, direct_files, clips).sortWithinPartitions(
+                "clip_id"
+            )
+        else:
+            prof = (
+                profile_clips(to_profile)
+                .repartition(len(all_buckets), "bucket")
+                .sortWithinPartitions("clip_id")
+            )
         if fresh_run:
             # localCheckpoint, NOT persist: a persisted plan containing
             # the mapInArrow profile node trips Spark's InMemoryRelation

@@ -151,16 +151,7 @@ def _profile_arrow(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch
         yield out
 
 
-def profile_clips(clips: DataFrame) -> DataFrame:
-    """clips(clip_id, bytes, sr_hz, dur_ms, codec, transcript [,bucket])
-    → profiles(clip_id, sr_hz, dur_ms, codec, transcript [,bucket],
-               audio struct, text struct, lang struct)
-    """
-    keep = [c for c in clips.columns if c != "bytes"]
-    schema = ", ".join(
-        f"{f.name} {f.dataType.simpleString()}" for f in clips.schema.fields if f.name != "bytes"
-    )
-    flat = clips.mapInArrow(_profile_arrow, f"{schema}, {_PROFILE_FIELDS}")
+def _nest_profile(flat: DataFrame, keep: list[str]) -> DataFrame:
     return flat.select(
         *keep,
         F.struct(
@@ -182,3 +173,105 @@ def profile_clips(clips: DataFrame) -> DataFrame:
             F.col("ppl"),
         ).alias("lang"),
     )
+
+
+def profile_clips(clips: DataFrame) -> DataFrame:
+    """clips(clip_id, bytes, sr_hz, dur_ms, codec, transcript [,bucket])
+    → profiles(clip_id, sr_hz, dur_ms, codec, transcript [,bucket],
+               audio struct, text struct, lang struct)
+    """
+    keep = [c for c in clips.columns if c != "bytes"]
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in clips.schema.fields if f.name != "bytes"
+    )
+    flat = clips.mapInArrow(_profile_arrow, f"{schema}, {_PROFILE_FIELDS}")
+    return _nest_profile(flat, keep)
+
+
+# --------------------------------------------------------------------------
+# Direct-read fast path: workers read their own parquet files
+# --------------------------------------------------------------------------
+def direct_scan_files(clips: DataFrame, buckets: list[int] | None = None) -> list | None:
+    """[(path, bucket), ...] when `clips` is a PLAIN manifest scan of
+    bucket-partitioned parquet (the IcebergishTable.read shape), else
+    None. The gate is strict: the analyzed plan must be a bare
+    LogicalRelation (no Project/Filter — e.g. with_bucket's computed
+    bucket column disqualifies, because there file↛bucket) and every
+    file must live under a bucket=N partition directory."""
+    import re
+
+    try:
+        plan = clips._jdf.queryExecution().analyzed()
+        if plan.getClass().getSimpleName() != "LogicalRelation":
+            return None
+        files = clips.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    want = None if buckets is None else {int(b) for b in buckets}
+    out = []
+    for f in files:
+        m = re.search(r"bucket=(\d+)/[^/]+$", f)
+        if m is None:
+            return None
+        b = int(m.group(1))
+        if want is None or b in want:
+            out.append((re.sub(r"^file:/{0,2}(?=/)", "", f), b))
+    return out
+
+
+def profile_clips_direct(spark, files: list, clips: DataFrame) -> DataFrame:
+    """profile_clips over an explicit (path, bucket) file list: each
+    task OPENS AND DECODES ITS OWN parquet file with pyarrow
+    (row-group streaming, single-threaded per task — 32 concurrent
+    tasks already saturate the box) and runs the exact
+    `_profile_arrow` computation on the file's batches, so the values
+    are bit-identical to profile_clips(read(files)); only the
+    transport of `bytes` changes. The audio payload goes parquet →
+    Arrow → numpy views inside ONE process: it never crosses the JVM
+    columnar reader or the JVM→Python Arrow socket, which an A/B
+    probe showed was ~90% of the profile stage's cost (a pass-through
+    mapInArrow over the JVM scan of the 15 GB bench corpus took
+    12.9s; the Python compute itself only +1.5s on top). One input
+    row per partition → one task per file — the same one-shard-one-
+    task shape as the WebDataset source, and at 100 TB the standard
+    native-scan integration: the manifest plans, and the worker that
+    consumes the bytes is the one that reads them."""
+    file_order = [c for c in clips.columns if c != "bucket"]
+    keep = [c for c in clips.columns if c != "bytes"]
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in clips.schema.fields if f.name != "bytes"
+    )
+
+    def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        import pyarrow.parquet as pq
+
+        for b in batches:
+            paths = b.column(0).to_pylist()
+            buckets = b.column(1).to_pylist()
+            for path, bucket in zip(paths, buckets):
+                pf = pq.ParquetFile(path)
+                try:
+                    for rb in pf.iter_batches(
+                        batch_size=256, columns=file_order, use_threads=False
+                    ):
+                        # column order pinned to the declared schema
+                        # (passthrough order in _profile_arrow follows
+                        # the input batch's field order)
+                        rb = pa.RecordBatch.from_arrays(
+                            [rb.column(n) for n in file_order]
+                            + [pa.array([bucket] * rb.num_rows, pa.int32())],
+                            names=file_order + ["bucket"],
+                        )
+                        yield from _profile_arrow(iter([rb]))
+                finally:
+                    pf.close()
+
+    rows = [(p, int(b)) for p, b in files]
+    fdf = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, max(len(rows), 1)),
+        "path string, bucket int",
+    )
+    flat = fdf.mapInArrow(gen, f"{schema}, {_PROFILE_FIELDS}")
+    return _nest_profile(flat, keep)
