@@ -139,15 +139,28 @@ def semdedup(
     production path at 10^12 rows, and what the numpy-twin parity
     test uses."""
     if centroids is None:
-        sample = np.asarray(
-            [
+        # Hash-threshold pre-filter before the deterministic
+        # orderBy(hash)/limit (mirrors quality_clf.py, r5 VERDICT ask
+        # #5): at corpus scale the TakeOrdered heap only ever sees
+        # ~1/sample_mod of the rows instead of every row; when the
+        # filtered set is smaller than sample_n (tiny corpus) fall
+        # back to the unfiltered scan — still deterministic, and
+        # cheap exactly when the corpus is small.
+        sample_mod = 64
+
+        def _take(d):
+            return [
                 np.asarray(r[0], dtype=np.float64)
-                for r in df.select(emb_col)
+                for r in d.select(emb_col)
                 .orderBy(F.xxhash64(F.col(id_col)))
                 .limit(sample_n)
                 .collect()
             ]
-        )
+
+        rows = _take(df.where(F.pmod(F.xxhash64(F.col(id_col)), F.lit(sample_mod)) == 0))
+        if len(rows) < sample_n:
+            rows = _take(df)
+        sample = np.asarray(rows)
         if sample.ndim != 2 or sample.shape[1] != dim:
             raise ValueError(
                 f"semdedup: expected {dim}-dim vectors, got shape {sample.shape}"

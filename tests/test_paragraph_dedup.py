@@ -134,3 +134,26 @@ def test_randomized_vs_twin(spark):
                 ps.append(f"uniq-{d}-{rng.random()}")
         rows.append((f"d{d:02d}", "\n\n".join(ps)))
     assert _run(spark, rows) == _twin(rows)
+
+
+def test_anti_path_is_broadcast_on_hash(spark):
+    """r6 (r5 VERDICT #6): the hot-hash list broadcasts, so the
+    non-hot survivors' anti-join and the candidate semi-join are
+    map-side joins on the 8-byte hash — full-corpus paragraph text
+    never shuffles on the anti path; only hot rows reach the exact
+    (h, para) confirm."""
+    from bdqc_spark.operators.paragraph_dedup import paragraph_dedup
+
+    df = spark.createDataFrame([("a", "x\n\ny"), ("b", "x\n\nz")], "doc_id string, text string")
+    out = paragraph_dedup(df, "doc_id", "text")
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "simple"
+    )
+    anti_bhj = [
+        ln for ln in plan.splitlines() if "BroadcastHashJoin" in ln and "LeftAnti" in ln
+    ]
+    semi_bhj = [
+        ln for ln in plan.splitlines() if "BroadcastHashJoin" in ln and "LeftSemi" in ln
+    ]
+    assert anti_bhj, "non-hot anti-join must be a broadcast join on h"
+    assert semi_bhj, "candidate semi-join must be a broadcast join on h"

@@ -153,3 +153,25 @@ def test_skew_cap_fail_open(spark):
     assert all(r["keep"] and r["max_sim_kept"] is None for r in capped)
     # inside the cap the greedy pass still deduped the near-identical pack
     assert sum(r["keep"] for r in in_cap) == 1
+
+
+def test_sampler_prefilter_engages_and_is_deterministic(spark):
+    """r6: the centroid sampler pre-filters by hash threshold before
+    the orderBy(hash)/limit (quality_clf pattern) — with sample_n
+    below the filtered-subset size the prefilter branch engages; the
+    trained result must stay deterministic across reruns."""
+    rng = np.random.default_rng(9)
+    rows = [(i, _normalize(rng.normal(size=(1, DIM)))[0]) for i in range(512)]
+    a = (
+        semdedup(_df(spark, rows), dim=DIM, k=2, tau=0.99, sample_n=4, seed=7)
+        .orderBy("vec_id")
+        .collect()
+    )
+    b = (
+        semdedup(_df(spark, rows), dim=DIM, k=2, tau=0.99, sample_n=4, seed=7)
+        .orderBy("vec_id")
+        .collect()
+    )
+    assert [r["cluster"] for r in a] == [r["cluster"] for r in b]
+    assert [r["keep"] for r in a] == [r["keep"] for r in b]
+    assert len(a) == 512
