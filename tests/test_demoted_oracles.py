@@ -47,13 +47,20 @@ SF_DIR = os.environ.get("SF_DIR_SMOKE", "/root/testdata/sf0.001")
 # via multi_join_q3/q5 and the emb_decontaminate plan assert).
 # r5 eighth rotation: doc_c4_rules (C4 line-level cleaning) moved
 # inside the window; lang_char_entropy demoted here.
+# r6 rotation (r5 VERDICT asks #2/#4): eight oracle-backed entries
+# (doc_dsir_weights, doc_mix_sample, doc_html_extract,
+# doc_rule_ablation, bucketed_join, dedup_representatives,
+# doc_weighted_sample, join_broadcast) PROMOTED back inside the
+# window (driver oracle-green count 36 -> 44); eight rows-only
+# entries whose semantics are pytest-gated demoted past 50
+# (ann_lsh_topk, images_profile, semdedup, clips_denoise,
+# media_sniff, videos_mp4_profile, ann_ivf_pq_topk,
+# clips_mv_outliers - rows-only, so they are NOT in this list;
+# their checks live in their own pytest suites).
 DEMOTED_ORACLE_QUERIES = [
-    "join_broadcast",
-    "bucketed_join",
     "lang_char_entropy",
     "join_shuffle",
     "dedup_ngram_jaccard",
-    "dedup_representatives",
     "join_left",
     "join_semi",
     "join_anti",
@@ -77,20 +84,15 @@ DEMOTED_ORACLE_QUERIES = [
     "doc_repetition",
     "doc_train_split",
     "doc_stratified_sample",
-    "doc_weighted_sample",
-    "doc_mix_sample",
-    "doc_html_extract",
     "doc_pack_bins",
     "doc_decontaminate",
     "doc_top_terms",
     "doc_quality_buckets",
     "doc_dedup_weights",
-    "doc_dsir_weights",
     "distinct_counts",
     "topk_per_group",
     "rollup_metrics",
     "window_lag",
-    "doc_rule_ablation",
     "tumbling_window",
     "sliding_window",
 ]
@@ -126,14 +128,15 @@ def test_flagships_inside_recording_window():
         "clips_explain",
         "doc_langid",
         "minhash_lsh_pairs",
-        "ann_lsh_topk",
         # r4 flagships rotated in for r5 (VERDICT r4 ask #2)
         "emb_decontaminate",
         "corpus_report",
         "doc_bigram_ppl",
         "doc_quality_clf",
-        "ann_ivf_pq_topk",
-        "clips_mv_outliers",
+        # r6: ann_lsh_topk / ann_ivf_pq_topk / clips_mv_outliers moved
+        # past the window (rows-only; recall/semantics pytest-gated) to
+        # make room for eight oracle-backed promotions — the ANN family
+        # stays evidenced by tests/test_similarity + test_ann_index.
     ]:
         assert name in win, f"{name} fell past the driver recording window"
     assert len(win) == 50
