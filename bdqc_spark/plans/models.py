@@ -119,23 +119,33 @@ def fit_cohort_models(
 
 
 def collect_cohort_models(
-    profiles: DataFrame, exact: bool = False, accuracy: int = 2000
+    profiles: DataFrame, exact: bool = False, accuracy: int = 2000,
+    assume_cached: bool | None = None,
 ) -> list:
     """Fit and collect the KB-sized model table in one pass over the
     profiles: the flat 8-scalar projection is persisted so the three
     aggregation branches (wide quantiles, MAD, categorical histogram)
     scan the profiles table ONCE, then unpersisted.
 
-    If `profiles` is itself already cached (the pipeline's fresh-run
-    path hands in the persisted stage-A output), the branches read
-    that cache directly — persisting a projection OF a cached plan
-    both wastes storage memory and trips Spark's nested
-    InMemoryRelation canonicalization (`key not found: <attr>` in
-    InMemoryRelation.withOutput)."""
+    If `profiles` is itself already materialized (the pipeline's
+    fresh-run path hands in the localCheckpoint'ed stage-A output),
+    the branches read those blocks directly — persisting a projection
+    OF it wastes storage memory, adds a materialization pass, and
+    (for CacheManager caches) trips Spark's nested InMemoryRelation
+    canonicalization (`key not found: <attr>`). A localCheckpoint is
+    invisible to `df.storageLevel` (the CacheManager doesn't track
+    it — measured: it reports NONE), so callers that know their input
+    is materialized pass ``assume_cached=True`` (r6 fix: the pipeline
+    was re-persisting the flat projection of its own checkpoint on
+    every fresh run)."""
     from pyspark import StorageLevel
 
     flat = _flat_attrs(profiles)
-    input_cached = profiles.storageLevel != StorageLevel.NONE
+    input_cached = (
+        assume_cached
+        if assume_cached is not None
+        else profiles.storageLevel != StorageLevel.NONE
+    )
     if not input_cached:
         flat = flat.persist(StorageLevel.MEMORY_ONLY)
     try:

@@ -461,7 +461,9 @@ def _finish_pipeline(
         # hold the PREVIOUS snapshot (if any) across the overwrite so
         # stage B2 can diff old vs new (bdqc's temporal QC)
         old_models_rows = _read_models_snapshot(models_dir) if os.path.isdir(models_dir) else None
-        models_rows = collect_cohort_models(profiles, exact=exact_models)
+        models_rows = collect_cohort_models(
+            profiles, exact=exact_models, assume_cached=prof_cached is not None
+        )
         models = spark.createDataFrame(models_rows)
         # Persist the snapshot driver-side (pyarrow): it is ~100 rows;
         # a Spark coalesce(1) write puts a whole extra job (~1.5s) on
