@@ -209,6 +209,8 @@ def direct_scan_files(clips: DataFrame, buckets: list[int] | None = None) -> lis
     file must live under a bucket=N partition directory."""
     import re
 
+    import pyarrow.parquet as pq
+
     try:
         plan = clips._jdf.queryExecution().analyzed()
         if plan.getClass().getSimpleName() != "LogicalRelation":
@@ -219,6 +221,7 @@ def direct_scan_files(clips: DataFrame, buckets: list[int] | None = None) -> lis
     if not files:
         return None
     want = None if buckets is None else {int(b) for b in buckets}
+    need = {c for c in clips.columns if c != "bucket"}
     out = []
     for f in files:
         m = re.search(r"bucket=(\d+)/[^/]+$", f)
@@ -226,7 +229,19 @@ def direct_scan_files(clips: DataFrame, buckets: list[int] | None = None) -> lis
             return None
         b = int(m.group(1))
         if want is None or b in want:
-            out.append((re.sub(r"^file:/{0,2}(?=/)", "", f), b))
+            path = re.sub(r"^file:/{0,2}(?=/)", "", f)
+            # Evolved-schema guard: a file written before an added
+            # column would crash the worker-side column projection
+            # (the JVM path surfaces such columns as null) — one
+            # driver-side footer read per file, fall back if any file
+            # lacks a needed column.
+            try:
+                have = set(pq.read_schema(path).names)
+            except Exception:
+                return None
+            if not need <= have:
+                return None
+            out.append((path, b))
     return out
 
 

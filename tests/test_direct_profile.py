@@ -59,3 +59,22 @@ def test_par_gate(spark, sf_dir_smoke=None):
     assert par.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
     # values unchanged
     assert par.count() == d.count()
+
+
+def test_direct_gate_falls_back_on_evolved_schema(spark, tbl, tmp_path):
+    """A file written before an added column must disqualify the
+    direct path (the worker-side column projection cannot surface the
+    missing column as null the way the JVM scan does)."""
+    import shutil
+
+    root = str(tmp_path / "evolved")
+    shutil.copytree(tbl.root, root)
+    t = IcebergishTable(root, num_buckets=4)
+    df = generate_clips_df(spark, 40, seed=32, start=1000).withColumn(
+        "rating", F.lit(5)
+    )
+    t.append(df)  # append with a new column evolves the schema
+    clips = t.read(spark)
+    assert "rating" in clips.columns
+    # old files lack `rating` -> gate refuses, pipeline falls back
+    assert direct_scan_files(clips, None) is None
